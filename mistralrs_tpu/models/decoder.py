@@ -1,0 +1,198 @@
+"""The unified decoder core: one scanned, functional transformer that covers
+every text architecture in the reference's model zoo.
+
+Reference parity: mistralrs-core/src/models/*.rs — each arch's
+Attention/MLP/DecoderLayer/Model (e.g. mistral.rs:222-597). Per-arch knobs are
+static `ModelConfig` fields; jit burns them into the compiled step.
+
+TPU design notes:
+- Layers are *stacked* (every param leaf gains a leading [L] axis) and the
+  block loop is a `lax.scan`: one layer's HLO is compiled once regardless of
+  depth, and the stacked layout is what pjit shards (PartitionSpec on the
+  stacked leaves covers all layers at once).
+- The KV cache is scanned alongside the params (xs) and re-emitted (ys) —
+  a functional in-place update that XLA aliases to zero copies.
+- GQA attention never materializes repeated KV heads (ops/attention.py).
+- Attention masks (full + sliding-window) are built once per step outside the
+  scan; layers select by a per-layer flag, so gemma2's alternating pattern
+  costs one `where` instead of breaking the scan.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mistralrs_tpu.models.config import ModelConfig
+from mistralrs_tpu.ops import attention as attn_ops
+from mistralrs_tpu.ops import layers as L
+from mistralrs_tpu.ops.kv_cache import AttnMeta, KVCache, write_kv_rows
+from mistralrs_tpu.ops.rope import RopeTable, apply_rope
+from mistralrs_tpu.quant.qlinear import Linear, linear
+
+
+@struct.dataclass
+class DecoderParams:
+    """Model parameters. `layers` is a stacked pytree (leading [L] axis on
+    every leaf); see models/loader.py for the layout produced from HF
+    checkpoints."""
+
+    embed: jax.Array  # [V, E]
+    layers: dict[str, Any]
+    final_norm: dict[str, jax.Array]
+    lm_head: Linear | None = None  # None => tied to embed
+
+
+def _norm(cfg: ModelConfig, p: dict[str, jax.Array], x: jax.Array) -> jax.Array:
+    if cfg.norm == "layernorm":
+        return L.layer_norm(x, p["w"], p.get("b"), cfg.norm_eps)
+    return L.rms_norm(x, p["w"], cfg.norm_eps, offset=cfg.norm_offset)
+
+
+def _mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array) -> jax.Array:
+    act = L.ACTIVATIONS[cfg.act]
+    if cfg.mlp_style == "gated":
+        return linear(p["down"], act(linear(p["gate"], x)) * linear(p["up"], x))
+    return linear(p["fc2"], act(linear(p["fc1"], x)))
+
+
+def _moe_mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array) -> jax.Array:
+    """Mixtral sparse MoE (ref models/mixtral.rs SparseMoeBlock).
+
+    Round-1 formulation: dense dispatch — every expert runs on every token and
+    results are combined with the (renormalized) top-k router weights. Correct
+    and simple; the ragged all-to-all dispatch lands with expert parallelism.
+    """
+    B, T, H = x.shape
+    xt = x.reshape(B * T, H)
+    router_logits = linear(p["router"], xt).astype(jnp.float32)  # [N, E]
+    topw, topi = jax.lax.top_k(router_logits, cfg.num_experts_per_tok)
+    topw = jax.nn.softmax(topw, axis=-1)  # normalize over selected (mixtral)
+    # combine weights as a dense [N, E] matrix
+    combine = jax.nn.one_hot(topi, cfg.num_experts, dtype=jnp.float32) * topw[..., None]
+    combine = combine.sum(axis=1)  # [N, E]
+    act = L.ACTIVATIONS[cfg.act]
+    # experts stacked: gate/up [E, H, I], down [E, I, H]
+    g = jnp.einsum("nh,ehi->eni", xt, p["experts"]["gate"].data["w"].astype(xt.dtype))
+    u = jnp.einsum("nh,ehi->eni", xt, p["experts"]["up"].data["w"].astype(xt.dtype))
+    d = jnp.einsum("eni,eih->enh", act(g) * u, p["experts"]["down"].data["w"].astype(xt.dtype))
+    out = jnp.einsum("enh,ne->nh", d, combine.astype(d.dtype))
+    return out.reshape(B, T, H)
+
+
+def _attention(
+    cfg: ModelConfig,
+    p: dict[str, Any],
+    x: jax.Array,
+    cos: jax.Array,
+    sin: jax.Array,
+    rot_dim: int,
+    cache_k: jax.Array,
+    cache_v: jax.Array,
+    meta: AttnMeta,
+    bias: jax.Array,
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    B, T, _ = x.shape
+    Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
+    q = linear(p["q"], x).reshape(B, T, Hq, D)
+    k = linear(p["k"], x).reshape(B, T, Hkv, D)
+    v = linear(p["v"], x).reshape(B, T, Hkv, D)
+    if cfg.qk_norm:
+        q = L.layer_norm(q, p["q_norm"]["w"], p["q_norm"].get("b"), cfg.norm_eps)
+        k = L.layer_norm(k, p["k_norm"]["w"], p["k_norm"].get("b"), cfg.norm_eps)
+    q = apply_rope(q, cos, sin, rot_dim)
+    k = apply_rope(k, cos, sin, rot_dim)
+    cache_k, cache_v = write_kv_rows(cache_k, cache_v, k, v, meta.write_pos)
+    scale = cfg.query_scale if cfg.query_scale is not None else D**-0.5
+    out = attn_ops.sdpa(
+        q,
+        cache_k.astype(q.dtype),
+        cache_v.astype(q.dtype),
+        scale=scale,
+        mask=bias,
+        logits_softcap=cfg.attn_logit_softcap,
+    )
+    out = linear(p["o"], out.reshape(B, T, Hq * D))
+    return out, cache_k, cache_v
+
+
+def _block(cfg, p, h, cos, sin, rot_dim, ck, cv, meta, bias):
+    mlp_fn = _moe_mlp if cfg.is_moe else _mlp
+    if cfg.block_style == "parallel":  # phi2
+        x = _norm(cfg, p["input_norm"], h)
+        attn_out, ck, cv = _attention(cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias)
+        h = h + attn_out + mlp_fn(cfg, p["mlp"], x)
+        return h, ck, cv
+    if cfg.block_style == "sandwich":  # gemma2
+        x = _norm(cfg, p["input_norm"], h)
+        attn_out, ck, cv = _attention(cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias)
+        h = h + _norm(cfg, p["post_attn_norm"], attn_out)
+        x = _norm(cfg, p["pre_mlp_norm"], h)
+        h = h + _norm(cfg, p["post_mlp_norm"], mlp_fn(cfg, p["mlp"], x))
+        return h, ck, cv
+    # prenorm (default)
+    x = _norm(cfg, p["input_norm"], h)
+    attn_out, ck, cv = _attention(cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias)
+    h = h + attn_out
+    h = h + mlp_fn(cfg, p["mlp"], _norm(cfg, p["post_attn_norm"], h))
+    return h, ck, cv
+
+
+def decoder_forward(
+    params: DecoderParams,
+    cfg: ModelConfig,
+    rope: RopeTable,
+    input_ids: jax.Array,  # [B, T] int32
+    cache: KVCache,
+    meta: AttnMeta,
+) -> tuple[jax.Array, KVCache]:
+    """Run the decoder stack. Returns (hidden [B, T, E], updated cache)."""
+    B, T = input_ids.shape
+    S = cache.max_len
+    h = jnp.take(params.embed, input_ids, axis=0)
+    if cfg.embed_scale != 1.0:
+        h = h * jnp.asarray(cfg.embed_scale, h.dtype)
+
+    cos, sin = rope.gather(meta.positions)  # [B, T, rot/2]
+
+    # masks built once per step, selected per layer by flag
+    bias_full = attn_ops.causal_mask_bias(T, S, q_offsets=meta.write_pos)
+    pad = jnp.where(jnp.arange(S)[None] < meta.kv_lens[:, None], 0.0, attn_ops.NEG_INF)
+    bias_full = bias_full + pad[:, None, None, :]
+    if cfg.sliding_window is not None and cfg.sliding_window_pattern != "none":
+        bias_win = attn_ops.causal_mask_bias(
+            T, S, q_offsets=meta.write_pos, sliding_window=cfg.sliding_window
+        )
+        bias_win = bias_win + pad[:, None, None, :]
+    else:
+        bias_win = bias_full
+    window_flags = jnp.asarray(
+        [cfg.layer_uses_sliding_window(i) for i in range(cfg.num_layers)]
+    )
+
+    def scan_body(h, xs):
+        layer_params, ck, cv, use_win = xs
+        bias = jnp.where(use_win, bias_win, bias_full)
+        h, ck, cv = _block(cfg, layer_params, h, cos, sin, rope.rot_dim, ck, cv, meta, bias)
+        return h, (ck, cv)
+
+    h, (new_k, new_v) = jax.lax.scan(
+        scan_body, h, (params.layers, cache.k, cache.v, window_flags)
+    )
+    h = _norm(cfg, params.final_norm, h)
+    return h, KVCache(k=new_k, v=new_v)
+
+
+def compute_logits(params: DecoderParams, cfg: ModelConfig, h: jax.Array) -> jax.Array:
+    """h: [..., E] -> logits [..., V]. Applies gemma2 final softcapping."""
+    if params.lm_head is not None:
+        logits = linear(params.lm_head, h)
+    else:
+        logits = jnp.dot(h, params.embed.astype(h.dtype).T)
+    logits = logits.astype(jnp.float32)
+    if cfg.final_logit_softcap is not None:
+        logits = L.softcap(logits, cfg.final_logit_softcap)
+    return logits

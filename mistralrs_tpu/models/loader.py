@@ -1,0 +1,206 @@
+"""HF checkpoint -> stacked `DecoderParams`.
+
+Reference parity: mistralrs-core/src/pipeline/normal.rs `load_model_from_path`
+(:224-391) + utils/varbuilder_utils.rs `from_mmaped_safetensors` (:78-120).
+Safetensors files are mmapped and tensors copied straight into the stacked
+[L, ...] device layout — the transpose-to-(in, out) happens once at load.
+
+Name mapping covers the nine text architectures (see models/config.py); fused
+projections (phi3 qkv_proj / gate_up_proj) are split here so the runtime core
+stays uniform.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mistralrs_tpu.models.config import ModelConfig, config_from_hf
+from mistralrs_tpu.models.decoder import DecoderParams
+from mistralrs_tpu.ops.rope import RopeTable, compute_rope_table
+from mistralrs_tpu.quant.qlinear import Linear, make_dense
+
+
+class TensorSource:
+    """Lazy tensor lookup over one or more safetensors shards (or a dict)."""
+
+    def __init__(self, get: Callable[[str], np.ndarray], names: set[str]):
+        self.get = get
+        self.names = names
+
+    def __contains__(self, name: str) -> bool:
+        return name in self.names
+
+    def __call__(self, name: str) -> np.ndarray:
+        return self.get(name)
+
+    @classmethod
+    def from_dict(cls, tensors: dict[str, np.ndarray]) -> "TensorSource":
+        return cls(lambda n: tensors[n], set(tensors))
+
+    @classmethod
+    def from_safetensors_dir(cls, path: str) -> "TensorSource":
+        from safetensors import safe_open
+
+        files = sorted(
+            os.path.join(path, f) for f in os.listdir(path) if f.endswith(".safetensors")
+        )
+        handles = [safe_open(f, framework="np") for f in files]
+        where: dict[str, Any] = {}
+        for h in handles:
+            for name in h.keys():
+                where[name] = h
+        return cls(lambda n: where[n].get_tensor(n), set(where))
+
+
+def _to_jnp(a: np.ndarray, dtype) -> jax.Array:
+    return jnp.asarray(a).astype(dtype)
+
+
+def _lin(src: TensorSource, prefix: str, dtype, transpose: bool = True) -> Linear:
+    w = src(prefix + ".weight")
+    if transpose:
+        w = np.ascontiguousarray(w.T)  # torch (out,in) -> (in,out)
+    b = src(prefix + ".bias") if (prefix + ".bias") in src else None
+    return make_dense(_to_jnp(w, dtype), None if b is None else _to_jnp(b, dtype))
+
+
+def _norm_p(src: TensorSource, prefix: str, dtype) -> dict[str, jax.Array]:
+    p = {"w": _to_jnp(src(prefix + ".weight"), dtype)}
+    if (prefix + ".bias") in src:
+        p["b"] = _to_jnp(src(prefix + ".bias"), dtype)
+    return p
+
+
+def _split_lin(lin_w: np.ndarray, lin_b: np.ndarray | None, sizes: list[int], dtype) -> list[Linear]:
+    """Split a fused torch (out, in) projection row-wise into parts."""
+    outs = []
+    off = 0
+    for s in sizes:
+        w = np.ascontiguousarray(lin_w[off : off + s].T)
+        b = None if lin_b is None else _to_jnp(lin_b[off : off + s], dtype)
+        outs.append(make_dense(_to_jnp(w, dtype), b))
+        off += s
+    assert off == lin_w.shape[0]
+    return outs
+
+
+def _layer_params(cfg: ModelConfig, src: TensorSource, i: int, dtype) -> dict[str, Any]:
+    pre = f"model.layers.{i}"
+    a = f"{pre}.self_attn"
+    p: dict[str, Any] = {}
+
+    # attention projections
+    if f"{a}.qkv_proj.weight" in src:  # phi3 fused
+        qs = cfg.num_heads * cfg.head_dim
+        ks = cfg.num_kv_heads * cfg.head_dim
+        w = src(f"{a}.qkv_proj.weight")
+        b = src(f"{a}.qkv_proj.bias") if f"{a}.qkv_proj.bias" in src else None
+        q, k, v = _split_lin(w, b, [qs, ks, ks], dtype)
+        attn = {"q": q, "k": k, "v": v}
+    else:
+        attn = {
+            "q": _lin(src, f"{a}.q_proj", dtype),
+            "k": _lin(src, f"{a}.k_proj", dtype),
+            "v": _lin(src, f"{a}.v_proj", dtype),
+        }
+    if f"{a}.o_proj.weight" in src:
+        attn["o"] = _lin(src, f"{a}.o_proj", dtype)
+    else:  # phi2 names it "dense"
+        attn["o"] = _lin(src, f"{a}.dense", dtype)
+    if cfg.qk_norm:
+        attn["q_norm"] = _norm_p(src, f"{a}.q_layernorm", dtype)
+        attn["k_norm"] = _norm_p(src, f"{a}.k_layernorm", dtype)
+    p["attn"] = attn
+
+    # mlp
+    m = f"{pre}.mlp"
+    if cfg.is_moe:
+        moe = f"{pre}.block_sparse_moe"
+        gates, ups, downs = [], [], []
+        for e in range(cfg.num_experts):
+            gates.append(np.ascontiguousarray(src(f"{moe}.experts.{e}.w1.weight").T))
+            ups.append(np.ascontiguousarray(src(f"{moe}.experts.{e}.w3.weight").T))
+            downs.append(np.ascontiguousarray(src(f"{moe}.experts.{e}.w2.weight").T))
+        p["mlp"] = {
+            "router": _lin(src, f"{moe}.gate", dtype),
+            "experts": {
+                "gate": make_dense(_to_jnp(np.stack(gates), dtype)),
+                "up": make_dense(_to_jnp(np.stack(ups), dtype)),
+                "down": make_dense(_to_jnp(np.stack(downs), dtype)),
+            },
+        }
+    elif f"{m}.gate_up_proj.weight" in src:  # phi3 fused
+        w = src(f"{m}.gate_up_proj.weight")
+        gate, up = _split_lin(w, None, [cfg.intermediate_size, cfg.intermediate_size], dtype)
+        p["mlp"] = {"gate": gate, "up": up, "down": _lin(src, f"{m}.down_proj", dtype)}
+    elif cfg.mlp_style == "gated":
+        p["mlp"] = {
+            "gate": _lin(src, f"{m}.gate_proj", dtype),
+            "up": _lin(src, f"{m}.up_proj", dtype),
+            "down": _lin(src, f"{m}.down_proj", dtype),
+        }
+    else:  # plain fc1/fc2 (phi2) or c_fc/c_proj (starcoder2)
+        if f"{m}.fc1.weight" in src:
+            p["mlp"] = {"fc1": _lin(src, f"{m}.fc1", dtype), "fc2": _lin(src, f"{m}.fc2", dtype)}
+        else:
+            p["mlp"] = {"fc1": _lin(src, f"{m}.c_fc", dtype), "fc2": _lin(src, f"{m}.c_proj", dtype)}
+
+    # norms
+    p["input_norm"] = _norm_p(src, f"{pre}.input_layernorm", dtype)
+    if cfg.block_style == "sandwich":
+        p["post_attn_norm"] = _norm_p(src, f"{pre}.post_attention_layernorm", dtype)
+        p["pre_mlp_norm"] = _norm_p(src, f"{pre}.pre_feedforward_layernorm", dtype)
+        p["post_mlp_norm"] = _norm_p(src, f"{pre}.post_feedforward_layernorm", dtype)
+    elif cfg.block_style != "parallel":
+        p["post_attn_norm"] = _norm_p(src, f"{pre}.post_attention_layernorm", dtype)
+    return p
+
+
+def _stack_layers(layers: list[dict[str, Any]]) -> dict[str, Any]:
+    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+
+
+def params_from_source(
+    cfg: ModelConfig, src: TensorSource, dtype=jnp.bfloat16
+) -> DecoderParams:
+    layers = [_layer_params(cfg, src, i, dtype) for i in range(cfg.num_layers)]
+    stacked = _stack_layers(layers)
+    embed = _to_jnp(src("model.embed_tokens.weight"), dtype)
+    if "model.norm.weight" in src:
+        final_norm = _norm_p(src, "model.norm", dtype)
+    else:  # phi2
+        final_norm = _norm_p(src, "model.final_layernorm", dtype)
+    lm_head = None
+    if not cfg.tie_word_embeddings and "lm_head.weight" in src:
+        lm_head = _lin(src, "lm_head", dtype)
+    return DecoderParams(embed=embed, layers=stacked, final_norm=final_norm, lm_head=lm_head)
+
+
+def load_hf_model(
+    path: str, dtype=jnp.bfloat16, max_position_embeddings: int | None = None
+) -> tuple[ModelConfig, DecoderParams, RopeTable]:
+    """Load config.json + *.safetensors from a local HF model directory."""
+    with open(os.path.join(path, "config.json")) as f:
+        hf = json.load(f)
+    cfg = config_from_hf(hf)
+    src = TensorSource.from_safetensors_dir(path)
+    params = params_from_source(cfg, src, dtype)
+    rope = make_rope(cfg, max_position_embeddings)
+    return cfg, params, rope
+
+
+def make_rope(cfg: ModelConfig, max_pos: int | None = None) -> RopeTable:
+    return compute_rope_table(
+        cfg.head_dim,
+        max_pos or cfg.max_position_embeddings,
+        theta=cfg.rope_theta,
+        rope_scaling=cfg.rope_scaling,
+        partial_rotary_factor=cfg.partial_rotary_factor,
+        original_max_position_embeddings=cfg.original_max_position_embeddings,
+    )

@@ -1,0 +1,117 @@
+"""Scaled-dot-product attention: jnp reference path + dispatch.
+
+Reference parity: mistralrs-core/src/layers.rs ScaledDotProductAttention
+dispatch (:475-560, flash-attn -> cuBLASLt fused -> naive) and
+layers_masker.rs CausalMasker (:8-290, causal + sliding-window bias).
+
+TPU design: one einsum-based reference implementation with f32 softmax that
+XLA already maps onto the MXU, plus a Pallas flash kernel
+(ops/flash_attention.py) for long prefills, and a Pallas block-table kernel
+(ops/paged_attention.py) for paged decode. GQA is computed by folding the
+query-head group axis into the einsum instead of materializing repeated KV —
+the TPU equivalent of the reference's `repeat_kv` elision.
+
+Mask convention: additive f32 bias (0 = keep, -inf = drop), or the structured
+helpers below which avoid materializing [T, S] masks where a banded form works.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = float(jnp.finfo(jnp.float32).min)
+
+
+def causal_mask_bias(
+    q_len: int,
+    kv_len: int,
+    *,
+    q_offsets: jax.Array | None = None,
+    sliding_window: int | None = None,
+    dtype=jnp.float32,
+) -> jax.Array:
+    """Additive causal (+ optional sliding-window) bias.
+
+    q_offsets: [B] absolute position of each batch row's first query token
+    (queries attend to kv positions <= q_offset + i). kv positions are 0..kv_len.
+    Returns [B, 1, q_len, kv_len] if q_offsets given else [1, 1, q_len, kv_len].
+    Ref: layers_masker.rs make_causal_mask / sliding-window variant.
+    """
+    q_ids = jnp.arange(q_len)[:, None]
+    kv_ids = jnp.arange(kv_len)[None, :]
+    if q_offsets is not None:
+        q_pos = q_ids[None] + q_offsets[:, None, None]  # [B, T, 1]
+        kv = kv_ids[None]
+    else:
+        q_pos = q_ids[None]
+        kv = kv_ids[None]
+    keep = kv <= q_pos
+    if sliding_window is not None:
+        keep &= kv > q_pos - sliding_window
+    bias = jnp.where(keep, 0.0, NEG_INF).astype(dtype)
+    return bias[:, None]
+
+
+def sdpa(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float,
+    mask: jax.Array | None = None,
+    logits_softcap: float | None = None,
+) -> jax.Array:
+    """GQA attention, einsum formulation. q:[B,T,Hq,D] k,v:[B,S,Hkv,D] -> [B,T,Hq,D].
+
+    mask: additive bias broadcastable to [B, 1|Hq, T, S]. Softmax in f32.
+    logits_softcap: Gemma-2 attn softcapping (tanh) applied pre-mask.
+    """
+    B, T, Hq, D = q.shape
+    Hkv = k.shape[2]
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    G = Hq // Hkv
+    qg = q.reshape(B, T, Hkv, G, D)
+    # scores: [B, Hkv, G, T, S]
+    scores = jnp.einsum("bthgd,bshd->bhgts", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if logits_softcap is not None:
+        scores = logits_softcap * jnp.tanh(scores / logits_softcap)
+    if mask is not None:
+        m = mask.astype(jnp.float32)
+        # broadcast [B,1|Hq,T,S] onto [B,Hkv,G,T,S]
+        if m.shape[1] == 1:
+            m = m[:, :, None]
+        else:
+            m = m.reshape(m.shape[0], Hkv, G, *m.shape[2:])
+        scores = scores + m
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,bshd->bthgd", probs.astype(v.dtype), v)
+    return out.reshape(B, T, Hq, D)
+
+
+def gqa_attention(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float,
+    q_offsets: jax.Array | None = None,
+    kv_lens: jax.Array | None = None,
+    sliding_window: int | None = None,
+    logits_softcap: float | None = None,
+) -> jax.Array:
+    """Causal GQA attention over a (possibly right-padded) KV buffer.
+
+    kv_lens: [B] number of valid kv positions per row (padding beyond is masked).
+    q_offsets: [B] absolute position of first query token (for decode/chunked
+    prefill where the KV buffer holds earlier context).
+    """
+    B, T, _, _ = q.shape
+    S = k.shape[1]
+    offs = q_offsets if q_offsets is not None else jnp.zeros((B,), jnp.int32)
+    bias = causal_mask_bias(T, S, q_offsets=offs, sliding_window=sliding_window)
+    if kv_lens is not None:
+        pad = jnp.where(jnp.arange(S)[None] < kv_lens[:, None], 0.0, NEG_INF)
+        bias = bias + pad[:, None, None, :]
+    return sdpa(q, k, v, scale=scale, mask=bias, logits_softcap=logits_softcap)

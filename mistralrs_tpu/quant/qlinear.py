@@ -1,0 +1,73 @@
+"""`Linear`: the polymorphic (possibly quantized) linear layer.
+
+Reference parity: mistralrs-quant/src/lib.rs `QuantMethod` trait (:139-174) and
+`UnquantLinear`. Quantized kinds register a forward via `register_kind`; each
+kind's arrays live in `data` (dynamic pytree leaves) while `kind`/`shape` are
+static, so jit specializes per kind with no runtime dispatch.
+
+Weight convention: logical shape is (in_features, out_features) and forward is
+``y = x @ W (+ b)`` — the transpose of torch's (out, in). HF/torch checkpoints
+are transposed at load time. This keeps sharding specs readable
+(PartitionSpec(None, "tp") = column-parallel).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+
+@struct.dataclass
+class Linear:
+    kind: str = struct.field(pytree_node=False)
+    shape: tuple[int, int] = struct.field(pytree_node=False)  # (in, out)
+    data: dict[str, Any] = struct.field(default_factory=dict)
+
+    @property
+    def in_features(self) -> int:
+        return self.shape[0]
+
+    @property
+    def out_features(self) -> int:
+        return self.shape[1]
+
+
+_FORWARDS: dict[str, Callable[[Linear, jax.Array], jax.Array]] = {}
+
+
+def register_kind(kind: str):
+    def deco(fn):
+        _FORWARDS[kind] = fn
+        return fn
+
+    return deco
+
+
+def linear(lin: Linear, x: jax.Array) -> jax.Array:
+    """y = x @ W (+b). x: [..., in] -> [..., out]."""
+    return _FORWARDS[lin.kind](lin, x)
+
+
+@register_kind("dense")
+def _dense_forward(lin: Linear, x: jax.Array) -> jax.Array:
+    w = lin.data["w"]
+    y = jnp.dot(x, w.astype(x.dtype))
+    b = lin.data.get("b")
+    if b is not None:
+        y = y + b.astype(x.dtype)
+    return y
+
+
+def make_dense(w: jax.Array, b: jax.Array | None = None) -> Linear:
+    """w: (in, out)."""
+    data = {"w": w}
+    if b is not None:
+        data["b"] = b
+    return Linear(kind="dense", shape=(int(w.shape[0]), int(w.shape[1])), data=data)
+
+
+def bias_of(lin: Linear) -> jax.Array | None:
+    return lin.data.get("b")
