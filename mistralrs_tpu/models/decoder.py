@@ -30,6 +30,12 @@ from mistralrs_tpu.models.config import ModelConfig
 from mistralrs_tpu.ops import attention as attn_ops
 from mistralrs_tpu.ops import layers as L
 from mistralrs_tpu.ops.kv_cache import AttnMeta, KVCache, write_kv_rows
+from mistralrs_tpu.ops.paged_attention import (
+    PagedAttnMeta,
+    PagedKVCache,
+    gather_paged_kv,
+    write_paged_kv,
+)
 from mistralrs_tpu.ops.rope import RopeTable, apply_rope
 from mistralrs_tpu.quant.qlinear import Linear, linear
 
@@ -105,12 +111,17 @@ def _attention(
         k = L.layer_norm(k, p["k_norm"]["w"], p["k_norm"].get("b"), cfg.norm_eps)
     q = apply_rope(q, cos, sin, rot_dim)
     k = apply_rope(k, cos, sin, rot_dim)
-    cache_k, cache_v = write_kv_rows(cache_k, cache_v, k, v, meta.write_pos)
+    if isinstance(meta, PagedAttnMeta):
+        cache_k, cache_v = write_paged_kv(cache_k, cache_v, k, v, meta.slot_mapping)
+        ctx_k, ctx_v = gather_paged_kv(cache_k, cache_v, meta.block_tables)
+    else:
+        cache_k, cache_v = write_kv_rows(cache_k, cache_v, k, v, meta.write_pos)
+        ctx_k, ctx_v = cache_k, cache_v
     scale = cfg.query_scale if cfg.query_scale is not None else D**-0.5
     out = attn_ops.sdpa(
         q,
-        cache_k.astype(q.dtype),
-        cache_v.astype(q.dtype),
+        ctx_k.astype(q.dtype),
+        ctx_v.astype(q.dtype),
         scale=scale,
         mask=bias,
         logits_softcap=cfg.attn_logit_softcap,
@@ -146,12 +157,15 @@ def decoder_forward(
     cfg: ModelConfig,
     rope: RopeTable,
     input_ids: jax.Array,  # [B, T] int32
-    cache: KVCache,
-    meta: AttnMeta,
-) -> tuple[jax.Array, KVCache]:
+    cache: KVCache | PagedKVCache,
+    meta: AttnMeta | PagedAttnMeta,
+) -> tuple[jax.Array, KVCache | PagedKVCache]:
     """Run the decoder stack. Returns (hidden [B, T, E], updated cache)."""
     B, T = input_ids.shape
-    S = cache.max_len
+    if isinstance(meta, PagedAttnMeta):
+        S = meta.block_tables.shape[1] * cache.page_size
+    else:
+        S = cache.max_len
     h = jnp.take(params.embed, input_ids, axis=0)
     if cfg.embed_scale != 1.0:
         h = h * jnp.asarray(cfg.embed_scale, h.dtype)
@@ -159,12 +173,13 @@ def decoder_forward(
     cos, sin = rope.gather(meta.positions)  # [B, T, rot/2]
 
     # masks built once per step, selected per layer by flag
-    bias_full = attn_ops.causal_mask_bias(T, S, q_offsets=meta.write_pos)
+    q_offsets = meta.kv_lens - T
+    bias_full = attn_ops.causal_mask_bias(T, S, q_offsets=q_offsets)
     pad = jnp.where(jnp.arange(S)[None] < meta.kv_lens[:, None], 0.0, attn_ops.NEG_INF)
     bias_full = bias_full + pad[:, None, None, :]
     if cfg.sliding_window is not None and cfg.sliding_window_pattern != "none":
         bias_win = attn_ops.causal_mask_bias(
-            T, S, q_offsets=meta.write_pos, sliding_window=cfg.sliding_window
+            T, S, q_offsets=q_offsets, sliding_window=cfg.sliding_window
         )
         bias_win = bias_win + pad[:, None, None, :]
     else:
@@ -183,7 +198,8 @@ def decoder_forward(
         scan_body, h, (params.layers, cache.k, cache.v, window_flags)
     )
     h = _norm(cfg, params.final_norm, h)
-    return h, KVCache(k=new_k, v=new_v)
+    new_cache = type(cache)(k=new_k, v=new_v)
+    return h, new_cache
 
 
 def compute_logits(params: DecoderParams, cfg: ModelConfig, h: jax.Array) -> jax.Array:

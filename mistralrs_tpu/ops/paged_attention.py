@@ -1,0 +1,135 @@
+"""Paged (block-table) KV cache ops — jnp reference implementations.
+
+Reference parity: mistralrs-paged-attn CUDA kernels (SURVEY.md §2.2) —
+`reshape_and_cache` (scatter new KV into pages), `paged_attention` v1/v2
+(decode over block tables), `copy_blocks`/`swap_blocks` — and
+mistralrs-core/src/paged_attention/cache_engine.rs block tensors.
+
+TPU layout: pages are ``[L, P, page_size, Hkv, D]`` with page_size a multiple
+of the (8,128)/(16,128) tile so each page is a whole number of tiles.
+Page 0 of every layer is a *garbage page*: padding tokens' slot_mapping points
+into it, so writes need no masking (the reference handles padding with
+slot_mapping -1 checks in CUDA; here a reserved page keeps the scatter
+branch-free).
+
+These jnp formulations are correct on any backend and are the baseline the
+Pallas TPU kernel (ops/paged_attention_kernel.py) is tested against.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from mistralrs_tpu.ops.attention import NEG_INF, sdpa
+
+
+@struct.dataclass
+class PagedKVCache:
+    """k/v: [L, P, page_size, Hkv, D]. Page 0 is reserved as garbage."""
+
+    k: jax.Array
+    v: jax.Array
+
+    @classmethod
+    def create(cls, num_layers, num_pages, page_size, kv_heads, head_dim, dtype=jnp.bfloat16):
+        shape = (num_layers, num_pages, page_size, kv_heads, head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+
+    @property
+    def page_size(self) -> int:
+        return self.k.shape[2]
+
+    @property
+    def num_pages(self) -> int:
+        return self.k.shape[1]
+
+
+@struct.dataclass
+class PagedAttnMeta:
+    """Step metadata for the paged backend.
+
+    positions:    [B, T] absolute positions of query tokens
+    slot_mapping: [B, T] flat destination slot (page_idx * page_size + offset)
+                  for each new token; padding tokens point into page 0
+    block_tables: [B, MAX_PAGES] page index per logical block (0-padded)
+    kv_lens:      [B] context length after this step's write
+    active:       [B] 1.0 live row / 0.0 padding slot
+    """
+
+    positions: jax.Array
+    slot_mapping: jax.Array
+    block_tables: jax.Array
+    kv_lens: jax.Array
+    active: jax.Array
+
+
+def write_paged_kv(
+    cache_k: jax.Array,  # [P, page, Hkv, D] (one layer)
+    cache_v: jax.Array,
+    new_k: jax.Array,  # [B, T, Hkv, D]
+    new_v: jax.Array,
+    slot_mapping: jax.Array,  # [B, T]
+) -> tuple[jax.Array, jax.Array]:
+    """reshape_and_cache: scatter new KV rows into pages (one layer)."""
+    P, page, H, D = cache_k.shape
+    flat_k = cache_k.reshape(P * page, H, D)
+    flat_v = cache_v.reshape(P * page, H, D)
+    idx = slot_mapping.reshape(-1)
+    nk = new_k.reshape(-1, H, D).astype(cache_k.dtype)
+    nv = new_v.reshape(-1, H, D).astype(cache_v.dtype)
+    flat_k = flat_k.at[idx].set(nk, mode="drop")
+    flat_v = flat_v.at[idx].set(nv, mode="drop")
+    return flat_k.reshape(cache_k.shape), flat_v.reshape(cache_v.shape)
+
+
+def gather_paged_kv(
+    cache_k: jax.Array,  # [P, page, Hkv, D] (one layer)
+    cache_v: jax.Array,
+    block_tables: jax.Array,  # [B, MAX_PAGES]
+) -> tuple[jax.Array, jax.Array]:
+    """Gather each row's context into dense [B, MAX_PAGES*page, Hkv, D]."""
+    B, MP = block_tables.shape
+    page = cache_k.shape[1]
+    k = jnp.take(cache_k, block_tables.reshape(-1), axis=0)
+    v = jnp.take(cache_v, block_tables.reshape(-1), axis=0)
+    H, D = cache_k.shape[2], cache_k.shape[3]
+    return (
+        k.reshape(B, MP * page, H, D),
+        v.reshape(B, MP * page, H, D),
+    )
+
+
+def paged_attention_reference(
+    q: jax.Array,  # [B, T, Hq, D]
+    cache_k: jax.Array,  # [P, page, Hkv, D] (one layer)
+    cache_v: jax.Array,
+    meta: PagedAttnMeta,
+    *,
+    scale: float,
+    sliding_window: int | None = None,
+    logits_softcap: float | None = None,
+) -> jax.Array:
+    """Attention of q against the paged context (gather + dense SDPA).
+
+    Works for both decode (T=1) and chunked prefill (the chunk's own KV must
+    already be written via write_paged_kv). The gathered buffer holds
+    positions in order because pages in a row's block table are its logical
+    blocks in sequence order.
+    """
+    B, T = q.shape[0], q.shape[1]
+    k, v = gather_paged_kv(cache_k, cache_v, meta.block_tables)
+    S = k.shape[1]
+    q_off = meta.kv_lens - T  # first query token's absolute position
+    q_ids = jnp.arange(T)[None, :] + q_off[:, None]  # [B, T]
+    kv_ids = jnp.arange(S)[None, :]
+    keep = kv_ids[:, None, :] <= q_ids[:, :, None]  # [B, T, S] causal
+    keep &= (kv_ids < meta.kv_lens[:, None])[:, None, :]
+    if sliding_window is not None:
+        keep &= kv_ids[:, None, :] > q_ids[:, :, None] - sliding_window
+    bias = jnp.where(keep, 0.0, NEG_INF)[:, None]  # [B, 1, T, S]
+    return sdpa(
+        q, k.astype(q.dtype), v.astype(q.dtype),
+        scale=scale, mask=bias, logits_softcap=logits_softcap,
+    )

@@ -1,0 +1,146 @@
+"""Paged KV backend vs dense slotted cache equivalence."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from mistralrs_tpu.models.config import ModelConfig
+from mistralrs_tpu.models.decoder import compute_logits, decoder_forward
+from mistralrs_tpu.models.loader import make_rope
+from mistralrs_tpu.ops.kv_cache import AttnMeta, KVCache
+from mistralrs_tpu.ops.paged_attention import PagedAttnMeta, PagedKVCache
+
+
+def _tiny_cfg(**over):
+    base = dict(
+        arch="llama",
+        vocab_size=97,
+        hidden_size=32,
+        intermediate_size=48,
+        num_layers=2,
+        num_heads=4,
+        num_kv_heads=2,
+        head_dim=8,
+        max_position_embeddings=64,
+    )
+    base.update(over)
+    return ModelConfig(**base)
+
+
+def _rand_params(cfg, seed=0):
+    from mistralrs_tpu.models.loader import TensorSource, params_from_source
+
+    rng = np.random.default_rng(seed)
+
+    def t(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    sd = {
+        "model.embed_tokens.weight": t(cfg.vocab_size, cfg.hidden_size),
+        "model.norm.weight": t(cfg.hidden_size) + 1.0,
+        "lm_head.weight": t(cfg.vocab_size, cfg.hidden_size),
+    }
+    H, D = cfg.hidden_size, cfg.head_dim
+    for i in range(cfg.num_layers):
+        p = f"model.layers.{i}"
+        sd[f"{p}.self_attn.q_proj.weight"] = t(cfg.num_heads * D, H)
+        sd[f"{p}.self_attn.k_proj.weight"] = t(cfg.num_kv_heads * D, H)
+        sd[f"{p}.self_attn.v_proj.weight"] = t(cfg.num_kv_heads * D, H)
+        sd[f"{p}.self_attn.o_proj.weight"] = t(H, cfg.num_heads * D)
+        sd[f"{p}.mlp.gate_proj.weight"] = t(cfg.intermediate_size, H)
+        sd[f"{p}.mlp.up_proj.weight"] = t(cfg.intermediate_size, H)
+        sd[f"{p}.mlp.down_proj.weight"] = t(H, cfg.intermediate_size)
+        sd[f"{p}.input_layernorm.weight"] = t(H) + 1.0
+        sd[f"{p}.post_attention_layernorm.weight"] = t(H) + 1.0
+    return params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+
+
+def test_paged_matches_dense():
+    cfg = _tiny_cfg()
+    params = _rand_params(cfg)
+    rope = make_rope(cfg)
+    rng = np.random.default_rng(1)
+    B, T = 2, 6
+    ids = rng.integers(0, cfg.vocab_size, (B, T))
+
+    # dense full-prefill
+    dense_cache = KVCache.create(cfg.num_layers, B, 16, cfg.num_kv_heads, cfg.head_dim, jnp.float32)
+    meta = AttnMeta(
+        positions=jnp.tile(jnp.arange(T)[None], (B, 1)),
+        write_pos=jnp.zeros((B,), jnp.int32),
+        kv_lens=jnp.full((B,), T, jnp.int32),
+        active=jnp.ones((B,)),
+    )
+    h_d, _ = decoder_forward(params, cfg, rope, jnp.asarray(ids), dense_cache, meta)
+
+    # paged: page_size 4, row 0 uses pages [1,3], row 1 uses pages [2,5]
+    page = 4
+    pcache = PagedKVCache.create(cfg.num_layers, 8, page, cfg.num_kv_heads, cfg.head_dim, jnp.float32)
+    tables = jnp.asarray([[1, 3, 0, 0], [2, 5, 0, 0]], jnp.int32)
+    offs = np.arange(T)
+    slots = np.stack(
+        [
+            np.asarray([1 * page, 1 * page + 1, 1 * page + 2, 1 * page + 3, 3 * page, 3 * page + 1]),
+            np.asarray([2 * page, 2 * page + 1, 2 * page + 2, 2 * page + 3, 5 * page, 5 * page + 1]),
+        ]
+    )
+    pmeta = PagedAttnMeta(
+        positions=jnp.tile(jnp.arange(T)[None], (B, 1)),
+        slot_mapping=jnp.asarray(slots, jnp.int32),
+        block_tables=tables,
+        kv_lens=jnp.full((B,), T, jnp.int32),
+        active=jnp.ones((B,)),
+    )
+    h_p, pcache = decoder_forward(params, cfg, rope, jnp.asarray(ids), pcache, pmeta)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_d), rtol=1e-5, atol=1e-5)
+
+    # decode one token on the paged cache and compare against dense decode
+    meta_d = AttnMeta(
+        positions=jnp.full((B, 1), T, jnp.int32),
+        write_pos=jnp.full((B,), T, jnp.int32),
+        kv_lens=jnp.full((B,), T + 1, jnp.int32),
+        active=jnp.ones((B,)),
+    )
+    dense_cache2 = KVCache.create(cfg.num_layers, B, 16, cfg.num_kv_heads, cfg.head_dim, jnp.float32)
+    _, dense_cache2 = decoder_forward(params, cfg, rope, jnp.asarray(ids), dense_cache2, meta)
+    tok = rng.integers(0, cfg.vocab_size, (B, 1))
+    h_d2, _ = decoder_forward(params, cfg, rope, jnp.asarray(tok), dense_cache2, meta_d)
+
+    pmeta2 = PagedAttnMeta(
+        positions=jnp.full((B, 1), T, jnp.int32),
+        slot_mapping=jnp.asarray([[3 * page + 2], [5 * page + 2]], jnp.int32),
+        block_tables=tables,
+        kv_lens=jnp.full((B,), T + 1, jnp.int32),
+        active=jnp.ones((B,)),
+    )
+    h_p2, _ = decoder_forward(params, cfg, rope, jnp.asarray(tok), pcache, pmeta2)
+    np.testing.assert_allclose(np.asarray(h_p2), np.asarray(h_d2), rtol=1e-5, atol=1e-5)
+
+
+def test_paged_sliding_window_matches_dense():
+    cfg = _tiny_cfg(arch="mistral", sliding_window=3, sliding_window_pattern="all")
+    params = _rand_params(cfg, seed=2)
+    rope = make_rope(cfg)
+    rng = np.random.default_rng(3)
+    B, T = 1, 8
+    ids = rng.integers(0, cfg.vocab_size, (B, T))
+
+    dense_cache = KVCache.create(cfg.num_layers, B, 8, cfg.num_kv_heads, cfg.head_dim, jnp.float32)
+    meta = AttnMeta(
+        positions=jnp.arange(T)[None],
+        write_pos=jnp.zeros((B,), jnp.int32),
+        kv_lens=jnp.full((B,), T, jnp.int32),
+        active=jnp.ones((B,)),
+    )
+    h_d, _ = decoder_forward(params, cfg, rope, jnp.asarray(ids), dense_cache, meta)
+
+    page = 4
+    pcache = PagedKVCache.create(cfg.num_layers, 4, page, cfg.num_kv_heads, cfg.head_dim, jnp.float32)
+    pmeta = PagedAttnMeta(
+        positions=jnp.arange(T)[None],
+        slot_mapping=jnp.asarray([[4, 5, 6, 7, 8, 9, 10, 11]], jnp.int32),
+        block_tables=jnp.asarray([[1, 2]], jnp.int32),
+        kv_lens=jnp.full((B,), T, jnp.int32),
+        active=jnp.ones((B,)),
+    )
+    h_p, _ = decoder_forward(params, cfg, rope, jnp.asarray(ids), pcache, pmeta)
+    np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_d), rtol=1e-5, atol=1e-5)
