@@ -1,0 +1,181 @@
+"""The serve loop: schedule -> jitted step -> sample -> stream.
+
+Reference parity: mistralrs-core/src/engine/mod.rs `Engine::run` (:97-421) +
+`add_request` (:451-734) and pipeline/sampling.rs (`sample_and_add_toks`
+:231, `finish_or_add_toks_to_seq` :15-229).
+
+Differences by TPU design:
+- the per-step logits->CPU copy is one small [slots, V] f32 array (the
+  reference copies full batch logits too, but also clones whole KV caches
+  in/out per step — here KV stays resident in device pages);
+- steps are static-shape jit calls, so the "engine loop" is pure host
+  bookkeeping between dispatches;
+- the engine is synchronous and thread-owned like the reference's engine
+  thread; the server wraps it in a worker thread with queues.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable
+
+import numpy as np
+
+from mistralrs_tpu.engine.block_manager import BlockManager
+from mistralrs_tpu.engine.sampler import SamplingParams, sample_batch
+from mistralrs_tpu.engine.scheduler import Scheduler
+from mistralrs_tpu.engine.sequence import (
+    Sequence,
+    SequenceGroup,
+    SequenceState,
+    StopReason,
+    Usage,
+)
+
+# stream callback: (seq, new_text_delta, finished_reason_or_None)
+StreamCallback = Callable[[Sequence, str, str | None], None]
+
+
+@dataclasses.dataclass
+class GenerationRequest:
+    prompt_tokens: list[int]
+    sampling: SamplingParams = dataclasses.field(default_factory=SamplingParams)
+    request_id: str = ""
+    return_logprobs: bool = False
+    stream: StreamCallback | None = None
+
+
+class Engine:
+    def __init__(
+        self,
+        pipeline,
+        *,
+        eos_token_ids: set[int] = frozenset(),
+        detokenizer: Callable[[list[int]], str] | None = None,
+        seed: int = 0,
+    ):
+        self.pipeline = pipeline
+        pc = pipeline.pc
+        self.block_manager = BlockManager(pc.num_pages, pc.page_size)
+        self.scheduler = Scheduler(self.block_manager, max_seqs=pc.max_seqs)
+        self.eos_token_ids = set(eos_token_ids)
+        self.detokenizer = detokenizer
+        # ref: engine-global seeded rng (engine/mod.rs:37 SEED=0)
+        self.rng = np.random.default_rng(seed)
+        self.prefill_chunk = pc.prefill_buckets[-1]
+        self.max_model_len = pc.max_model_len
+        self._groups: dict[str, SequenceGroup] = {}
+
+    # ------------------------------------------------------------- intake
+    def add_request(self, req: GenerationRequest) -> SequenceGroup:
+        rid = req.request_id or f"req-{int(time.time()*1e6)}"
+        group = SequenceGroup(rid, req.sampling.n_choices)
+        if len(req.prompt_tokens) >= self.max_model_len:
+            # ref engine/mod.rs:537-561 truncation policy: keep the tail,
+            # leaving room to generate
+            keep = self.max_model_len - max(self.prefill_chunk // 4, 16)
+            req.prompt_tokens = req.prompt_tokens[-keep:]
+        for _ in range(req.sampling.n_choices):
+            seq = Sequence(
+                req.prompt_tokens,
+                req.sampling,
+                eos_token_ids=self.eos_token_ids,
+                max_model_len=self.max_model_len,
+                detokenizer=self.detokenizer,
+                return_logprobs=req.return_logprobs,
+                group=group,
+            )
+            seq.stream = req.stream
+            group.add(seq)
+            self.scheduler.add_seq(seq)
+        self._groups[rid] = group
+        return group
+
+    # ------------------------------------------------------------- stepping
+    @property
+    def has_work(self) -> bool:
+        return self.scheduler.num_unfinished > 0
+
+    def step(self) -> None:
+        out = self.scheduler.schedule()
+        if out.copy_ops:
+            self._execute_copies(out.copy_ops)
+        if out.prefill:
+            for seq in out.prefill:
+                self._prefill_one(seq)
+        elif out.decode:
+            self._decode_batch(out.decode)
+        self._finish_done()
+
+    def run_until_done(self) -> None:
+        while self.has_work:
+            self.step()
+
+    # ------------------------------------------------------------- internals
+    def _execute_copies(self, ops: list[tuple[int, int]]) -> None:
+        """COW page copies (ref cache_engine.rs copy :205)."""
+        import jax.numpy as jnp
+
+        cache = self.pipeline.cache
+        src = jnp.asarray([s for s, _ in ops], jnp.int32)
+        dst = jnp.asarray([d for _, d in ops], jnp.int32)
+        k = cache.k.at[:, dst].set(cache.k[:, src])
+        v = cache.v.at[:, dst].set(cache.v[:, src])
+        self.pipeline.cache = type(cache)(k=k, v=v)
+
+    def _prefill_one(self, seq: Sequence) -> None:
+        # prefill over *all* tokens so far: after preempt-by-recompute the
+        # prompt includes previously generated tokens (ref scheduler.rs:292)
+        target = len(seq.tokens)
+        start = seq.prefill_done_tokens
+        n = min(target - start, self.prefill_chunk)
+        chunk = seq.tokens[start : start + n]
+        logits = self.pipeline.run_prefill_chunk(seq, chunk)
+        if seq.prefill_done_tokens >= target:
+            # final chunk: sample the next token
+            if seq.prompt_timestamp is None:
+                seq.prompt_timestamp = time.monotonic()
+            seq.state = SequenceState.RUNNING_COMPLETION
+            self._sample_and_emit([seq], logits[None])
+
+    def _decode_batch(self, seqs: list[Sequence]) -> None:
+        logits = self.pipeline.run_decode(seqs)
+        self._sample_and_emit(seqs, logits)
+
+    def _sample_and_emit(self, seqs: list[Sequence], logits: np.ndarray) -> None:
+        results = sample_batch(
+            [s.sampler for s in seqs],
+            logits,
+            [s.tokens for s in seqs],
+            self.rng,
+            [s.return_logprobs for s in seqs],
+        )
+        for seq, lp in zip(seqs, results):
+            seq.add_token(lp)
+            reason = seq.check_done()
+            stream = getattr(seq, "stream", None)
+            if reason is not None:
+                seq.finish(reason)
+                if stream:
+                    stream(seq, seq.get_delta(), reason.value)
+            elif stream:
+                delta = seq.get_delta()
+                if delta:
+                    stream(seq, delta, None)
+
+    def _finish_done(self) -> None:
+        self.scheduler.free_finished()
+
+    # ------------------------------------------------------------- sync api
+    def generate(
+        self, prompt_tokens: list[int], sampling: SamplingParams | None = None
+    ) -> tuple[list[int], str]:
+        """Blocking single-prompt helper (tests / simple API)."""
+        group = self.add_request(
+            GenerationRequest(prompt_tokens, sampling or SamplingParams())
+        )
+        while not group.all_done():
+            self.step()
+        seq = group.seqs[0]
+        return seq.generated_tokens, seq.final_text()

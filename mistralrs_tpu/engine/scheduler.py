@@ -1,0 +1,138 @@
+"""Continuous-batching scheduler over the paged KV cache.
+
+Reference parity: mistralrs-core/src/paged_attention/scheduler.rs
+`PagedAttentionScheduler::schedule` (:66-213) — FCFS waiting queue, admission
+gated on page availability (`AllocStatus`), prompt-priority scheduling,
+preemption by recompute (:292) when decode appends outrun free pages; and the
+DefaultScheduler's `max_seqs` cap (default_scheduler.rs:15-329).
+
+TPU twist: the decode batch is a fixed-width slot array (static jit shape);
+prompt chunks are bucketed lengths (pipeline handles bucketing). The
+scheduler only decides *which* sequences run; array building happens in the
+pipeline.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from collections import deque
+
+from mistralrs_tpu.engine.block_manager import AllocStatus, BlockManager
+from mistralrs_tpu.engine.sequence import Sequence, SequenceState
+
+
+@dataclasses.dataclass
+class SchedulerOutput:
+    # at most one is non-empty per step (prompt-priority, like the reference)
+    prefill: list[Sequence]
+    decode: list[Sequence]
+    preempted: list[Sequence]
+    copy_ops: list[tuple[int, int]]  # COW page copies to execute before step
+
+    @property
+    def is_empty(self) -> bool:
+        return not self.prefill and not self.decode
+
+
+class Scheduler:
+    def __init__(self, block_manager: BlockManager, max_seqs: int = 16,
+                 prefill_batch: int = 1):
+        self.bm = block_manager
+        self.max_seqs = max_seqs
+        self.prefill_batch = prefill_batch
+        self.waiting: deque[Sequence] = deque()
+        self.running: list[Sequence] = []
+
+    # ------------------------------------------------------------- intake
+    def add_seq(self, seq: Sequence) -> None:
+        seq.state = SequenceState.WAITING
+        self.waiting.append(seq)
+
+    def abort(self, seq: Sequence) -> None:
+        if seq in self.running:
+            self.running.remove(seq)
+            self.bm.free_sequence(seq)
+        try:
+            self.waiting.remove(seq)
+        except ValueError:
+            pass
+
+    @property
+    def num_unfinished(self) -> int:
+        return len(self.waiting) + len(self.running)
+
+    # ------------------------------------------------------------- schedule
+    def schedule(self) -> SchedulerOutput:
+        preempted: list[Sequence] = []
+        copy_ops: list[tuple[int, int]] = []
+
+        # 1. mid-prefill sequences continue first (they hold pages already)
+        prefilling = [s for s in self.running if s.state == SequenceState.RUNNING_PREFILL]
+        if prefilling:
+            return SchedulerOutput(prefilling[: self.prefill_batch], [], [], [])
+
+        # 2. admit waiting sequences (prompt priority, FCFS; ref :72-107)
+        admitted: list[Sequence] = []
+        while self.waiting and len(self.running) + len(admitted) < self.max_seqs:
+            seq = self.waiting[0]
+            status = self.bm.can_allocate(seq)
+            if status == AllocStatus.IMPOSSIBLE:
+                self.waiting.popleft()
+                seq.finish_error = "prompt longer than KV pool"  # engine reports
+                seq.state = SequenceState.ERROR
+                continue
+            if status == AllocStatus.LATER:
+                break
+            self.waiting.popleft()
+            self.bm.allocate(seq)
+            seq.state = SequenceState.RUNNING_PREFILL
+            admitted.append(seq)
+            if len(admitted) >= self.prefill_batch:
+                break
+        if admitted:
+            self.running.extend(admitted)
+            return SchedulerOutput(admitted[: self.prefill_batch], [], [], [])
+
+        # 3. decode step: ensure every running seq can take one more token,
+        #    preempting latest-arrived on pressure (ref :135-165, :292)
+        self.running.sort(key=lambda s: s.timestamp)
+        live = [s for s in self.running if not s.is_finished()]
+        scheduled: list[Sequence] = []
+        for seq in live:
+            if seq in preempted:
+                continue
+            while not self.bm.can_append_token(seq):
+                victim = None
+                for cand in reversed(live):
+                    if cand is not seq and cand not in preempted and cand not in scheduled:
+                        victim = cand
+                        break
+                if victim is None:
+                    victim = seq
+                self._preempt(victim, preempted)
+                if victim is seq:
+                    break
+            else:
+                cow = self.bm.append_slot(seq)
+                if cow is not None:
+                    copy_ops.append(cow)
+                scheduled.append(seq)
+        for s in preempted:
+            self.running.remove(s)
+        return SchedulerOutput([], scheduled, preempted, copy_ops)
+
+    def _preempt(self, seq: Sequence, preempted: list[Sequence]) -> None:
+        """Preempt by recompute: drop pages, requeue at front (ref :292)."""
+        self.bm.free_sequence(seq)
+        seq.kv_len = 0
+        seq.prefill_done_tokens = 0
+        seq.state = SequenceState.WAITING
+        preempted.append(seq)
+        self.waiting.appendleft(seq)
+
+    def free_finished(self) -> list[Sequence]:
+        done = [s for s in self.running if s.is_finished()]
+        for s in done:
+            self.bm.free_sequence(s)
+            self.running.remove(s)
+        return done

@@ -1,0 +1,166 @@
+"""Text-model pipeline: jitted prefill/decode steps over the paged KV cache.
+
+Reference parity: pipeline/mod.rs `Pipeline::step` (:204-395) +
+inputs_processor.rs (`make_prompt_chunk` :111-260, slot mappings / block
+tables :147-197). The reference rebuilds ragged batches with dynamic shapes
+each step; here every step function has a *static* shape signature —
+decode runs at the fixed slot width, prefill chunks snap to power-of-two
+buckets — so XLA compiles each variant exactly once (SURVEY.md §7 hard
+part 3).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mistralrs_tpu.models.config import ModelConfig
+from mistralrs_tpu.models.decoder import DecoderParams, compute_logits, decoder_forward
+from mistralrs_tpu.engine.sequence import Sequence
+from mistralrs_tpu.ops.paged_attention import PagedAttnMeta, PagedKVCache
+from mistralrs_tpu.ops.rope import RopeTable
+
+
+def _next_bucket(n: int, buckets: tuple[int, ...]) -> int:
+    for b in buckets:
+        if n <= b:
+            return b
+    return buckets[-1]
+
+
+@dataclasses.dataclass
+class PipelineConfig:
+    page_size: int = 16
+    num_pages: int = 512
+    max_seqs: int = 8
+    max_model_len: int = 4096
+    prefill_buckets: tuple[int, ...] = (16, 64, 256, 512)
+    dtype: Any = jnp.bfloat16
+
+
+class TextPipeline:
+    """Owns model params + paged cache + jitted step functions."""
+
+    def __init__(
+        self,
+        cfg: ModelConfig,
+        params: DecoderParams,
+        rope: RopeTable,
+        pc: PipelineConfig,
+    ):
+        self.cfg = cfg
+        self.params = params
+        self.rope = rope
+        self.pc = pc
+        self.max_pages_per_seq = math.ceil(pc.max_model_len / pc.page_size)
+        self.cache = PagedKVCache.create(
+            cfg.num_layers, pc.num_pages, pc.page_size, cfg.num_kv_heads, cfg.head_dim, pc.dtype
+        )
+        self._step_fn = self._build_step_fn()
+
+    # ------------------------------------------------------------- jit steps
+    def _build_step_fn(self):
+        cfg, rope = self.cfg, self.rope
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, cache, ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx):
+            meta = PagedAttnMeta(
+                positions=positions,
+                slot_mapping=slot_mapping,
+                block_tables=block_tables,
+                kv_lens=kv_lens,
+                active=active,
+            )
+            h, cache = decoder_forward(params, cfg, rope, ids, cache, meta)
+            B = ids.shape[0]
+            h_last = h[jnp.arange(B), last_idx]  # [B, E]
+            logits = compute_logits(params, cfg, h_last)  # [B, V] f32
+            return logits, cache
+
+        return step
+
+    def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx):
+        logits, self.cache = self._step_fn(
+            self.params,
+            self.cache,
+            jnp.asarray(ids),
+            jnp.asarray(positions),
+            jnp.asarray(slot_mapping),
+            jnp.asarray(block_tables),
+            jnp.asarray(kv_lens),
+            jnp.asarray(active),
+            jnp.asarray(last_idx),
+        )
+        return logits
+
+    # ------------------------------------------------------------- helpers
+    def _tables_row(self, seq: Sequence) -> np.ndarray:
+        row = np.zeros(self.max_pages_per_seq, np.int32)
+        bt = seq.block_table[: self.max_pages_per_seq]
+        row[: len(bt)] = bt
+        return row
+
+    def _slot(self, seq: Sequence, pos: int) -> int:
+        page = seq.block_table[pos // self.pc.page_size]
+        return page * self.pc.page_size + pos % self.pc.page_size
+
+    # ------------------------------------------------------------- decode
+    def run_decode(self, seqs: list[Sequence]) -> np.ndarray:
+        """One decode token for each seq. Returns logits [len(seqs), V]."""
+        B = self.pc.max_seqs
+        assert len(seqs) <= B
+        ids = np.zeros((B, 1), np.int32)
+        positions = np.zeros((B, 1), np.int32)
+        slot_mapping = np.zeros((B, 1), np.int32)  # page-0 garbage for padding
+        block_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        kv_lens = np.ones((B,), np.int32)  # 1 for padding rows: avoids NaN rows
+        active = np.zeros((B,), np.float32)
+        for i, seq in enumerate(seqs):
+            pos = seq.kv_len
+            ids[i, 0] = seq.tokens[-1]
+            positions[i, 0] = pos
+            slot_mapping[i, 0] = self._slot(seq, pos)
+            block_tables[i] = self._tables_row(seq)
+            kv_lens[i] = pos + 1
+            active[i] = 1.0
+        last_idx = np.zeros((B,), np.int32)
+        logits = self._run(ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx)
+        for seq in seqs:
+            seq.kv_len += 1
+        return np.asarray(logits)[: len(seqs)]
+
+    # ------------------------------------------------------------- prefill
+    def run_prefill_chunk(self, seq: Sequence, chunk: list[int]) -> np.ndarray:
+        """Prefill `chunk` tokens (continuing at seq.prefill_done_tokens).
+
+        Returns logits [V] at the last chunk position (meaningful only for
+        the final chunk). Ref: make_prompt_chunk / prompt_batchsize
+        chunking (inputs_processor.rs:111-260).
+        """
+        T = _next_bucket(len(chunk), self.pc.prefill_buckets)
+        start = seq.prefill_done_tokens
+        n = len(chunk)
+        ids = np.zeros((1, T), np.int32)
+        ids[0, :n] = chunk
+        positions = np.zeros((1, T), np.int32)
+        positions[0, :n] = np.arange(start, start + n)
+        slot_mapping = np.zeros((1, T), np.int32)
+        for j in range(n):
+            slot_mapping[0, j] = self._slot(seq, start + j)
+        block_tables = self._tables_row(seq)[None]
+        # The decoder derives q_offset as kv_lens - T; with the chunk padded
+        # from n to T, pass start + T so real queries get q_pos = start + j.
+        # Causal masking keeps them within the valid kv range regardless.
+        kv_lens = np.asarray([start + T], np.int32)
+        active = np.ones((1,), np.float32)
+        last_idx = np.asarray([n - 1], np.int32)
+        logits = self._run(ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx)
+        seq.prefill_done_tokens = start + n
+        seq.kv_len = start + n
+        return np.asarray(logits)[0]

@@ -1,0 +1,237 @@
+"""Engine/scheduler tests with a fake pipeline (the Pipeline boundary is the
+mock point, per SURVEY.md §4's recommendation) + end-to-end vs HF generate."""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+from mistralrs_tpu.engine.sampler import SamplingParams
+from mistralrs_tpu.engine.sequence import SequenceState
+
+
+@dataclasses.dataclass
+class FakePC:
+    page_size: int = 4
+    num_pages: int = 32
+    max_seqs: int = 4
+    max_model_len: int = 64
+    prefill_buckets: tuple = (4, 8, 16)
+
+
+class FakePipeline:
+    """Deterministic 'model': logits always argmax to (last_token + 1) % V."""
+
+    VOCAB = 50
+
+    def __init__(self, pc=None):
+        self.pc = pc or FakePC()
+        self.cache = None
+        self.decode_calls = 0
+        self.prefill_calls = 0
+
+    def _logits_for(self, last_token):
+        logits = np.zeros(self.VOCAB, np.float32)
+        logits[(last_token + 1) % self.VOCAB] = 10.0
+        return logits
+
+    def run_decode(self, seqs):
+        self.decode_calls += 1
+        assert len(seqs) <= self.pc.max_seqs
+        out = np.stack([self._logits_for(s.tokens[-1]) for s in seqs])
+        for s in seqs:
+            assert s.block_table, "decode without pages"
+            s.kv_len += 1
+        return out
+
+    def run_prefill_chunk(self, seq, chunk):
+        self.prefill_calls += 1
+        assert len(chunk) <= self.pc.prefill_buckets[-1]
+        seq.prefill_done_tokens += len(chunk)
+        seq.kv_len = seq.prefill_done_tokens
+        return self._logits_for(chunk[-1])
+
+
+def make_engine(pc=None, **kw):
+    return Engine(FakePipeline(pc), eos_token_ids={49}, detokenizer=None, **kw)
+
+
+def test_single_request_greedy_counts_up():
+    eng = make_engine()
+    toks, _ = eng.generate([10, 11, 12], SamplingParams(max_len=5))
+    assert toks == [13, 14, 15, 16, 17]
+
+
+def test_eos_stops_generation():
+    eng = make_engine()
+    toks, _ = eng.generate([47], SamplingParams(max_len=10))
+    # 48, then 49 = eos
+    assert toks == [48, 49]
+
+
+def test_stop_token_ids():
+    eng = make_engine()
+    toks, _ = eng.generate([1], SamplingParams(max_len=10, stop_token_ids=[4]))
+    assert toks == [2, 3, 4]
+
+
+def test_continuous_batching_interleaves():
+    eng = make_engine()
+    g1 = eng.add_request(GenerationRequest([1], SamplingParams(max_len=4)))
+    g2 = eng.add_request(GenerationRequest([20], SamplingParams(max_len=4)))
+    g3 = eng.add_request(GenerationRequest([30], SamplingParams(max_len=4)))
+    while eng.has_work:
+        eng.step()
+    assert g1.seqs[0].generated_tokens == [2, 3, 4, 5]
+    assert g2.seqs[0].generated_tokens == [21, 22, 23, 24]
+    assert g3.seqs[0].generated_tokens == [31, 32, 33, 34]
+
+
+def test_max_seqs_respected_with_queue():
+    pc = FakePC(max_seqs=2)
+    eng = make_engine(pc)
+    groups = [eng.add_request(GenerationRequest([i], SamplingParams(max_len=3))) for i in range(5)]
+    while eng.has_work:
+        eng.step()
+    for i, g in enumerate(groups):
+        assert g.seqs[0].generated_tokens == [i + 1, i + 2, i + 3]
+
+
+def test_long_prompt_chunked_prefill():
+    pc = FakePC()
+    eng = make_engine(pc)
+    prompt = list(range(40))  # > largest bucket 16 -> 3 chunks
+    g = eng.add_request(GenerationRequest(prompt, SamplingParams(max_len=2)))
+    while eng.has_work:
+        eng.step()
+    assert g.seqs[0].generated_tokens == [40, 41]
+    assert eng.pipeline.prefill_calls == 3  # 16 + 16 + 8
+
+
+def test_page_exhaustion_preempts_and_recovers():
+    # tiny pool: 7 usable pages of 4 tokens; two seqs of prompt 8 need 2 pages
+    # each + grow. The scheduler must preempt rather than deadlock, and all
+    # requests must still complete.
+    pc = FakePC(num_pages=8, max_seqs=3, max_model_len=24)
+    eng = make_engine(pc)
+    gs = [
+        eng.add_request(GenerationRequest(list(range(8)), SamplingParams(max_len=8)))
+        for _ in range(3)
+    ]
+    steps = 0
+    while eng.has_work:
+        eng.step()
+        steps += 1
+        assert steps < 500, "deadlock"
+    for g in gs:
+        assert g.seqs[0].generated_tokens == [8, 9, 10, 11, 12, 13, 14, 15]
+
+
+def test_n_choices_groups():
+    eng = make_engine()
+    g = eng.add_request(GenerationRequest([5], SamplingParams(max_len=3, n_choices=2)))
+    while eng.has_work:
+        eng.step()
+    assert len(g.seqs) == 2
+    for s in g.seqs:
+        assert s.generated_tokens == [6, 7, 8]
+    u = g.usage()
+    assert u.prompt_tokens == 2 and u.completion_tokens == 6
+
+
+def test_streaming_callbacks_fire():
+    eng = Engine(
+        FakePipeline(),
+        eos_token_ids={49},
+        detokenizer=lambda toks: "".join(chr(65 + t % 26) for t in toks),
+    )
+    events = []
+    g = eng.add_request(
+        GenerationRequest(
+            [1], SamplingParams(max_len=3), stream=lambda s, d, r: events.append((d, r))
+        )
+    )
+    while eng.has_work:
+        eng.step()
+    text = "".join(d for d, _ in events)
+    assert text == g.seqs[0].final_text()
+    assert events[-1][1] is not None  # finish reason delivered
+
+
+def test_engine_end_to_end_matches_hf_generate():
+    """Real tiny llama through the whole stack (chunked prefill + paged decode)."""
+    import torch
+    import transformers as tf
+    import jax.numpy as jnp
+    import json
+
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(3)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=128,
+    )
+    model = tf.LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    pipe = TextPipeline(
+        cfg, params, make_rope(cfg),
+        PipelineConfig(page_size=4, num_pages=64, max_seqs=2, max_model_len=128,
+                       prefill_buckets=(8, 16), dtype=jnp.float32),
+    )
+    eng = Engine(pipe, eos_token_ids={hf_cfg.eos_token_id})
+
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(3, 120, size=21).tolist()  # 21 tokens: chunks 16+8(pad 5)
+    toks, _ = eng.generate(prompt, SamplingParams(max_len=10))
+    with torch.no_grad():
+        want = model.generate(
+            torch.tensor([prompt]), max_new_tokens=10, do_sample=False
+        )[0, len(prompt):].tolist()
+    assert toks == want
+
+
+def test_engine_two_concurrent_real_requests():
+    import torch
+    import transformers as tf
+    import jax.numpy as jnp
+    import json
+
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(5)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=128,
+    )
+    model = tf.LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    pipe = TextPipeline(
+        cfg, params, make_rope(cfg),
+        PipelineConfig(page_size=4, num_pages=64, max_seqs=2, max_model_len=128,
+                       prefill_buckets=(8, 16), dtype=jnp.float32),
+    )
+    eng = Engine(pipe, eos_token_ids=set())
+    rng = np.random.default_rng(7)
+    p1 = rng.integers(3, 120, size=5).tolist()
+    p2 = rng.integers(3, 120, size=9).tolist()
+    g1 = eng.add_request(GenerationRequest(p1, SamplingParams(max_len=6)))
+    g2 = eng.add_request(GenerationRequest(p2, SamplingParams(max_len=6)))
+    while eng.has_work:
+        eng.step()
+    with torch.no_grad():
+        w1 = model.generate(torch.tensor([p1]), max_new_tokens=6, do_sample=False)[0, len(p1):].tolist()
+        w2 = model.generate(torch.tensor([p2]), max_new_tokens=6, do_sample=False)[0, len(p2):].tolist()
+    assert g1.seqs[0].generated_tokens == w1
+    assert g2.seqs[0].generated_tokens == w2
