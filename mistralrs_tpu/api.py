@@ -1,0 +1,190 @@
+"""Python user API.
+
+Reference parity: mistralrs-pyo3 `Runner` (lib.rs:303-954) — the synchronous
+Python entry point that loads a model, owns the engine thread, and exposes
+chat/completion calls (blocking or streaming iterator), plus the
+MistralRs-style thread-owning handle (mistralrs-core/src/lib.rs:100-454):
+one engine thread, bounded request queue, engine reboot on death.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import queue
+import threading
+import uuid
+from typing import Any, Iterator
+
+from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+from mistralrs_tpu.engine.sampler import SamplingParams
+from mistralrs_tpu.engine.sequence import SequenceGroup
+from mistralrs_tpu.pipeline.chat_template import apply_chat_template, flatten_text_content
+
+
+@dataclasses.dataclass
+class ChatChoice:
+    index: int
+    text: str
+    finish_reason: str
+
+
+@dataclasses.dataclass
+class ChatResponse:
+    id: str
+    choices: list[ChatChoice]
+    usage: Any
+
+
+class EngineHandle:
+    """Thread-owning engine handle (ref MistralRs lib.rs:299-317: the engine
+    lives on its own thread; callers talk through a bounded queue)."""
+
+    def __init__(self, engine: Engine, queue_size: int = 10_000):
+        self.engine = engine
+        self._requests: queue.Queue = queue.Queue(maxsize=queue_size)
+        self._shutdown = threading.Event()
+        self._thread = threading.Thread(target=self._run, daemon=True, name="engine")
+        self._thread.start()
+
+    def _run(self) -> None:
+        while not self._shutdown.is_set():
+            # drain incoming requests without blocking the step loop
+            try:
+                while True:
+                    req, done_evt = self._requests.get_nowait()
+                    self.engine.add_request(req)
+                    done_evt.set()
+            except queue.Empty:
+                pass
+            if self.engine.has_work:
+                try:
+                    self.engine.step()
+                except Exception as e:  # ref handle_pipeline_forward_error!:
+                    # fail affected seqs, keep serving
+                    from mistralrs_tpu.engine.sequence import SequenceState
+
+                    for s in list(self.engine.scheduler.running):
+                        s.state = SequenceState.ERROR
+                        s.error = str(e)
+                        stream = getattr(s, "stream", None)
+                        if stream:
+                            stream(s, "", "error")
+                    self.engine.scheduler.running.clear()
+            else:
+                # idle: block briefly for the next request
+                try:
+                    req, done_evt = self._requests.get(timeout=0.05)
+                    self.engine.add_request(req)
+                    done_evt.set()
+                except queue.Empty:
+                    pass
+
+    def submit(self, req: GenerationRequest) -> SequenceGroup:
+        evt = threading.Event()
+        self._requests.put((req, evt))
+        evt.wait()
+        return self.engine._groups[req.request_id]
+
+    def shutdown(self) -> None:
+        self._shutdown.set()
+        self._thread.join(timeout=5)
+
+
+class Runner:
+    """High-level blocking API (ref mistralrs-pyo3 Runner)."""
+
+    def __init__(self, model_path: str, *, dtype: Any = None, isq: str | None = None,
+                 pipeline_config: Any = None, mesh: Any = None):
+        import jax.numpy as jnp
+
+        from mistralrs_tpu.models.loader import load_hf_model, make_rope
+        from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+        from mistralrs_tpu.utils.tokenizer import TokenizerWrapper
+
+        dtype = dtype or jnp.bfloat16
+        cfg, params, rope = load_hf_model(model_path, dtype=dtype)
+        if isq is not None:
+            from mistralrs_tpu.quant.isq import apply_isq_to_params
+
+            params = apply_isq_to_params(params, cfg, isq)
+        self.tokenizer = TokenizerWrapper.from_hf_dir(model_path)
+        pc = pipeline_config or PipelineConfig()
+        pipe = TextPipeline(cfg, params, rope, pc, mesh=mesh)
+        engine = Engine(
+            pipe,
+            eos_token_ids=self.tokenizer.eos_token_ids,
+            detokenizer=self.tokenizer.detokenizer(),
+        )
+        self.handle = EngineHandle(engine)
+        self.cfg = cfg
+
+    @classmethod
+    def from_engine(cls, engine: Engine, tokenizer) -> "Runner":
+        self = object.__new__(cls)
+        self.tokenizer = tokenizer
+        self.handle = EngineHandle(engine)
+        self.cfg = getattr(engine.pipeline, "cfg", None)
+        return self
+
+    # ------------------------------------------------------------- chat
+    def _prompt_from_messages(self, messages: list[dict[str, Any]]) -> list[int]:
+        template = self.tokenizer.chat_template
+        if template is None:
+            text = "\n".join(f"{m['role']}: {m['content']}" for m in messages) + "\nassistant:"
+        else:
+            text = apply_chat_template(
+                template,
+                flatten_text_content(messages),
+                add_generation_prompt=True,
+                bos_token=self.tokenizer.bos_token,
+                eos_token=self.tokenizer.eos_token,
+            )
+        return self.tokenizer.encode(text)
+
+    def send_chat_completion_request(
+        self,
+        messages: list[dict[str, Any]],
+        sampling: SamplingParams | None = None,
+    ) -> ChatResponse:
+        toks = self._prompt_from_messages(messages)
+        return self._complete(toks, sampling or SamplingParams())
+
+    def send_completion_request(
+        self, prompt: str, sampling: SamplingParams | None = None
+    ) -> ChatResponse:
+        toks = self.tokenizer.encode(prompt)
+        return self._complete(toks, sampling or SamplingParams())
+
+    def stream_chat_completion_request(
+        self, messages: list[dict[str, Any]], sampling: SamplingParams | None = None
+    ) -> Iterator[tuple[str, str | None]]:
+        """Yields (delta_text, finish_reason_or_None)."""
+        toks = self._prompt_from_messages(messages)
+        q: queue.Queue = queue.Queue()
+        rid = f"chatcmpl-{uuid.uuid4().hex[:20]}"
+        req = GenerationRequest(
+            toks, sampling or SamplingParams(), request_id=rid,
+            stream=lambda seq, delta, reason: q.put((delta, reason)),
+        )
+        self.handle.submit(req)
+        while True:
+            delta, reason = q.get()
+            yield delta, reason
+            if reason is not None:
+                return
+
+    def _complete(self, toks: list[int], sampling: SamplingParams) -> ChatResponse:
+        rid = f"chatcmpl-{uuid.uuid4().hex[:20]}"
+        group = self.handle.submit(GenerationRequest(toks, sampling, request_id=rid))
+        import time
+
+        while not group.all_done():
+            time.sleep(0.002)
+        choices = [
+            ChatChoice(i, s.final_text(), s.stop_reason.value if s.stop_reason else "stop")
+            for i, s in enumerate(group.seqs)
+        ]
+        return ChatResponse(id=rid, choices=choices, usage=group.usage())
+
+    def shutdown(self) -> None:
+        self.handle.shutdown()

@@ -1,0 +1,134 @@
+"""Mesh construction + PartitionSpec rules for decoder params and KV pages."""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from mistralrs_tpu.models.config import ModelConfig
+from mistralrs_tpu.models.decoder import DecoderParams
+from mistralrs_tpu.quant.qlinear import Linear
+
+
+def make_mesh(
+    devices: list[jax.Device] | None = None,
+    *,
+    dp: int = 1,
+    tp: int | None = None,
+) -> Mesh:
+    """Build a ("dp", "tp") mesh. tp defaults to all devices / dp."""
+    devices = devices if devices is not None else jax.devices()
+    n = len(devices)
+    if tp is None:
+        assert n % dp == 0
+        tp = n // dp
+    assert dp * tp == n, (dp, tp, n)
+    arr = np.asarray(devices).reshape(dp, tp)
+    return Mesh(arr, ("dp", "tp"))
+
+
+def _lin_spec(col_parallel: bool, stacked: bool, expert: bool = False) -> dict[str, Any]:
+    """Spec for a Linear's data dict. Weights are (in, out) [+ leading stack axes]."""
+    prefix = ()
+    if stacked:
+        prefix += (None,)
+    if expert:
+        prefix += ("tp",)  # expert-parallel leading axis
+        w = P(*prefix, None, None)
+        b = P(*prefix, None)
+        return {"w": w, "b": b}
+    if col_parallel:
+        return {"w": P(*prefix, None, "tp"), "b": P(*prefix, "tp")}
+    return {"w": P(*prefix, "tp", None), "b": P(*prefix, None)}
+
+
+def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
+    """Pytree of PartitionSpec matching `params` (same treedef)."""
+
+    def norm_spec(stacked: bool):
+        pre = (None,) if stacked else ()
+        return lambda p: {k: P(*pre) for k in p}
+
+    def map_linear(lin: Linear, col: bool, stacked: bool, expert: bool = False) -> Linear:
+        spec = _lin_spec(col, stacked, expert)
+        data = {k: spec[k] for k in lin.data}
+        return Linear(kind=lin.kind, shape=lin.shape, data=data)
+
+    def layer_specs(lp: dict[str, Any]) -> dict[str, Any]:
+        out: dict[str, Any] = {}
+        attn = lp["attn"]
+        a: dict[str, Any] = {
+            "q": map_linear(attn["q"], True, True),
+            "k": map_linear(attn["k"], True, True),
+            "v": map_linear(attn["v"], True, True),
+            "o": map_linear(attn["o"], False, True),
+        }
+        for nk in ("q_norm", "k_norm"):
+            if nk in attn:
+                a[nk] = norm_spec(True)(attn[nk])
+        out["attn"] = a
+        mlp = lp["mlp"]
+        if "router" in mlp:  # MoE: router replicated, experts expert-parallel
+            out["mlp"] = {
+                "router": map_linear(mlp["router"], False, True),
+                "experts": {
+                    k: map_linear(v, False, True, expert=True)
+                    for k, v in mlp["experts"].items()
+                },
+            }
+            # router is small: replicate rather than row-parallel
+            out["mlp"]["router"] = Linear(
+                kind=mlp["router"].kind,
+                shape=mlp["router"].shape,
+                data={k: P(None, None, None) if k == "w" else P(None, None) for k in mlp["router"].data},
+            )
+        elif "gate" in mlp:
+            out["mlp"] = {
+                "gate": map_linear(mlp["gate"], True, True),
+                "up": map_linear(mlp["up"], True, True),
+                "down": map_linear(mlp["down"], False, True),
+            }
+        else:
+            out["mlp"] = {
+                "fc1": map_linear(mlp["fc1"], True, True),
+                "fc2": map_linear(mlp["fc2"], False, True),
+            }
+        for nk in ("input_norm", "post_attn_norm", "pre_mlp_norm", "post_mlp_norm"):
+            if nk in lp:
+                out[nk] = norm_spec(True)(lp[nk])
+        return out
+
+    return DecoderParams(
+        embed=P("tp", None),  # vocab-parallel
+        layers=layer_specs(params.layers),
+        final_norm={k: P() for k in params.final_norm},
+        lm_head=(
+            None
+            if params.lm_head is None
+            else Linear(
+                kind=params.lm_head.kind,
+                shape=params.lm_head.shape,
+                data={k: (P(None, "tp") if k == "w" else P("tp")) for k in params.lm_head.data},
+            )
+        ),
+    )
+
+
+def shard_params(params: DecoderParams, cfg: ModelConfig, mesh: Mesh) -> DecoderParams:
+    specs = param_specs(params, cfg)
+    return jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)), params, specs
+    )
+
+
+def cache_spec() -> P:
+    """KV pages [L, P, page, Hkv, D]: shard the KV-head axis over tp."""
+    return P(None, None, None, "tp", None)
+
+
+def shard_cache(cache, mesh: Mesh):
+    ns = NamedSharding(mesh, cache_spec())
+    return type(cache)(k=jax.device_put(cache.k, ns), v=jax.device_put(cache.v, ns))

@@ -53,15 +53,23 @@ class TextPipeline:
         params: DecoderParams,
         rope: RopeTable,
         pc: PipelineConfig,
+        mesh=None,
     ):
         self.cfg = cfg
-        self.params = params
         self.rope = rope
         self.pc = pc
+        self.mesh = mesh
         self.max_pages_per_seq = math.ceil(pc.max_model_len / pc.page_size)
-        self.cache = PagedKVCache.create(
+        cache = PagedKVCache.create(
             cfg.num_layers, pc.num_pages, pc.page_size, cfg.num_kv_heads, cfg.head_dim, pc.dtype
         )
+        if mesh is not None:
+            from mistralrs_tpu.parallel.mesh import shard_cache, shard_params
+
+            params = shard_params(params, cfg, mesh)
+            cache = shard_cache(cache, mesh)
+        self.params = params
+        self.cache = cache
         self._step_fn = self._build_step_fn()
 
     # ------------------------------------------------------------- jit steps

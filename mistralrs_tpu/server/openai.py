@@ -1,0 +1,235 @@
+"""OpenAI-compatible HTTP server (aiohttp).
+
+Reference parity: mistralrs-server — routes (main.rs:246-258), request
+parsing incl. grammar constraints and stop sequences
+(chat_completion.rs:153-340), SSE streaming with keep-alive (`Streamer`
+:43-90), completions endpoint (completions.rs), /health and /v1/models.
+
+The engine runs on its own thread (api.EngineHandle); each HTTP task talks
+to it through thread-safe queues bridged into asyncio.
+"""
+
+from __future__ import annotations
+
+import asyncio
+import json
+import time
+import uuid
+from typing import Any
+
+from aiohttp import web
+
+from mistralrs_tpu.engine.engine import GenerationRequest
+from mistralrs_tpu.engine.sampler import SamplingParams
+
+
+def _parse_sampling(body: dict[str, Any]) -> SamplingParams:
+    """OpenAI request body -> SamplingParams (ref chat_completion.rs:153-263)."""
+    stop = body.get("stop")
+    stop_strings: list[str] = []
+    if isinstance(stop, str):
+        stop_strings = [stop]
+    elif isinstance(stop, list):
+        stop_strings = [s for s in stop if isinstance(s, str)]
+    logit_bias = None
+    if body.get("logit_bias"):
+        logit_bias = {int(k): float(v) for k, v in body["logit_bias"].items()}
+    top_logprobs = body.get("top_logprobs") or 0
+    return SamplingParams(
+        temperature=body.get("temperature"),
+        top_k=body.get("top_k"),
+        top_p=body.get("top_p"),
+        min_p=body.get("min_p"),
+        top_n_logprobs=top_logprobs,
+        frequency_penalty=body.get("frequency_penalty"),
+        presence_penalty=body.get("presence_penalty"),
+        stop_strings=stop_strings,
+        max_len=body.get("max_tokens", body.get("max_completion_tokens")),
+        logits_bias=logit_bias,
+        n_choices=body.get("n", 1),
+    )
+
+
+class OpenAIServer:
+    def __init__(self, runner, model_id: str = "default"):
+        self.runner = runner  # mistralrs_tpu.api.Runner
+        self.model_id = model_id
+        self.created = int(time.time())
+
+    # ------------------------------------------------------------- routes
+    def app(self) -> web.Application:
+        app = web.Application()
+        app.router.add_get("/health", self.health)
+        app.router.add_get("/v1/models", self.models)
+        app.router.add_post("/v1/chat/completions", self.chat_completions)
+        app.router.add_post("/v1/completions", self.completions)
+        app.router.add_post("/re_isq", self.re_isq)
+        return app
+
+    async def health(self, request: web.Request) -> web.Response:
+        return web.Response(text="OK")
+
+    async def models(self, request: web.Request) -> web.Response:
+        return web.json_response(
+            {
+                "object": "list",
+                "data": [
+                    {
+                        "id": self.model_id,
+                        "object": "model",
+                        "created": self.created,
+                        "owned_by": "local",
+                    }
+                ],
+            }
+        )
+
+    async def re_isq(self, request: web.Request) -> web.Response:
+        body = await request.json()
+        ok = await asyncio.to_thread(self._try_re_isq, body.get("ggml_type", ""))
+        if not ok:
+            return web.json_response({"error": "re-ISQ unsupported for this model"}, status=400)
+        return web.Response(text="ok")
+
+    def _try_re_isq(self, ggml_type: str) -> bool:
+        pipe = self.runner.handle.engine.pipeline
+        if not hasattr(pipe, "re_isq"):
+            return False
+        pipe.re_isq(ggml_type)
+        return True
+
+    # ------------------------------------------------------------- chat
+    async def chat_completions(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        try:
+            sampling = _parse_sampling(body)
+            messages = body["messages"]
+            prompt_toks = await asyncio.to_thread(
+                self.runner._prompt_from_messages, messages
+            )
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+        if body.get("stream"):
+            return await self._stream(request, prompt_toks, sampling, chat=True)
+        return await self._blocking(prompt_toks, sampling, chat=True)
+
+    async def completions(self, request: web.Request) -> web.StreamResponse:
+        body = await request.json()
+        try:
+            sampling = _parse_sampling(body)
+            prompt = body["prompt"]
+            if isinstance(prompt, list):
+                prompt = prompt[0]
+            prompt_toks = await asyncio.to_thread(self.runner.tokenizer.encode, prompt)
+        except Exception as e:
+            return web.json_response({"error": str(e)}, status=400)
+        if body.get("stream"):
+            return await self._stream(request, prompt_toks, sampling, chat=False)
+        return await self._blocking(prompt_toks, sampling, chat=False)
+
+    # ------------------------------------------------------------- impls
+    async def _blocking(self, toks: list[int], sampling: SamplingParams, chat: bool):
+        rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:20]
+        group = await asyncio.to_thread(
+            self.runner.handle.submit, GenerationRequest(toks, sampling, request_id=rid)
+        )
+        while not group.all_done():
+            await asyncio.sleep(0.005)
+        usage = group.usage()
+        if chat:
+            choices = [
+                {
+                    "index": i,
+                    "message": {"role": "assistant", "content": s.final_text()},
+                    "finish_reason": s.stop_reason.value if s.stop_reason else "stop",
+                    "logprobs": None,
+                }
+                for i, s in enumerate(group.seqs)
+            ]
+            obj = "chat.completion"
+        else:
+            choices = [
+                {
+                    "index": i,
+                    "text": s.final_text(),
+                    "finish_reason": s.stop_reason.value if s.stop_reason else "stop",
+                    "logprobs": None,
+                }
+                for i, s in enumerate(group.seqs)
+            ]
+            obj = "text_completion"
+        return web.json_response(
+            {
+                "id": rid,
+                "object": obj,
+                "created": int(time.time()),
+                "model": self.model_id,
+                "choices": choices,
+                "usage": {
+                    "prompt_tokens": usage.prompt_tokens,
+                    "completion_tokens": usage.completion_tokens,
+                    "total_tokens": usage.total_tokens,
+                    "avg_prompt_tok_per_sec": usage.avg_prompt_tok_per_sec,
+                    "avg_compl_tok_per_sec": usage.avg_compl_tok_per_sec,
+                },
+            }
+        )
+
+    async def _stream(self, request, toks, sampling: SamplingParams, chat: bool):
+        rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:20]
+        loop = asyncio.get_running_loop()
+        q: asyncio.Queue = asyncio.Queue()
+
+        def on_delta(seq, delta, reason):
+            loop.call_soon_threadsafe(q.put_nowait, (seq, delta, reason))
+
+        resp = web.StreamResponse(
+            status=200,
+            headers={
+                "Content-Type": "text/event-stream",
+                "Cache-Control": "no-cache",
+                "Connection": "keep-alive",
+            },
+        )
+        await resp.prepare(request)
+        await asyncio.to_thread(
+            self.runner.handle.submit,
+            GenerationRequest(toks, sampling, request_id=rid, stream=on_delta),
+        )
+        obj = "chat.completion.chunk" if chat else "text_completion"
+        finished = 0
+        n = sampling.n_choices
+        while finished < n:
+            try:
+                seq, delta, reason = await asyncio.wait_for(q.get(), timeout=10.0)
+            except asyncio.TimeoutError:
+                # SSE keep-alive (ref chat_completion.rs keep-alive interval)
+                await resp.write(b": keep-alive\n\n")
+                continue
+            if reason is not None:
+                finished += 1
+            idx = seq.group.seqs.index(seq) if seq.group else 0
+            if chat:
+                choice = {
+                    "index": idx,
+                    "delta": {"role": "assistant", "content": delta} if delta or not reason else {},
+                    "finish_reason": reason,
+                }
+            else:
+                choice = {"index": idx, "text": delta, "finish_reason": reason}
+            chunk = {
+                "id": rid,
+                "object": obj,
+                "created": int(time.time()),
+                "model": self.model_id,
+                "choices": [choice],
+            }
+            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+        await resp.write(b"data: [DONE]\n\n")
+        await resp.write_eof()
+        return resp
+
+
+def run_server(runner, host: str = "0.0.0.0", port: int = 8080, model_id: str = "default"):
+    server = OpenAIServer(runner, model_id)
+    web.run_app(server.app(), host=host, port=port)

@@ -1,0 +1,193 @@
+"""OpenAI HTTP server tests over a fake-pipeline engine (no device work)."""
+
+import asyncio
+import json
+
+import pytest
+from aiohttp.test_utils import TestClient, TestServer
+
+from mistralrs_tpu.api import Runner
+from mistralrs_tpu.engine.engine import Engine
+from mistralrs_tpu.server.openai import OpenAIServer
+
+from test_engine import FakePC, FakePipeline
+
+
+class FakeTokenizer:
+    """chr-level tokenizer: token = ord(char) % 50."""
+
+    chat_template = (
+        "{% for m in messages %}{{ m['role'] }}:{{ m['content'] }}|{% endfor %}"
+        "{% if add_generation_prompt %}assistant:{% endif %}"
+    )
+    bos_token = "<s>"
+    eos_token = "</s>"
+    eos_token_ids = {49}
+
+    def encode(self, text, add_special_tokens=True):
+        return [ord(c) % 50 for c in text][:30]
+
+    def decode(self, ids, skip_special_tokens=True):
+        return "".join(chr(65 + t % 26) for t in ids)
+
+    def detokenizer(self):
+        return lambda ids: self.decode(ids)
+
+
+def make_runner():
+    tok = FakeTokenizer()
+    eng = Engine(
+        FakePipeline(FakePC(max_model_len=128, num_pages=64)),
+        eos_token_ids=tok.eos_token_ids,
+        detokenizer=tok.detokenizer(),
+    )
+    return Runner.from_engine(eng, tok)
+
+
+@pytest.fixture
+def client_and_runner():
+    runner = make_runner()
+    server = OpenAIServer(runner, model_id="fake-model")
+
+    loop = asyncio.new_event_loop()
+    client = TestClient(TestServer(server.app(), loop=loop), loop=loop)
+    loop.run_until_complete(client.start_server())
+    yield client, runner, loop
+    loop.run_until_complete(client.close())
+    runner.shutdown()
+    loop.close()
+
+
+def _run(loop, coro):
+    return loop.run_until_complete(coro)
+
+
+def test_health_and_models(client_and_runner):
+    client, _, loop = client_and_runner
+
+    async def go():
+        r = await client.get("/health")
+        assert r.status == 200 and await r.text() == "OK"
+        r = await client.get("/v1/models")
+        data = await r.json()
+        assert data["data"][0]["id"] == "fake-model"
+
+    _run(loop, go())
+
+
+def test_chat_completion_blocking(client_and_runner):
+    client, _, loop = client_and_runner
+
+    async def go():
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "model": "fake-model",
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 5,
+            },
+        )
+        assert r.status == 200
+        data = await r.json()
+        assert data["object"] == "chat.completion"
+        assert len(data["choices"]) == 1
+        assert data["choices"][0]["message"]["role"] == "assistant"
+        assert data["choices"][0]["finish_reason"] in ("length", "stop")
+        assert data["usage"]["completion_tokens"] == 5
+        assert data["usage"]["prompt_tokens"] > 0
+
+    _run(loop, go())
+
+
+def test_completions_endpoint(client_and_runner):
+    client, _, loop = client_and_runner
+
+    async def go():
+        r = await client.post(
+            "/v1/completions",
+            json={"model": "fake-model", "prompt": "abc", "max_tokens": 4},
+        )
+        data = await r.json()
+        assert data["object"] == "text_completion"
+        assert isinstance(data["choices"][0]["text"], str)
+
+    _run(loop, go())
+
+
+def test_chat_completion_streaming(client_and_runner):
+    client, _, loop = client_and_runner
+
+    async def go():
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "model": "fake-model",
+                "messages": [{"role": "user", "content": "stream please"}],
+                "max_tokens": 6,
+                "stream": True,
+            },
+        )
+        assert r.status == 200
+        assert r.headers["Content-Type"].startswith("text/event-stream")
+        body = await r.text()
+        events = [l[6:] for l in body.splitlines() if l.startswith("data: ")]
+        assert events[-1] == "[DONE]"
+        chunks = [json.loads(e) for e in events[:-1]]
+        assert all(c["object"] == "chat.completion.chunk" for c in chunks)
+        text = "".join(c["choices"][0]["delta"].get("content", "") for c in chunks)
+        assert len(text) > 0
+        assert chunks[-1]["choices"][0]["finish_reason"] in ("length", "stop")
+
+    _run(loop, go())
+
+
+def test_malformed_request_400(client_and_runner):
+    client, _, loop = client_and_runner
+
+    async def go():
+        r = await client.post("/v1/chat/completions", json={"model": "x"})  # no messages
+        assert r.status == 400
+        data = await r.json()
+        assert "error" in data
+
+    _run(loop, go())
+
+
+def test_n_choices(client_and_runner):
+    client, _, loop = client_and_runner
+
+    async def go():
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "model": "fake-model",
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 3,
+                "n": 2,
+            },
+        )
+        data = await r.json()
+        assert len(data["choices"]) == 2
+
+    _run(loop, go())
+
+
+def test_stop_string(client_and_runner):
+    client, _, loop = client_and_runner
+
+    async def go():
+        # fake model cycles tokens -> text cycles chars; use a char we will hit
+        r = await client.post(
+            "/v1/chat/completions",
+            json={
+                "model": "fake-model",
+                "messages": [{"role": "user", "content": "hi"}],
+                "max_tokens": 30,
+                "stop": [chr(65 + 10)],
+            },
+        )
+        data = await r.json()
+        assert data["choices"][0]["finish_reason"] == "stop"
+        assert chr(65 + 10) not in data["choices"][0]["message"]["content"]
+
+    _run(loop, go())

@@ -1,0 +1,91 @@
+"""SPMD sharding tests on the virtual 8-device CPU mesh."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import transformers as tf
+
+from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+from mistralrs_tpu.engine.sampler import SamplingParams
+from mistralrs_tpu.models.config import config_from_hf
+from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+from mistralrs_tpu.parallel.mesh import make_mesh, param_specs, shard_params
+from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+
+def _tiny_llama(kv_heads=8):
+    torch.manual_seed(21)
+    hf = tf.LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=kv_heads, vocab_size=128,
+        max_position_embeddings=128,
+    )
+    model = tf.LlamaForCausalLM(hf).eval().float()
+    cfg = config_from_hf(json.loads(hf.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    return model, cfg, params
+
+
+def _pipe(cfg, params, mesh=None):
+    return TextPipeline(
+        cfg, params, make_rope(cfg),
+        PipelineConfig(page_size=4, num_pages=64, max_seqs=2, max_model_len=128,
+                       prefill_buckets=(8, 16), dtype=jnp.float32),
+        mesh=mesh,
+    )
+
+
+def test_mesh_shapes():
+    mesh = make_mesh(dp=2)
+    assert mesh.shape == {"dp": 2, "tp": 4}
+
+
+def test_param_specs_structure_matches():
+    _, cfg, params = _tiny_llama()
+    specs = param_specs(params, cfg)
+    # identical treedef => tree.map works
+    jax.tree.map(lambda x, s: None, params, specs)
+
+
+def test_sharded_decode_matches_unsharded():
+    model, cfg, params = _tiny_llama()
+    mesh = make_mesh(dp=2, tp=4)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(3, 120, size=9).tolist()
+
+    eng_ref = Engine(_pipe(cfg, params), eos_token_ids=set())
+    want, _ = eng_ref.generate(prompt, SamplingParams(max_len=6))
+
+    eng_sh = Engine(_pipe(cfg, params, mesh), eos_token_ids=set())
+    got, _ = eng_sh.generate(prompt, SamplingParams(max_len=6))
+    assert got == want
+
+    with torch.no_grad():
+        hf = model.generate(torch.tensor([prompt]), max_new_tokens=6, do_sample=False)[0, 9:].tolist()
+    assert got == hf
+
+
+def test_sharded_mixtral_expert_parallel():
+    torch.manual_seed(22)
+    hf = tf.MixtralConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=8, vocab_size=128,
+        num_local_experts=4, num_experts_per_tok=2, max_position_embeddings=128,
+    )
+    model = tf.MixtralForCausalLM(hf).eval().float()
+    cfg = config_from_hf(json.loads(hf.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    mesh = make_mesh(dp=2, tp=4)
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(3, 120, size=7).tolist()
+    eng = Engine(_pipe(cfg, params, mesh), eos_token_ids=set())
+    got, _ = eng.generate(prompt, SamplingParams(max_len=5))
+    with torch.no_grad():
+        want = model.generate(torch.tensor([prompt]), max_new_tokens=5, do_sample=False)[0, 7:].tolist()
+    assert got == want
