@@ -94,19 +94,15 @@ class Runner:
     """High-level blocking API (ref mistralrs-pyo3 Runner)."""
 
     def __init__(self, model_path: str, *, dtype: Any = None, isq: str | None = None,
-                 pipeline_config: Any = None, mesh: Any = None):
+                 topology: str | None = None, pipeline_config: Any = None, mesh: Any = None):
         import jax.numpy as jnp
 
-        from mistralrs_tpu.models.loader import load_hf_model, make_rope
+        from mistralrs_tpu.models.loader import load_hf_model
         from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
         from mistralrs_tpu.utils.tokenizer import TokenizerWrapper
 
         dtype = dtype or jnp.bfloat16
-        cfg, params, rope = load_hf_model(model_path, dtype=dtype)
-        if isq is not None:
-            from mistralrs_tpu.quant.isq import apply_isq_to_params
-
-            params = apply_isq_to_params(params, cfg, isq)
+        cfg, params, rope = load_hf_model(model_path, dtype=dtype, isq=isq, topology=topology)
         self.tokenizer = TokenizerWrapper.from_hf_dir(model_path)
         pc = pipeline_config or PipelineConfig()
         pipe = TextPipeline(cfg, params, rope, pc, mesh=mesh)
@@ -125,6 +121,19 @@ class Runner:
         self.handle = EngineHandle(engine)
         self.cfg = getattr(engine.pipeline, "cfg", None)
         return self
+
+    @classmethod
+    def from_parts(cls, cfg, params, rope, tokenizer, pc=None, mesh=None) -> "Runner":
+        """Assemble from already-loaded pieces (GGUF path, tests)."""
+        from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+        pipe = TextPipeline(cfg, params, rope, pc or PipelineConfig(), mesh=mesh)
+        engine = Engine(
+            pipe,
+            eos_token_ids=tokenizer.eos_token_ids if tokenizer else set(),
+            detokenizer=tokenizer.detokenizer() if tokenizer else None,
+        )
+        return cls.from_engine(engine, tokenizer)
 
     # ------------------------------------------------------------- chat
     def _prompt_from_messages(self, messages: list[dict[str, Any]]) -> list[int]:

@@ -42,14 +42,24 @@ from mistralrs_tpu.quant.qlinear import Linear, linear
 
 @struct.dataclass
 class DecoderParams:
-    """Model parameters. `layers` is a stacked pytree (leading [L] axis on
-    every leaf); see models/loader.py for the layout produced from HF
-    checkpoints."""
+    """Model parameters.
+
+    `layer_groups` holds one stacked pytree per run of consecutive layers
+    with identical structure (same quant kinds/shapes); each group is
+    scanned with `lax.scan`. A homogeneous model has one group; mixed-quant
+    checkpoints (GGUF Q4_K_M alternates Q4_K/Q6_K per layer) and per-layer
+    ISQ topologies split into several. `group_sizes` is static so jit
+    specializes the group loop away."""
 
     embed: jax.Array  # [V, E]
-    layers: dict[str, Any]
+    layer_groups: list[dict[str, Any]]
     final_norm: dict[str, jax.Array]
     lm_head: Linear | None = None  # None => tied to embed
+    group_sizes: tuple[int, ...] = struct.field(pytree_node=False, default=())
+
+    @property
+    def num_layers(self) -> int:
+        return sum(self.group_sizes)
 
 
 def _norm(cfg: ModelConfig, p: dict[str, jax.Array], x: jax.Array) -> jax.Array:
@@ -194,9 +204,21 @@ def decoder_forward(
         h, ck, cv = _block(cfg, layer_params, h, cos, sin, rope.rot_dim, ck, cv, meta, bias)
         return h, (ck, cv)
 
-    h, (new_k, new_v) = jax.lax.scan(
-        scan_body, h, (params.layers, cache.k, cache.v, window_flags)
-    )
+    new_k_parts, new_v_parts = [], []
+    offset = 0
+    for gparams, size in zip(params.layer_groups, params.group_sizes):
+        xs = (
+            gparams,
+            jax.lax.slice_in_dim(cache.k, offset, offset + size, axis=0),
+            jax.lax.slice_in_dim(cache.v, offset, offset + size, axis=0),
+            jax.lax.slice_in_dim(window_flags, offset, offset + size, axis=0),
+        )
+        h, (nk, nv) = jax.lax.scan(scan_body, h, xs)
+        new_k_parts.append(nk)
+        new_v_parts.append(nv)
+        offset += size
+    new_k = new_k_parts[0] if len(new_k_parts) == 1 else jnp.concatenate(new_k_parts, axis=0)
+    new_v = new_v_parts[0] if len(new_v_parts) == 1 else jnp.concatenate(new_v_parts, axis=0)
     h = _norm(cfg, params.final_norm, h)
     new_cache = type(cache)(k=new_k, v=new_v)
     return h, new_cache

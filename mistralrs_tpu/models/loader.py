@@ -62,11 +62,32 @@ def _to_jnp(a: np.ndarray, dtype) -> jax.Array:
     return jnp.asarray(a).astype(dtype)
 
 
-def _lin(src: TensorSource, prefix: str, dtype, transpose: bool = True) -> Linear:
+def _maybe_quantize(w_out_in: np.ndarray, b: np.ndarray | None, gtype, dtype) -> Linear | None:
+    """ISQ a (out, in) torch-layout weight into a packed device Linear."""
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.gguf_linear import linear_from_gguf
+    from mistralrs_tpu.quant.isq import quantizable
+
+    if gtype is None or not quantizable(w_out_in.shape, gtype):
+        return None
+    raw = kquants.quantize(w_out_in.astype(np.float32), gtype)
+    lin = linear_from_gguf(raw, gtype, w_out_in.shape, dtype)
+    if lin.kind == "dense":  # packer fell back; not worth it
+        return None
+    if b is not None:
+        lin.data["b"] = _to_jnp(b, dtype)
+    return lin
+
+
+def _lin(src: TensorSource, prefix: str, dtype, transpose: bool = True, isq=None) -> Linear:
     w = src(prefix + ".weight")
+    b = src(prefix + ".bias") if (prefix + ".bias") in src else None
+    if isq is not None:
+        q = _maybe_quantize(w, b, isq, dtype)
+        if q is not None:
+            return q
     if transpose:
         w = np.ascontiguousarray(w.T)  # torch (out,in) -> (in,out)
-    b = src(prefix + ".bias") if (prefix + ".bias") in src else None
     return make_dense(_to_jnp(w, dtype), None if b is None else _to_jnp(b, dtype))
 
 
@@ -77,20 +98,29 @@ def _norm_p(src: TensorSource, prefix: str, dtype) -> dict[str, jax.Array]:
     return p
 
 
-def _split_lin(lin_w: np.ndarray, lin_b: np.ndarray | None, sizes: list[int], dtype) -> list[Linear]:
+def _split_lin(lin_w: np.ndarray, lin_b: np.ndarray | None, sizes: list[int], dtype, isq=None) -> list[Linear]:
     """Split a fused torch (out, in) projection row-wise into parts."""
     outs = []
     off = 0
     for s in sizes:
-        w = np.ascontiguousarray(lin_w[off : off + s].T)
-        b = None if lin_b is None else _to_jnp(lin_b[off : off + s], dtype)
-        outs.append(make_dense(_to_jnp(w, dtype), b))
+        wp = np.ascontiguousarray(lin_w[off : off + s])
+        bp = None if lin_b is None else lin_b[off : off + s]
+        q = _maybe_quantize(wp, bp, isq, dtype) if isq is not None else None
+        if q is not None:
+            outs.append(q)
+        else:
+            outs.append(
+                make_dense(
+                    _to_jnp(np.ascontiguousarray(wp.T), dtype),
+                    None if bp is None else _to_jnp(bp, dtype),
+                )
+            )
         off += s
     assert off == lin_w.shape[0]
     return outs
 
 
-def _layer_params(cfg: ModelConfig, src: TensorSource, i: int, dtype) -> dict[str, Any]:
+def _layer_params(cfg: ModelConfig, src: TensorSource, i: int, dtype, isq=None) -> dict[str, Any]:
     pre = f"model.layers.{i}"
     a = f"{pre}.self_attn"
     p: dict[str, Any] = {}
@@ -101,18 +131,18 @@ def _layer_params(cfg: ModelConfig, src: TensorSource, i: int, dtype) -> dict[st
         ks = cfg.num_kv_heads * cfg.head_dim
         w = src(f"{a}.qkv_proj.weight")
         b = src(f"{a}.qkv_proj.bias") if f"{a}.qkv_proj.bias" in src else None
-        q, k, v = _split_lin(w, b, [qs, ks, ks], dtype)
+        q, k, v = _split_lin(w, b, [qs, ks, ks], dtype, isq=isq)
         attn = {"q": q, "k": k, "v": v}
     else:
         attn = {
-            "q": _lin(src, f"{a}.q_proj", dtype),
-            "k": _lin(src, f"{a}.k_proj", dtype),
-            "v": _lin(src, f"{a}.v_proj", dtype),
+            "q": _lin(src, f"{a}.q_proj", dtype, isq=isq),
+            "k": _lin(src, f"{a}.k_proj", dtype, isq=isq),
+            "v": _lin(src, f"{a}.v_proj", dtype, isq=isq),
         }
     if f"{a}.o_proj.weight" in src:
-        attn["o"] = _lin(src, f"{a}.o_proj", dtype)
+        attn["o"] = _lin(src, f"{a}.o_proj", dtype, isq=isq)
     else:  # phi2 names it "dense"
-        attn["o"] = _lin(src, f"{a}.dense", dtype)
+        attn["o"] = _lin(src, f"{a}.dense", dtype, isq=isq)
     if cfg.qk_norm:
         attn["q_norm"] = _norm_p(src, f"{a}.q_layernorm", dtype)
         attn["k_norm"] = _norm_p(src, f"{a}.k_layernorm", dtype)
@@ -128,7 +158,7 @@ def _layer_params(cfg: ModelConfig, src: TensorSource, i: int, dtype) -> dict[st
             ups.append(np.ascontiguousarray(src(f"{moe}.experts.{e}.w3.weight").T))
             downs.append(np.ascontiguousarray(src(f"{moe}.experts.{e}.w2.weight").T))
         p["mlp"] = {
-            "router": _lin(src, f"{moe}.gate", dtype),
+            "router": _lin(src, f"{moe}.gate", dtype, isq=isq),
             "experts": {
                 "gate": make_dense(_to_jnp(np.stack(gates), dtype)),
                 "up": make_dense(_to_jnp(np.stack(ups), dtype)),
@@ -137,19 +167,19 @@ def _layer_params(cfg: ModelConfig, src: TensorSource, i: int, dtype) -> dict[st
         }
     elif f"{m}.gate_up_proj.weight" in src:  # phi3 fused
         w = src(f"{m}.gate_up_proj.weight")
-        gate, up = _split_lin(w, None, [cfg.intermediate_size, cfg.intermediate_size], dtype)
-        p["mlp"] = {"gate": gate, "up": up, "down": _lin(src, f"{m}.down_proj", dtype)}
+        gate, up = _split_lin(w, None, [cfg.intermediate_size, cfg.intermediate_size], dtype, isq=isq)
+        p["mlp"] = {"gate": gate, "up": up, "down": _lin(src, f"{m}.down_proj", dtype, isq=isq)}
     elif cfg.mlp_style == "gated":
         p["mlp"] = {
-            "gate": _lin(src, f"{m}.gate_proj", dtype),
-            "up": _lin(src, f"{m}.up_proj", dtype),
-            "down": _lin(src, f"{m}.down_proj", dtype),
+            "gate": _lin(src, f"{m}.gate_proj", dtype, isq=isq),
+            "up": _lin(src, f"{m}.up_proj", dtype, isq=isq),
+            "down": _lin(src, f"{m}.down_proj", dtype, isq=isq),
         }
     else:  # plain fc1/fc2 (phi2) or c_fc/c_proj (starcoder2)
         if f"{m}.fc1.weight" in src:
-            p["mlp"] = {"fc1": _lin(src, f"{m}.fc1", dtype), "fc2": _lin(src, f"{m}.fc2", dtype)}
+            p["mlp"] = {"fc1": _lin(src, f"{m}.fc1", dtype, isq=isq), "fc2": _lin(src, f"{m}.fc2", dtype, isq=isq)}
         else:
-            p["mlp"] = {"fc1": _lin(src, f"{m}.c_fc", dtype), "fc2": _lin(src, f"{m}.c_proj", dtype)}
+            p["mlp"] = {"fc1": _lin(src, f"{m}.c_fc", dtype, isq=isq), "fc2": _lin(src, f"{m}.c_proj", dtype, isq=isq)}
 
     # norms
     p["input_norm"] = _norm_p(src, f"{pre}.input_layernorm", dtype)
@@ -162,15 +192,53 @@ def _layer_params(cfg: ModelConfig, src: TensorSource, i: int, dtype) -> dict[st
     return p
 
 
-def _stack_layers(layers: list[dict[str, Any]]) -> dict[str, Any]:
-    return jax.tree.map(lambda *xs: jnp.stack(xs), *layers)
+def group_layers(layers: list[dict[str, Any]]) -> tuple[list[dict[str, Any]], tuple[int, ...]]:
+    """Stack consecutive layers with identical structure into scan groups.
+
+    The treedef captures Linear kinds (static aux data), so mixed-quant
+    checkpoints split exactly where the format changes."""
+
+    def sig(lp):
+        leaves, treedef = jax.tree.flatten(lp)
+        return (str(treedef), tuple((tuple(x.shape), str(x.dtype)) for x in leaves))
+
+    runs: list[list[dict[str, Any]]] = []
+    cur_sig = None
+    for lp in layers:
+        s = sig(lp)
+        if runs and s == cur_sig:
+            runs[-1].append(lp)
+        else:
+            runs.append([lp])
+            cur_sig = s
+    stacked = [jax.tree.map(lambda *xs: jnp.stack(xs), *run) for run in runs]
+    return stacked, tuple(len(run) for run in runs)
 
 
 def params_from_source(
-    cfg: ModelConfig, src: TensorSource, dtype=jnp.bfloat16
+    cfg: ModelConfig,
+    src: TensorSource,
+    dtype=jnp.bfloat16,
+    isq=None,
+    topology=None,
 ) -> DecoderParams:
-    layers = [_layer_params(cfg, src, i, dtype) for i in range(cfg.num_layers)]
-    stacked = _stack_layers(layers)
+    """isq: GGMLType or ISQ string (e.g. "Q4K") applied to every linear;
+    topology: quant.isq.Topology overriding per layer (ref pipeline/isq.rs +
+    topology/mod.rs)."""
+    if isinstance(isq, str):
+        from mistralrs_tpu.quant.isq import parse_isq
+
+        isq = parse_isq(isq)
+
+    def layer_isq(i):
+        if topology is not None:
+            return topology.isq_for_layer(i, isq)
+        return isq
+
+    layers = [
+        _layer_params(cfg, src, i, dtype, isq=layer_isq(i)) for i in range(cfg.num_layers)
+    ]
+    groups, sizes = group_layers(layers)
     embed = _to_jnp(src("model.embed_tokens.weight"), dtype)
     if "model.norm.weight" in src:
         final_norm = _norm_p(src, "model.norm", dtype)
@@ -178,19 +246,31 @@ def params_from_source(
         final_norm = _norm_p(src, "model.final_layernorm", dtype)
     lm_head = None
     if not cfg.tie_word_embeddings and "lm_head.weight" in src:
-        lm_head = _lin(src, "lm_head", dtype)
-    return DecoderParams(embed=embed, layers=stacked, final_norm=final_norm, lm_head=lm_head)
+        lm_head = _lin(src, "lm_head", dtype, isq=isq)
+    return DecoderParams(
+        embed=embed, layer_groups=groups, final_norm=final_norm, lm_head=lm_head,
+        group_sizes=sizes,
+    )
 
 
 def load_hf_model(
-    path: str, dtype=jnp.bfloat16, max_position_embeddings: int | None = None
+    path: str,
+    dtype=jnp.bfloat16,
+    max_position_embeddings: int | None = None,
+    isq=None,
+    topology=None,
 ) -> tuple[ModelConfig, DecoderParams, RopeTable]:
-    """Load config.json + *.safetensors from a local HF model directory."""
+    """Load config.json + *.safetensors from a local HF model directory,
+    optionally ISQ-quantizing linears (isq string/GGMLType, topology YAML)."""
     with open(os.path.join(path, "config.json")) as f:
         hf = json.load(f)
     cfg = config_from_hf(hf)
     src = TensorSource.from_safetensors_dir(path)
-    params = params_from_source(cfg, src, dtype)
+    if isinstance(topology, str):
+        from mistralrs_tpu.quant.isq import Topology
+
+        topology = Topology.from_yaml_file(topology, cfg.num_layers)
+    params = params_from_source(cfg, src, dtype, isq=isq, topology=topology)
     rope = make_rope(cfg, max_position_embeddings)
     return cfg, params, rope
 

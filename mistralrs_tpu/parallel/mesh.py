@@ -30,19 +30,29 @@ def make_mesh(
     return Mesh(arr, ("dp", "tp"))
 
 
-def _lin_spec(col_parallel: bool, stacked: bool, expert: bool = False) -> dict[str, Any]:
-    """Spec for a Linear's data dict. Weights are (in, out) [+ leading stack axes]."""
-    prefix = ()
-    if stacked:
-        prefix += (None,)
+def _lin_spec(kind: str, col_parallel: bool, stacked: bool, expert: bool = False) -> dict[str, Any]:
+    """Specs for a Linear's data dict by kind.
+
+    dense weights are (in, out); packed quant arrays are [out, blocks, ...]
+    so column-parallel shards their leading `out` axis and row-parallel
+    shards the block (in) axis."""
+    prefix = (None,) if stacked else ()
     if expert:
         prefix += ("tp",)  # expert-parallel leading axis
-        w = P(*prefix, None, None)
-        b = P(*prefix, None)
-        return {"w": w, "b": b}
-    if col_parallel:
-        return {"w": P(*prefix, None, "tp"), "b": P(*prefix, "tp")}
-    return {"w": P(*prefix, "tp", None), "b": P(*prefix, None)}
+        return {"w": P(*prefix, None, None), "b": P(*prefix, None)}
+    if kind == "dense":
+        if col_parallel:
+            return {"w": P(*prefix, None, "tp"), "b": P(*prefix, "tp")}
+        return {"w": P(*prefix, "tp", None), "b": P(*prefix, None)}
+    # packed quant layouts: leading axis = out
+    out_axis, in_axis = ("tp", None) if col_parallel else (None, "tp")
+    spec3 = P(*prefix, out_axis, in_axis, None)
+    spec2 = P(*prefix, out_axis, in_axis)
+    return {
+        "qs": spec3, "scale": spec3, "minv": spec3,  # gguf_q4k
+        "ql": spec3, "qh": spec3,  # gguf_q6k (scale shared above)
+        "q": spec2,  # gguf_q8_0 (its scale is 2D too)
+    } if kind != "gguf_q8_0" else {"q": spec2, "scale": spec2}
 
 
 def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
@@ -53,7 +63,7 @@ def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
         return lambda p: {k: P(*pre) for k in p}
 
     def map_linear(lin: Linear, col: bool, stacked: bool, expert: bool = False) -> Linear:
-        spec = _lin_spec(col, stacked, expert)
+        spec = _lin_spec(lin.kind, col, stacked, expert)
         data = {k: spec[k] for k in lin.data}
         return Linear(kind=lin.kind, shape=lin.shape, data=data)
 
@@ -103,17 +113,12 @@ def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
 
     return DecoderParams(
         embed=P("tp", None),  # vocab-parallel
-        layers=layer_specs(params.layers),
+        layer_groups=[layer_specs(g) for g in params.layer_groups],
         final_norm={k: P() for k in params.final_norm},
         lm_head=(
-            None
-            if params.lm_head is None
-            else Linear(
-                kind=params.lm_head.kind,
-                shape=params.lm_head.shape,
-                data={k: (P(None, "tp") if k == "w" else P("tp")) for k in params.lm_head.data},
-            )
+            None if params.lm_head is None else map_linear(params.lm_head, True, False)
         ),
+        group_sizes=params.group_sizes,
     )
 
 

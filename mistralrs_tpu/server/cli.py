@@ -60,21 +60,23 @@ def main(argv=None):
 
         mesh = make_mesh(dp=args.dp, tp=args.tp)
 
-    if args.which == "plain":
-        from mistralrs_tpu.api import Runner
+    from mistralrs_tpu.api import Runner
 
+    if args.which == "plain":
         dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
         runner = Runner(
-            args.model, dtype=dtype, isq=args.isq, pipeline_config=pc, mesh=mesh
+            args.model, dtype=dtype, isq=args.isq, topology=args.topology,
+            pipeline_config=pc, mesh=mesh,
         )
         model_id = args.model_id or args.model
     else:
-        from mistralrs_tpu.api import Runner
-        from mistralrs_tpu.pipeline.gguf import load_gguf_runner
+        from mistralrs_tpu.pipeline.gguf import load_gguf_model
+        from mistralrs_tpu.utils.tokenizer import TokenizerWrapper
 
-        runner = Runner.from_parts(
-            *load_gguf_runner(args.model, tokenizer_dir=args.tokenizer, pc=pc, mesh=mesh)
-        )
+        cfg, params, rope, tokenizer = load_gguf_model(args.model)
+        if args.tokenizer:
+            tokenizer = TokenizerWrapper.from_hf_dir(args.tokenizer)
+        runner = Runner.from_parts(cfg, params, rope, tokenizer, pc=pc, mesh=mesh)
         model_id = args.model_id or args.model[0]
 
     if args.interactive:

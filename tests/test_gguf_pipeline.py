@@ -1,0 +1,158 @@
+"""End-to-end GGUF: write a quantized tiny-llama GGUF, load it, serve it.
+
+The quantized engine's generation must match a dense model built from the
+*dequantized* weights exactly (same numbers, different storage). Mixed
+Q4_K/Q6_K per-layer kinds exercise the grouped-scan path (GGUF Q4_K_M
+alternates kinds across layers)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mistralrs_tpu.engine.engine import Engine
+from mistralrs_tpu.engine.sampler import SamplingParams
+from mistralrs_tpu.gguf.reader import GGMLType, GGUFFile
+from mistralrs_tpu.gguf.writer import write_gguf
+from mistralrs_tpu.models.config import ModelConfig
+from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+from mistralrs_tpu.pipeline.gguf import load_gguf_model
+from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+from mistralrs_tpu.quant import kquants
+
+H, I, L, HEADS, KV, V = 256, 512, 3, 4, 2, 96
+D = H // HEADS
+
+
+def _weights(seed=0):
+    rng = np.random.default_rng(seed)
+
+    def t(*shape):
+        return (rng.standard_normal(shape) * 0.05).astype(np.float32)
+
+    w = {"token_embd.weight": t(V, H), "output_norm.weight": np.ones(H, np.float32),
+         "output.weight": t(V, H)}
+    for i in range(L):
+        p = f"blk.{i}"
+        w[f"{p}.attn_q.weight"] = t(HEADS * D, H)
+        w[f"{p}.attn_k.weight"] = t(KV * D, H)
+        w[f"{p}.attn_v.weight"] = t(KV * D, H)
+        w[f"{p}.attn_output.weight"] = t(H, HEADS * D)
+        w[f"{p}.ffn_gate.weight"] = t(I, H)
+        w[f"{p}.ffn_up.weight"] = t(I, H)
+        w[f"{p}.ffn_down.weight"] = t(H, I)
+        w[f"{p}.attn_norm.weight"] = np.ones(H, np.float32)
+        w[f"{p}.ffn_norm.weight"] = np.ones(H, np.float32)
+    return w
+
+
+def _qtype_for(name: str, layer_mixed: bool) -> GGMLType:
+    if "norm" in name:
+        return GGMLType.F32
+    if layer_mixed:
+        # alternate kinds across layers like Q4_K_M does
+        if name.startswith("blk.1.") and ("ffn_down" in name or "attn_v" in name):
+            return GGMLType.Q6_K
+        if "ffn" in name or "attn" in name:
+            return GGMLType.Q4_K
+    return GGMLType.Q8_0
+
+
+def _write_model_gguf(path, weights, layer_mixed=True):
+    tensors = {}
+    for name, w in weights.items():
+        gt = _qtype_for(name, layer_mixed)
+        if gt == GGMLType.F32:
+            tensors[name] = (gt, w.shape, w)
+        else:
+            tensors[name] = (gt, w.shape, kquants.quantize(w, gt))
+    md = {
+        "general.architecture": "llama",
+        "llama.block_count": L,
+        "llama.embedding_length": H,
+        "llama.feed_forward_length": I,
+        "llama.attention.head_count": HEADS,
+        "llama.attention.head_count_kv": KV,
+        "llama.attention.layer_norm_rms_epsilon": 1e-5,
+        "llama.rope.freq_base": 10000.0,
+        "llama.context_length": 128,
+        "llama.vocab_size": V,
+    }
+    write_gguf(path, md, tensors)
+    return tensors
+
+
+def _dense_params_from_dequant(gguf_path):
+    """Build dense params from the GGUF's dequantized weights (exact baseline)."""
+    g = GGUFFile(gguf_path)
+    sd = {}
+    name_map = {
+        "token_embd.weight": "model.embed_tokens.weight",
+        "output_norm.weight": "model.norm.weight",
+        "output.weight": "lm_head.weight",
+    }
+    for i in range(L):
+        name_map.update({
+            f"blk.{i}.attn_q.weight": f"model.layers.{i}.self_attn.q_proj.weight",
+            f"blk.{i}.attn_k.weight": f"model.layers.{i}.self_attn.k_proj.weight",
+            f"blk.{i}.attn_v.weight": f"model.layers.{i}.self_attn.v_proj.weight",
+            f"blk.{i}.attn_output.weight": f"model.layers.{i}.self_attn.o_proj.weight",
+            f"blk.{i}.ffn_gate.weight": f"model.layers.{i}.mlp.gate_proj.weight",
+            f"blk.{i}.ffn_up.weight": f"model.layers.{i}.mlp.up_proj.weight",
+            f"blk.{i}.ffn_down.weight": f"model.layers.{i}.mlp.down_proj.weight",
+            f"blk.{i}.attn_norm.weight": f"model.layers.{i}.input_layernorm.weight",
+            f"blk.{i}.ffn_norm.weight": f"model.layers.{i}.post_attention_layernorm.weight",
+        })
+    for gname, hname in name_map.items():
+        sd[hname] = g.tensor_f32(gname)
+    cfg = ModelConfig(
+        arch="llama", vocab_size=V, hidden_size=H, intermediate_size=I, num_layers=L,
+        num_heads=HEADS, num_kv_heads=KV, head_dim=D, max_position_embeddings=128,
+    )
+    return cfg, params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+
+
+def _engine(cfg, params):
+    pipe = TextPipeline(
+        cfg, params, make_rope(cfg),
+        PipelineConfig(page_size=4, num_pages=64, max_seqs=2, max_model_len=128,
+                       prefill_buckets=(8, 16), dtype=jnp.float32),
+    )
+    return Engine(pipe, eos_token_ids=set())
+
+
+def test_gguf_end_to_end_matches_dequantized_dense(tmp_path):
+    path = str(tmp_path / "model.gguf")
+    _write_model_gguf(path, _weights())
+    cfg, params, rope, tok = load_gguf_model(path, dtype=jnp.float32)
+    assert cfg.num_layers == L and cfg.vocab_size == V
+    assert len(params.group_sizes) >= 2, "mixed kinds should split scan groups"
+
+    dcfg, dparams = _dense_params_from_dequant(path)
+    prompt = np.random.default_rng(1).integers(1, V - 1, size=11).tolist()
+    got, _ = _engine(cfg, params).generate(prompt, SamplingParams(max_len=8))
+    want, _ = _engine(dcfg, dparams).generate(prompt, SamplingParams(max_len=8))
+    assert got == want
+
+
+def test_gguf_tokenizer_conversion_unigram():
+    from mistralrs_tpu.gguf.tokenizer import convert_gguf_tokenizer
+
+    # tiny sentencepiece-like vocab with byte fallback
+    tokens = ["<unk>", "<s>", "</s>", "▁hello", "▁world", "lo", "l", "o", "▁h", "e"]
+    tokens += [f"<0x{i:02X}>" for i in range(256)]
+    scores = [0.0, 0.0, 0.0, -1.0, -1.5, -3.0, -5.0, -5.0, -4.0, -5.0] + [-10.0] * 256
+    ttypes = [2, 3, 3] + [1] * 7 + [6] * 256
+    md = {
+        "tokenizer.ggml.model": "llama",
+        "tokenizer.ggml.tokens": tokens,
+        "tokenizer.ggml.scores": np.asarray(scores, np.float32),
+        "tokenizer.ggml.token_type": np.asarray(ttypes, np.int32),
+        "tokenizer.ggml.bos_token_id": 1,
+        "tokenizer.ggml.eos_token_id": 2,
+        "tokenizer.ggml.unknown_token_id": 0,
+    }
+    tw = convert_gguf_tokenizer(md)
+    ids = tw.encode("hello world", add_special_tokens=False)
+    assert tw.decode(ids) == "hello world"
+    assert tw.eos_token_ids == {2}
+    assert tw.bos_token == "<s>"
