@@ -124,6 +124,21 @@ class Engine:
         v = cache.v.at[:, dst].set(cache.v[:, src])
         self.pipeline.cache = type(cache)(k=k, v=v)
 
+    @staticmethod
+    def _greedy_ok(seq: Sequence) -> bool:
+        """Eligible for the fused on-device argmax path (ref: argmax branch of
+        sampler.rs sample(); penalties/bias/processors change the argmax, and
+        logprob requests need the distribution)."""
+        p = seq.sampling
+        return (
+            p.temperature is None
+            and p.frequency_penalty is None
+            and p.presence_penalty is None
+            and not p.logits_bias
+            and not p.logits_processors
+            and not seq.return_logprobs
+        )
+
     def _prefill_one(self, seq: Sequence) -> None:
         # prefill over *all* tokens so far: after preempt-by-recompute the
         # prompt includes previously generated tokens (ref scheduler.rs:292)
@@ -131,17 +146,32 @@ class Engine:
         start = seq.prefill_done_tokens
         n = min(target - start, self.prefill_chunk)
         chunk = seq.tokens[start : start + n]
-        logits = self.pipeline.run_prefill_chunk(seq, chunk)
+        greedy = self._greedy_ok(seq)
+        out = self.pipeline.run_prefill_chunk(seq, chunk, greedy=greedy)
         if seq.prefill_done_tokens >= target:
             # final chunk: sample the next token
             if seq.prompt_timestamp is None:
                 seq.prompt_timestamp = time.monotonic()
             seq.state = SequenceState.RUNNING_COMPLETION
-            self._sample_and_emit([seq], logits[None])
+            if greedy:
+                self._emit_greedy([seq], out[:, None] if out.ndim == 1 else out)
+            else:
+                self._sample_and_emit([seq], out[None])
 
     def _decode_batch(self, seqs: list[Sequence]) -> None:
-        logits = self.pipeline.run_decode(seqs)
-        self._sample_and_emit(seqs, logits)
+        if all(self._greedy_ok(s) for s in seqs):
+            pack = self.pipeline.run_decode(seqs, greedy=True)
+            self._emit_greedy(seqs, pack)
+        else:
+            logits = self.pipeline.run_decode(seqs)
+            self._sample_and_emit(seqs, logits)
+
+    def _emit_greedy(self, seqs: list[Sequence], pack: np.ndarray) -> None:
+        from mistralrs_tpu.engine.sampler import Logprobs
+
+        for i, seq in enumerate(seqs):
+            lp = Logprobs(token=int(pack[0, i]), logprob=float(pack[1, i]))
+            self._postprocess_token(seq, lp)
 
     def _sample_and_emit(self, seqs: list[Sequence], logits: np.ndarray) -> None:
         results = sample_batch(
@@ -152,17 +182,20 @@ class Engine:
             [s.return_logprobs for s in seqs],
         )
         for seq, lp in zip(seqs, results):
-            seq.add_token(lp)
-            reason = seq.check_done()
-            stream = getattr(seq, "stream", None)
-            if reason is not None:
-                seq.finish(reason)
-                if stream:
-                    stream(seq, seq.get_delta(), reason.value)
-            elif stream:
-                delta = seq.get_delta()
-                if delta:
-                    stream(seq, delta, None)
+            self._postprocess_token(seq, lp)
+
+    def _postprocess_token(self, seq: Sequence, lp) -> None:
+        seq.add_token(lp)
+        reason = seq.check_done()
+        stream = getattr(seq, "stream", None)
+        if reason is not None:
+            seq.finish(reason)
+            if stream:
+                stream(seq, seq.get_delta(), reason.value)
+        elif stream:
+            delta = seq.get_delta()
+            if delta:
+                stream(seq, delta, None)
 
     def _finish_done(self) -> None:
         self.scheduler.free_finished()

@@ -44,15 +44,16 @@ def _lin_spec(kind: str, col_parallel: bool, stacked: bool, expert: bool = False
         if col_parallel:
             return {"w": P(*prefix, None, "tp"), "b": P(*prefix, "tp")}
         return {"w": P(*prefix, "tp", None), "b": P(*prefix, None)}
-    # packed quant layouts: leading axis = out
-    out_axis, in_axis = ("tp", None) if col_parallel else (None, "tp")
-    spec3 = P(*prefix, out_axis, in_axis, None)
-    spec2 = P(*prefix, out_axis, in_axis)
-    return {
-        "qs": spec3, "scale": spec3, "minv": spec3,  # gguf_q4k
-        "ql": spec3, "qh": spec3,  # gguf_q6k (scale shared above)
-        "q": spec2,  # gguf_q8_0 (its scale is 2D too)
-    } if kind != "gguf_q8_0" else {"q": spec2, "scale": spec2}
+    bias = P(*prefix, "tp") if col_parallel else P(*prefix, None)
+    if kind in ("gguf_q4k", "gguf_q8_0"):
+        # K-major 2D arrays [in-blocks, out]
+        spec2 = P(*prefix, None, "tp") if col_parallel else P(*prefix, "tp", None)
+        return {"qs": spec2, "scale": spec2, "minv": spec2, "q": spec2, "b": bias}
+    # gguf_q6k: O-major 3D arrays [out, in-blocks, sub]
+    spec3 = (
+        P(*prefix, "tp", None, None) if col_parallel else P(*prefix, None, "tp", None)
+    )
+    return {"ql": spec3, "qh": spec3, "scale": spec3, "b": bias}
 
 
 def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:

@@ -89,12 +89,18 @@ class TextPipeline:
             B = ids.shape[0]
             h_last = h[jnp.arange(B), last_idx]  # [B, E]
             logits = compute_logits(params, cfg, h_last)  # [B, V] f32
-            return logits, cache
+            # greedy fast path rides along: fetching [2, B] instead of the
+            # full logits avoids the large device->host copy per decode step
+            # (ref pipeline/mod.rs:308-314 copies logits to CPU every step)
+            top = jnp.argmax(logits, axis=-1)
+            chosen = jnp.take_along_axis(logits, top[:, None], axis=-1)[:, 0]
+            greedy_pack = jnp.stack([top.astype(jnp.float32), chosen])
+            return logits, greedy_pack, cache
 
         return step
 
     def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx):
-        logits, self.cache = self._step_fn(
+        logits, greedy_pack, self.cache = self._step_fn(
             self.params,
             self.cache,
             jnp.asarray(ids),
@@ -105,6 +111,7 @@ class TextPipeline:
             jnp.asarray(active),
             jnp.asarray(last_idx),
         )
+        self.last_greedy_pack = greedy_pack  # device array; fetched on demand
         return logits
 
     # ------------------------------------------------------------- helpers
@@ -119,8 +126,12 @@ class TextPipeline:
         return page * self.pc.page_size + pos % self.pc.page_size
 
     # ------------------------------------------------------------- decode
-    def run_decode(self, seqs: list[Sequence]) -> np.ndarray:
-        """One decode token for each seq. Returns logits [len(seqs), V]."""
+    def run_decode(self, seqs: list[Sequence], greedy: bool = False) -> np.ndarray:
+        """One decode token for each seq.
+
+        Returns logits [len(seqs), V], or with greedy=True the fused-argmax
+        pack [2, len(seqs)] (row 0 token ids, row 1 their raw logits) — a
+        tiny host fetch instead of the full logits."""
         B = self.pc.max_seqs
         assert len(seqs) <= B
         ids = np.zeros((B, 1), np.int32)
@@ -141,15 +152,18 @@ class TextPipeline:
         logits = self._run(ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx)
         for seq in seqs:
             seq.kv_len += 1
+        if greedy:
+            return np.asarray(self.last_greedy_pack)[:, : len(seqs)]
         return np.asarray(logits)[: len(seqs)]
 
     # ------------------------------------------------------------- prefill
-    def run_prefill_chunk(self, seq: Sequence, chunk: list[int]) -> np.ndarray:
+    def run_prefill_chunk(self, seq: Sequence, chunk: list[int], greedy: bool = False) -> np.ndarray:
         """Prefill `chunk` tokens (continuing at seq.prefill_done_tokens).
 
         Returns logits [V] at the last chunk position (meaningful only for
-        the final chunk). Ref: make_prompt_chunk / prompt_batchsize
-        chunking (inputs_processor.rs:111-260).
+        the final chunk); with greedy=True, the [2] fused-argmax pack.
+        Ref: make_prompt_chunk / prompt_batchsize chunking
+        (inputs_processor.rs:111-260).
         """
         T = _next_bucket(len(chunk), self.pc.prefill_buckets)
         start = seq.prefill_done_tokens
@@ -171,4 +185,6 @@ class TextPipeline:
         logits = self._run(ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx)
         seq.prefill_done_tokens = start + n
         seq.kv_len = start + n
+        if greedy:
+            return np.asarray(self.last_greedy_pack)[:, 0]
         return np.asarray(logits)[0]

@@ -4,20 +4,24 @@ Reference parity: mistralrs-quant `GgufMatMul` (QMatMul over k-quant blocks)
 — the packed weights stay packed in device memory and are dequantized inside
 the matmul, which is the whole HBM-bandwidth win (SURVEY.md §7 hard part 2).
 
-Device layouts (chosen for TPU kernels; load-time converted from GGUF):
+Device layouts (chosen for TPU kernels; load-time converted from GGUF).
+All Pallas-served formats are stored K-MAJOR (contraction dim on sublanes,
+`out` on lanes) so kernel tiles satisfy the (8,128) constraints with no
+in-kernel transposes and the dequantized tile feeds the MXU directly:
 - kind "gguf_q4k"  (Q4_K): per 256-elem super-block along `in`:
-    qs     uint8 [out, nblk, 128]  packed nibbles (native ggml order)
-    scale  f32->bf16 [out, nblk, 8]  d * 6-bit sub-scale   (precomputed)
-    minv   bf16 [out, nblk, 8]       dmin * 6-bit sub-min  (precomputed)
-  w[o, 256*b + g*32 + j] = scale[o,b,sub] * q - minv[o,b,sub]; the +12.5%
-  bytes vs the 144-byte wire format buys a shift/and-only kernel inner loop.
+    qs     uint8 [in/2, out]   packed nibbles (ggml chunk order along in)
+    scale  bf16  [in/32, out]  d * 6-bit sub-scale   (precomputed)
+    minv   bf16  [in/32, out]  dmin * 6-bit sub-min  (precomputed)
+  w[256*b + 64*c + j, o] from nibble lo/hi of byte row 128*b + 32*c + j;
+  the +12.5% bytes vs the 144-byte wire format buys a shift/and-only
+  kernel inner loop.
 - kind "gguf_q6k"  (Q6_K): ql nibbles + qh 2-bit planes, per-16 sub-scales:
     ql     uint8 [out, nblk, 64]   per 128-half packed low nibbles
     qh     uint8 [out, nblk, 32]   packed 2-bit highs
     scale  bf16  [out, nblk, 16]   d * int8 sub-scale (per 16 elems)
   (packed as [out, nblk(2 halves merged)]: we keep halves explicit in nblk
   axis by storing nblk = elems/128 half-blocks.)
-- kind "gguf_q8_0" (Q8_0): q int8 [out, in], scale bf16 [out, in/32].
+- kind "gguf_q8_0" (Q8_0): q int8 [in, out], scale bf16 [in/32, out].
 - anything else: dequantized to bf16 at load (kind "dense") — correct but
   pays full bf16 HBM traffic; native kernels are added format by format.
 
@@ -41,22 +45,25 @@ from mistralrs_tpu.quant.qlinear import Linear, make_dense, register_kind
 
 
 def pack_q4k(raw: np.ndarray, out_features: int, in_features: int, dtype=jnp.bfloat16) -> Linear:
-    """GGUF Q4_K wire blocks -> device layout. raw: uint8 of (out, in) tensor."""
+    """GGUF Q4_K wire blocks -> K-major device layout. raw: uint8 of (out, in)."""
     nblk = in_features // 256
     b = raw.reshape(out_features, nblk, 144)
     d = b[:, :, 0:2].copy().view(np.float16).astype(np.float32)  # [out, nblk, 1]
     dmin = b[:, :, 2:4].copy().view(np.float16).astype(np.float32)
     sc, mn = kquants._unpack_scales_k4(b[:, :, 4:16])  # [out, nblk, 8] uint8
     qs = b[:, :, 16:144]  # [out, nblk, 128]
-    scale = d * sc.astype(np.float32)
+    scale = d * sc.astype(np.float32)  # [out, nblk, 8]
     minv = dmin * mn.astype(np.float32)
+    qs_t = np.ascontiguousarray(qs.transpose(1, 2, 0).reshape(nblk * 128, out_features))
+    scale_t = np.ascontiguousarray(scale.transpose(1, 2, 0).reshape(nblk * 8, out_features))
+    minv_t = np.ascontiguousarray(minv.transpose(1, 2, 0).reshape(nblk * 8, out_features))
     return Linear(
         kind="gguf_q4k",
         shape=(in_features, out_features),
         data={
-            "qs": jnp.asarray(qs),
-            "scale": jnp.asarray(scale, dtype),
-            "minv": jnp.asarray(minv, dtype),
+            "qs": jnp.asarray(qs_t),
+            "scale": jnp.asarray(scale_t, dtype),
+            "minv": jnp.asarray(minv_t, dtype),
         },
     )
 
@@ -90,7 +97,10 @@ def pack_q8_0(raw: np.ndarray, out_features: int, in_features: int, dtype=jnp.bf
     return Linear(
         kind="gguf_q8_0",
         shape=(in_features, out_features),
-        data={"q": jnp.asarray(q), "scale": jnp.asarray(d, dtype)},
+        data={
+            "q": jnp.asarray(np.ascontiguousarray(q.T)),
+            "scale": jnp.asarray(np.ascontiguousarray(d.T), dtype),
+        },
     )
 
 
@@ -118,16 +128,17 @@ def linear_from_gguf(
 
 def dequant_q4k_weights(lin: Linear, dtype) -> jax.Array:
     """[out, in] dequantized — reference path; the Pallas kernel fuses this."""
-    qs = lin.data["qs"]  # [out, nblk, 128] uint8
-    out_f, nblk, _ = qs.shape
-    lo = (qs & 0xF).astype(dtype)
-    hi = (qs >> 4).astype(dtype)
-    # chunk c of 32 bytes -> elems (64c..64c+31) low, (64c+32..64c+63) high
-    q = jnp.stack([lo.reshape(out_f, nblk, 4, 32), hi.reshape(out_f, nblk, 4, 32)], axis=3)
-    scale = lin.data["scale"].astype(dtype).reshape(out_f, nblk, 4, 2, 1)
-    minv = lin.data["minv"].astype(dtype).reshape(out_f, nblk, 4, 2, 1)
-    w = q * scale - minv
-    return w.reshape(out_f, nblk * 256)
+    qs = lin.data["qs"]  # [in/2, out] uint8, K-major
+    in_half, out_f = qs.shape
+    nchunk = in_half // 32  # 32-byte chunks -> 64 elems each
+    lo = (qs & 0xF).astype(dtype).reshape(nchunk, 32, out_f)
+    hi = (qs >> 4).astype(dtype).reshape(nchunk, 32, out_f)
+    q = jnp.concatenate([lo, hi], axis=1)  # [nchunk, 64, out]
+    q = q.reshape(nchunk * 64, out_f)  # [in, out] in ggml order
+    scale = jnp.repeat(lin.data["scale"].astype(dtype), 32, axis=0)  # [in, out]
+    minv = jnp.repeat(lin.data["minv"].astype(dtype), 32, axis=0)
+    w_t = q * scale - minv  # [in, out]
+    return w_t.T
 
 
 def dequant_q6k_weights(lin: Linear, dtype) -> jax.Array:
@@ -151,11 +162,10 @@ def dequant_q6k_weights(lin: Linear, dtype) -> jax.Array:
 
 
 def dequant_q8_0_weights(lin: Linear, dtype) -> jax.Array:
-    q = lin.data["q"]  # [out, in] int8
-    out_f, in_f = q.shape
-    scale = lin.data["scale"].astype(dtype)  # [out, in/32]
-    w = q.astype(dtype).reshape(out_f, in_f // 32, 32) * scale[:, :, None]
-    return w.reshape(out_f, in_f)
+    q = lin.data["q"]  # [in, out] int8, K-major
+    in_f, out_f = q.shape
+    scale = jnp.repeat(lin.data["scale"].astype(dtype), 32, axis=0)  # [in, out]
+    return (q.astype(dtype) * scale).T
 
 
 DEQUANT_WEIGHTS = {

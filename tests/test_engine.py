@@ -36,21 +36,27 @@ class FakePipeline:
         logits[(last_token + 1) % self.VOCAB] = 10.0
         return logits
 
-    def run_decode(self, seqs):
+    @staticmethod
+    def _pack(logits2d):
+        top = logits2d.argmax(-1)
+        return np.stack([top.astype(np.float32), logits2d[np.arange(len(top)), top]])
+
+    def run_decode(self, seqs, greedy=False):
         self.decode_calls += 1
         assert len(seqs) <= self.pc.max_seqs
         out = np.stack([self._logits_for(s.tokens[-1]) for s in seqs])
         for s in seqs:
             assert s.block_table, "decode without pages"
             s.kv_len += 1
-        return out
+        return self._pack(out) if greedy else out
 
-    def run_prefill_chunk(self, seq, chunk):
+    def run_prefill_chunk(self, seq, chunk, greedy=False):
         self.prefill_calls += 1
         assert len(chunk) <= self.pc.prefill_buckets[-1]
         seq.prefill_done_tokens += len(chunk)
         seq.kv_len = seq.prefill_done_tokens
-        return self._logits_for(chunk[-1])
+        logits = self._logits_for(chunk[-1])
+        return self._pack(logits[None])[:, 0] if greedy else logits
 
 
 def make_engine(pc=None, **kw):
