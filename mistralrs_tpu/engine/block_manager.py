@@ -42,9 +42,11 @@ class BlockManager:
         return (num_tokens + self.page_size - 1) // self.page_size
 
     def can_allocate(self, seq: Sequence) -> AllocStatus:
-        need = self.pages_needed(len(seq.tokens))
-        if need > self.num_pages - 1:
+        total = self.pages_needed(len(seq.tokens))
+        if total > self.num_pages - 1:
             return AllocStatus.IMPOSSIBLE
+        # pages already attached (prefix-cache hit) don't need allocating
+        need = total - len(seq.block_table)
         if self.num_free - need >= self.watermark_pages:
             return AllocStatus.OK
         return AllocStatus.LATER
@@ -63,10 +65,12 @@ class BlockManager:
         return page
 
     def allocate(self, seq: Sequence) -> None:
-        """Allocate pages to cover seq's current tokens (prefill admission)."""
-        need = self.pages_needed(len(seq.tokens))
+        """Allocate pages to cover seq's current tokens (prefill admission).
+
+        Extends past any prefix-cache pages already attached to the table."""
+        need = self.pages_needed(len(seq.tokens)) - len(seq.block_table)
         assert len(self.free_pages) >= need
-        seq.block_table = [self._alloc_page() for _ in range(need)]
+        seq.block_table.extend(self._alloc_page() for _ in range(need))
 
     def append_slot(self, seq: Sequence) -> tuple[int, int] | None:
         """Ensure capacity for one more token at kv position seq.kv_len.

@@ -23,6 +23,7 @@ from typing import Any, Callable
 import numpy as np
 
 from mistralrs_tpu.engine.block_manager import BlockManager
+from mistralrs_tpu.engine.prefix_cache import PrefixCacheManager
 from mistralrs_tpu.engine.sampler import SamplingParams, sample_batch
 from mistralrs_tpu.engine.scheduler import Scheduler
 from mistralrs_tpu.engine.sequence import (
@@ -54,11 +55,20 @@ class Engine:
         eos_token_ids: set[int] = frozenset(),
         detokenizer: Callable[[list[int]], str] | None = None,
         seed: int = 0,
+        prefix_cache: bool = True,
+        prefix_cache_pages: int | None = None,
     ):
         self.pipeline = pipeline
         pc = pipeline.pc
         self.block_manager = BlockManager(pc.num_pages, pc.page_size)
-        self.scheduler = Scheduler(self.block_manager, max_seqs=pc.max_seqs)
+        self.prefix_cacher = (
+            PrefixCacheManager(self.block_manager, max_pages=prefix_cache_pages)
+            if prefix_cache
+            else None
+        )
+        self.scheduler = Scheduler(
+            self.block_manager, max_seqs=pc.max_seqs, prefix_cacher=self.prefix_cacher
+        )
         self.eos_token_ids = set(eos_token_ids)
         self.detokenizer = detokenizer
         # ref: engine-global seeded rng (engine/mod.rs:37 SEED=0)

@@ -36,10 +36,11 @@ class SchedulerOutput:
 
 class Scheduler:
     def __init__(self, block_manager: BlockManager, max_seqs: int = 16,
-                 prefill_batch: int = 1):
+                 prefill_batch: int = 1, prefix_cacher=None):
         self.bm = block_manager
         self.max_seqs = max_seqs
         self.prefill_batch = prefill_batch
+        self.prefix_cacher = prefix_cacher  # PrefixCacheManager | None
         self.waiting: deque[Sequence] = deque()
         self.running: list[Sequence] = []
 
@@ -75,7 +76,19 @@ class Scheduler:
         admitted: list[Sequence] = []
         while self.waiting and len(self.running) + len(admitted) < self.max_seqs:
             seq = self.waiting[0]
+            # prefix-cache hit: attach shared pages, skip their prefill
+            # (ref engine/mod.rs:562 -> prefix_cacher.rs:163)
+            if self.prefix_cacher is not None and not seq.block_table and seq.kv_len == 0:
+                matched, pages = self.prefix_cacher.match(seq.tokens)
+                if matched:
+                    self.bm.share_prefix(seq, pages)
+                    seq.kv_len = seq.prefill_done_tokens = matched
             status = self.bm.can_allocate(seq)
+            if status == AllocStatus.LATER and self.prefix_cacher is not None:
+                # reclaim cold cached prefixes before giving up (ref evict :91)
+                need = self.bm.pages_needed(len(seq.tokens)) - len(seq.block_table)
+                if self.prefix_cacher.evict(need - self.bm.num_free + self.bm.watermark_pages):
+                    status = self.bm.can_allocate(seq)
             if status == AllocStatus.IMPOSSIBLE:
                 self.waiting.popleft()
                 seq.finish_error = "prompt longer than KV pool"  # engine reports
@@ -102,6 +115,8 @@ class Scheduler:
             if seq in preempted:
                 continue
             while not self.bm.can_append_token(seq):
+                if self.prefix_cacher is not None and self.prefix_cacher.evict(1):
+                    continue
                 victim = None
                 for cand in reversed(live):
                     if cand is not seq and cand not in preempted and cand not in scheduled:
@@ -133,6 +148,10 @@ class Scheduler:
     def free_finished(self) -> list[Sequence]:
         done = [s for s in self.running if s.is_finished()]
         for s in done:
+            # retain the finished sequence's full pages as a cached prefix
+            # (ref sampling.rs finish path -> prefix_cacher.add_sequence :58)
+            if self.prefix_cacher is not None:
+                self.prefix_cacher.insert(s.tokens, s.block_table, s.kv_len)
             self.bm.free_sequence(s)
             self.running.remove(s)
         return done
