@@ -51,12 +51,12 @@ class BlockManager:
             return AllocStatus.OK
         return AllocStatus.LATER
 
-    def can_append_token(self, seq: Sequence) -> bool:
-        """True if a one-token append is satisfiable (worst case: new page)."""
-        kv = seq.kv_len
-        if kv % self.page_size == 0 and kv > 0:
-            return self.num_free >= 1
-        return True if seq.block_table else self.num_free >= 1
+    def can_append_token(self, seq: Sequence, n: int = 1) -> bool:
+        """True if an n-token append is satisfiable (n>1: speculative
+        lookahead, reserving the whole draft span before the step)."""
+        end_pages = self.pages_needed(seq.kv_len + n)
+        need = max(0, end_pages - len(seq.block_table))
+        return self.num_free >= need
 
     # ------------------------------------------------------------- mutation
     def _alloc_page(self) -> int:
@@ -72,24 +72,30 @@ class BlockManager:
         assert len(self.free_pages) >= need
         seq.block_table.extend(self._alloc_page() for _ in range(need))
 
-    def append_slot(self, seq: Sequence) -> tuple[int, int] | None:
-        """Ensure capacity for one more token at kv position seq.kv_len.
+    def append_slot(self, seq: Sequence, n: int = 1) -> tuple[int, int] | None:
+        """Ensure capacity for n more tokens at kv positions
+        [seq.kv_len, seq.kv_len + n).
 
-        Returns (src_page, dst_page) if a COW copy is required (shared last
-        page), else None. (Ref append_token_slot_to_seq :300-330.)
+        Returns (src_page, dst_page) if a COW copy is required (first write
+        lands in a shared page), else None. Pages past the first write are
+        always freshly allocated, never shared.
+        (Ref append_token_slot_to_seq :300-330.)
         """
         kv = seq.kv_len
-        if kv % self.page_size == 0 and kv // self.page_size >= len(seq.block_table):
+        cow: tuple[int, int] | None = None
+        first_idx = kv // self.page_size
+        if kv % self.page_size != 0 and first_idx < len(seq.block_table):
+            page = seq.block_table[first_idx]
+            if self.refcount.get(page, 1) > 1:
+                # copy-on-write: replace the shared page with a fresh copy
+                new = self._alloc_page()
+                self.refcount[page] -= 1
+                seq.block_table[first_idx] = new
+                cow = (page, new)
+        end_pages = self.pages_needed(kv + n)
+        while len(seq.block_table) < end_pages:
             seq.block_table.append(self._alloc_page())
-            return None
-        last = seq.block_table[-1]
-        if self.refcount.get(last, 1) > 1:
-            # copy-on-write: replace shared last page with a fresh copy
-            new = self._alloc_page()
-            self.refcount[last] -= 1
-            seq.block_table[-1] = new
-            return (last, new)
-        return None
+        return cow
 
     def fork(self, parent: Sequence, child: Sequence) -> None:
         """Share parent's pages with child (prefix cache / beam fork)."""

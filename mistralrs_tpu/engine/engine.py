@@ -60,6 +60,11 @@ class Engine:
     ):
         self.pipeline = pipeline
         pc = pipeline.pc
+        self.is_speculative = getattr(pipeline, "is_speculative", False)
+        if self.is_speculative:
+            # shared prefix pages would leave the draft cache inconsistent
+            # (ref disables prefix caching in composite pipelines too)
+            prefix_cache = False
         self.block_manager = BlockManager(pc.num_pages, pc.page_size)
         self.prefix_cacher = (
             PrefixCacheManager(self.block_manager, max_pages=prefix_cache_pages)
@@ -67,7 +72,10 @@ class Engine:
             else None
         )
         self.scheduler = Scheduler(
-            self.block_manager, max_seqs=pc.max_seqs, prefix_cacher=self.prefix_cacher
+            self.block_manager,
+            max_seqs=pc.max_seqs,
+            prefix_cacher=self.prefix_cacher,
+            lookahead=(pipeline.gamma + 1) if self.is_speculative else 1,
         )
         self.eos_token_ids = set(eos_token_ids)
         self.detokenizer = detokenizer
@@ -125,6 +133,9 @@ class Engine:
     # ------------------------------------------------------------- internals
     def _execute_copies(self, ops: list[tuple[int, int]]) -> None:
         """COW page copies (ref cache_engine.rs copy :205)."""
+        if hasattr(self.pipeline, "apply_copies"):
+            self.pipeline.apply_copies(ops)
+            return
         import jax.numpy as jnp
 
         cache = self.pipeline.cache
@@ -169,6 +180,15 @@ class Engine:
                 self._sample_and_emit([seq], out[None])
 
     def _decode_batch(self, seqs: list[Sequence]) -> None:
+        if self.is_speculative:
+            greedy = all(self._greedy_ok(s) for s in seqs)
+            results = self.pipeline.speculative_step(seqs, self.rng, greedy)
+            for seq, lps in zip(seqs, results):
+                for lp in lps:
+                    if seq.is_finished():
+                        break
+                    self._postprocess_token(seq, lp)
+            return
         if all(self._greedy_ok(s) for s in seqs):
             pack = self.pipeline.run_decode(seqs, greedy=True)
             self._emit_greedy(seqs, pack)

@@ -84,7 +84,9 @@ class PrefixCacheManager:
         the existing page (dedup), so forked children collapse to one entry.
         """
         ps = self.page_size
-        n_full = min(kv_len // ps, len(block_table))
+        # kv_len can exceed len(tokens) when a sequence finished mid-span
+        # (speculative decoding); only token-backed pages are cacheable
+        n_full = min(min(kv_len, len(tokens)) // ps, len(block_table))
         level = self._root
         parent: _Node | None = None
         tick = next(self._clock)

@@ -141,6 +141,40 @@ class Sampler:
             top_logprobs=self._top_from_probs(probs, order) if return_logprobs else None,
         )
 
+    def probs(self, logits: np.ndarray, context: Sequence[int]) -> np.ndarray | None:
+        """Normalized distribution after the full processing pipeline
+        (penalties -> processors -> temperature -> softmax -> top-k/p/min-p),
+        for speculative rejection sampling (ref speculative.rs :471-487 +
+        sampler.rs sample_speculative). Returns None on the argmax path."""
+        p = self.p
+        if p.temperature is None:
+            return None
+        logits = self._apply_penalties(logits.astype(np.float32), context)
+        logits = self._processors(logits, context)
+        x = logits / p.temperature
+        x = x - x.max()
+        probs = np.exp(x)
+        probs /= probs.sum()
+        order = np.argsort(-probs, kind="stable")
+        top_k = p.top_k if p.top_k and p.top_k > 0 else 0
+        if top_k > 0 and top_k < probs.shape[-1]:
+            probs[order[top_k:]] = 0.0
+        top_p = p.top_p if p.top_p is not None else 1.0
+        if 0.0 < top_p < 1.0:
+            cums = np.cumsum(probs[order])
+            cut = cums - probs[order] >= top_p
+            probs[order[cut]] = 0.0
+            min_p = p.min_p if p.min_p is not None else 0.0
+            if 0.0 < min_p < 1.0:
+                max_p = probs[order[0]]
+                probs[probs <= max_p * min_p] = 0.0
+        total = probs.sum()
+        if total <= 0:
+            probs[:] = 0.0
+            probs[order[0]] = 1.0
+            return probs
+        return probs / total
+
     def _top_from(self, logits: np.ndarray) -> list[TopLogprob]:
         n = self.p.top_n_logprobs
         if n <= 0:

@@ -36,11 +36,13 @@ class SchedulerOutput:
 
 class Scheduler:
     def __init__(self, block_manager: BlockManager, max_seqs: int = 16,
-                 prefill_batch: int = 1, prefix_cacher=None):
+                 prefill_batch: int = 1, prefix_cacher=None, lookahead: int = 1):
         self.bm = block_manager
         self.max_seqs = max_seqs
         self.prefill_batch = prefill_batch
         self.prefix_cacher = prefix_cacher  # PrefixCacheManager | None
+        # tokens reserved per decode step (>1 for speculative draft spans)
+        self.lookahead = lookahead
         self.waiting: deque[Sequence] = deque()
         self.running: list[Sequence] = []
 
@@ -114,7 +116,7 @@ class Scheduler:
         for seq in live:
             if seq in preempted:
                 continue
-            while not self.bm.can_append_token(seq):
+            while not self.bm.can_append_token(seq, self.lookahead):
                 if self.prefix_cacher is not None and self.prefix_cacher.evict(1):
                     continue
                 victim = None
@@ -128,7 +130,7 @@ class Scheduler:
                 if victim is seq:
                     break
             else:
-                cow = self.bm.append_slot(seq)
+                cow = self.bm.append_slot(seq, self.lookahead)
                 if cow is not None:
                     copy_ops.append(cow)
                 scheduled.append(seq)
@@ -140,6 +142,7 @@ class Scheduler:
         """Preempt by recompute: drop pages, requeue at front (ref :292)."""
         self.bm.free_sequence(seq)
         seq.kv_len = 0
+        seq.draft_kv_len = 0
         seq.prefill_done_tokens = 0
         seq.state = SequenceState.WAITING
         preempted.append(seq)

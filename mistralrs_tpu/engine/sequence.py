@@ -88,8 +88,14 @@ class Sequence:
         self.timestamp = time.monotonic()
         self.prompt_timestamp: float | None = None
         self.completion_timestamp: float | None = None
-        # speculative decoding bookkeeping
-        self.kv_len = 0  # valid kv entries currently in cache
+        # valid kv entries currently in cache (target model)
+        self.kv_len = 0
+        # speculative decoding bookkeeping: valid kv entries in the draft
+        # model's cache (ref sequence.rs draft caches; rollback = counter
+        # rewind with paged KV, SURVEY.md §7 hard part 5)
+        self.draft_kv_len = 0
+        self.spec_proposed = 0  # draft tokens proposed
+        self.spec_accepted = 0  # draft tokens accepted by the target
 
     # ------------------------------------------------------------- properties
     @property

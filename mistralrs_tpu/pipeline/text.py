@@ -71,6 +71,7 @@ class TextPipeline:
         self.params = params
         self.cache = cache
         self._step_fn = self._build_step_fn()
+        self._verify_fn = None  # built lazily (speculative decoding only)
 
     # ------------------------------------------------------------- jit steps
     def _build_step_fn(self):
@@ -98,6 +99,95 @@ class TextPipeline:
             return logits, greedy_pack, cache
 
         return step
+
+    def _build_verify_fn(self):
+        """Like the step fn but returns logits at *every* fed position —
+        the target-model pass of speculative decoding scores all gamma
+        draft tokens plus the bonus position in one MXU-friendly batched
+        call (ref speculative.rs :419-487)."""
+        cfg, rope = self.cfg, self.rope
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def verify(params, cache, ids, positions, slot_mapping, block_tables, kv_lens, active):
+            meta = PagedAttnMeta(
+                positions=positions,
+                slot_mapping=slot_mapping,
+                block_tables=block_tables,
+                kv_lens=kv_lens,
+                active=active,
+            )
+            h, cache = decoder_forward(params, cfg, rope, ids, cache, meta)
+            logits = compute_logits(params, cfg, h)  # [B, W, V] f32
+            top = jnp.argmax(logits, axis=-1)  # [B, W]
+            chosen = jnp.take_along_axis(logits, top[..., None], axis=-1)[..., 0]
+            pack = jnp.stack([top.astype(jnp.float32), chosen])  # [2, B, W]
+            return logits, pack, cache
+
+        return verify
+
+    def run_span(
+        self,
+        rows: list[tuple[list[int], int, np.ndarray]],
+        width: int,
+        *,
+        all_positions: bool = False,
+        greedy: bool = False,
+    ):
+        """Batched multi-token feed: row = (tokens, start_pos, block_table_row);
+        row tokens are written to the KV cache at positions start_pos.. and
+        attended causally. With all_positions=True returns logits at every fed
+        position (target verify); otherwise only at each row's last real
+        position (draft steps / catch-up). No Sequence state is mutated.
+        """
+        B = self.pc.max_seqs
+        n = len(rows)
+        assert n <= B
+        W = width
+        ids = np.zeros((B, W), np.int32)
+        positions = np.zeros((B, W), np.int32)
+        slot_mapping = np.zeros((B, W), np.int32)  # page-0 garbage for padding
+        block_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        kv_lens = np.ones((B,), np.int32)
+        active = np.zeros((B,), np.float32)
+        last_idx = np.zeros((B,), np.int32)
+        ps = self.pc.page_size
+        for i, (toks, start, table_row) in enumerate(rows):
+            m = len(toks)
+            assert 0 < m <= W
+            ids[i, :m] = toks
+            positions[i, :m] = np.arange(start, start + m)
+            for j in range(m):
+                pos = start + j
+                slot_mapping[i, j] = table_row[pos // ps] * ps + pos % ps
+            block_tables[i, : len(table_row)] = table_row[: self.max_pages_per_seq]
+            # padded-width trick (see run_prefill_chunk): q_offset = kv_lens - W
+            kv_lens[i] = start + W
+            active[i] = 1.0
+            last_idx[i] = m - 1
+        if all_positions:
+            if self._verify_fn is None:
+                self._verify_fn = self._build_verify_fn()
+            logits, pack, self.cache = self._verify_fn(
+                self.params, self.cache,
+                jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(slot_mapping),
+                jnp.asarray(block_tables), jnp.asarray(kv_lens), jnp.asarray(active),
+            )
+            if greedy:
+                return np.asarray(pack)[:, :n]
+            return np.asarray(logits)[:n]
+        logits = self._run(ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx)
+        if greedy:
+            return np.asarray(self.last_greedy_pack)[:, :n]
+        return np.asarray(logits)[:n]
+
+    def apply_copies(self, ops: list[tuple[int, int]]) -> None:
+        """COW page copies (ref cache_engine.rs copy :205)."""
+        cache = self.cache
+        src = jnp.asarray([s for s, _ in ops], jnp.int32)
+        dst = jnp.asarray([d for _, d in ops], jnp.int32)
+        k = cache.k.at[:, dst].set(cache.k[:, src])
+        v = cache.v.at[:, dst].set(cache.v[:, src])
+        self.cache = type(cache)(k=k, v=v)
 
     def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx):
         logits, greedy_pack, self.cache = self._step_fn(
@@ -157,7 +247,10 @@ class TextPipeline:
         return np.asarray(logits)[: len(seqs)]
 
     # ------------------------------------------------------------- prefill
-    def run_prefill_chunk(self, seq: Sequence, chunk: list[int], greedy: bool = False) -> np.ndarray:
+    def run_prefill_chunk(
+        self, seq: Sequence, chunk: list[int], greedy: bool = False,
+        advance_state: bool = True,
+    ) -> np.ndarray:
         """Prefill `chunk` tokens (continuing at seq.prefill_done_tokens).
 
         Returns logits [V] at the last chunk position (meaningful only for
@@ -183,8 +276,9 @@ class TextPipeline:
         active = np.ones((1,), np.float32)
         last_idx = np.asarray([n - 1], np.int32)
         logits = self._run(ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx)
-        seq.prefill_done_tokens = start + n
-        seq.kv_len = start + n
+        if advance_state:
+            seq.prefill_done_tokens = start + n
+            seq.kv_len = start + n
         if greedy:
             return np.asarray(self.last_greedy_pack)[:, 0]
         return np.asarray(logits)[0]

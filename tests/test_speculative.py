@@ -1,0 +1,151 @@
+"""Speculative decoding tests.
+
+The load-bearing property (ref speculative.rs doc): output distribution is
+unchanged — for greedy decoding the token stream must be *identical* to the
+target model decoded alone, for any draft model and any gamma.
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import transformers as tf
+
+from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+from mistralrs_tpu.engine.sampler import SamplingParams
+from mistralrs_tpu.models.config import config_from_hf
+from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+from mistralrs_tpu.pipeline.speculative import SpeculativePipeline
+from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+
+def _tiny(seed, layers=2, hidden=32):
+    torch.manual_seed(seed)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=hidden, intermediate_size=2 * hidden, num_hidden_layers=layers,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=256,
+    )
+    model = tf.LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    return cfg, params, model
+
+
+def _pipe(cfg, params, **kw):
+    pc = PipelineConfig(page_size=4, num_pages=64, max_seqs=2, max_model_len=128,
+                        prefill_buckets=(8, 16), dtype=jnp.float32, **kw)
+    return TextPipeline(cfg, params, make_rope(cfg), pc)
+
+
+@pytest.fixture(scope="module")
+def models():
+    tcfg, tparams, tmodel = _tiny(seed=3)
+    dcfg, dparams, _ = _tiny(seed=99, layers=1)  # different weights = imperfect draft
+    return tcfg, tparams, tmodel, dcfg, dparams
+
+
+def _spec_engine(models, gamma, same_draft=False):
+    tcfg, tparams, tmodel, dcfg, dparams = models
+    target = _pipe(tcfg, tparams)
+    if same_draft:
+        draft = _pipe(tcfg, tparams)
+    else:
+        draft = _pipe(dcfg, dparams)
+    return Engine(SpeculativePipeline(target, draft, gamma=gamma), eos_token_ids=set())
+
+
+def _plain_engine(models):
+    tcfg, tparams, tmodel, *_ = models
+    return Engine(_pipe(tcfg, tparams), eos_token_ids=set())
+
+
+@pytest.mark.parametrize("gamma", [1, 2, 4])
+def test_greedy_speculative_matches_plain(models, gamma):
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(3, 120, size=11).tolist()
+    want, _ = _plain_engine(models).generate(prompt, SamplingParams(max_len=12))
+    got, _ = _spec_engine(models, gamma).generate(prompt, SamplingParams(max_len=12))
+    assert got == want
+
+
+def test_perfect_draft_accepts_everything(models):
+    """Draft == target: every draft token must be accepted (acceptance rate 1)."""
+    eng = _spec_engine(models, gamma=3, same_draft=True)
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    g = eng.add_request(GenerationRequest(prompt, SamplingParams(max_len=13)))
+    while eng.has_work:
+        eng.step()
+    s = g.seqs[0]
+    assert s.spec_proposed > 0
+    assert s.spec_accepted == s.spec_proposed
+    # and matches plain decoding
+    want, _ = _plain_engine(models).generate(prompt, SamplingParams(max_len=13))
+    assert s.generated_tokens == want
+
+
+def test_speculative_matches_hf_generate(models):
+    tcfg, tparams, tmodel, *_ = models
+    eng = _spec_engine(models, gamma=2)
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(3, 120, size=21).tolist()  # chunked prefill too
+    got, _ = eng.generate(prompt, SamplingParams(max_len=10))
+    with torch.no_grad():
+        want = tmodel.generate(
+            torch.tensor([prompt]), max_new_tokens=10, do_sample=False
+        )[0, len(prompt):].tolist()
+    assert got == want
+
+
+def test_speculative_concurrent_batch(models):
+    eng = _spec_engine(models, gamma=2)
+    plain = _plain_engine(models)
+    rng = np.random.default_rng(9)
+    p1 = rng.integers(3, 120, size=7).tolist()
+    p2 = rng.integers(3, 120, size=5).tolist()
+    g1 = eng.add_request(GenerationRequest(p1, SamplingParams(max_len=8)))
+    g2 = eng.add_request(GenerationRequest(p2, SamplingParams(max_len=8)))
+    while eng.has_work:
+        eng.step()
+    w1, _ = plain.generate(p1, SamplingParams(max_len=8))
+    w2, _ = plain.generate(p2, SamplingParams(max_len=8))
+    assert g1.seqs[0].generated_tokens == w1
+    assert g2.seqs[0].generated_tokens == w2
+
+
+def test_speculative_respects_max_len_exactly(models):
+    eng = _spec_engine(models, gamma=4)
+    rng = np.random.default_rng(10)
+    prompt = rng.integers(3, 120, size=6).tolist()
+    got, _ = eng.generate(prompt, SamplingParams(max_len=3))
+    assert len(got) == 3
+
+
+def test_speculative_eos_mid_span(models):
+    """EOS inside an accepted span stops emission exactly there."""
+    plain = _plain_engine(models)
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(3, 120, size=6).tolist()
+    ref, _ = plain.generate(prompt, SamplingParams(max_len=10))
+    eos = ref[4]  # make the 5th plain-decoded token the EOS
+    eng = _spec_engine(models, gamma=4)
+    eng.eos_token_ids = {eos}
+    got, _ = eng.generate(prompt, SamplingParams(max_len=10))
+    assert got == ref[:5]
+
+
+def test_stochastic_speculative_runs_and_respects_sampling(models):
+    """Stochastic path: valid tokens, right count (distribution equality is
+    the algorithm's guarantee; here we check mechanics don't crash/corrupt)."""
+    eng = _spec_engine(models, gamma=3)
+    rng = np.random.default_rng(13)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    got, _ = eng.generate(
+        prompt, SamplingParams(max_len=12, temperature=0.8, top_k=20, top_p=0.95)
+    )
+    assert len(got) == 12
+    assert all(0 <= t < 128 for t in got)
