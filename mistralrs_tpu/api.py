@@ -94,7 +94,12 @@ class Runner:
     """High-level blocking API (ref mistralrs-pyo3 Runner)."""
 
     def __init__(self, model_path: str, *, dtype: Any = None, isq: str | None = None,
-                 topology: str | None = None, pipeline_config: Any = None, mesh: Any = None):
+                 topology: str | None = None, pipeline_config: Any = None, mesh: Any = None,
+                 adapters: list[str] | None = None, ordering: str | None = None,
+                 xlora_path: str | None = None):
+        """adapters: PEFT adapter dirs to preload (LoRA); ordering: JSON
+        ordering file fixing adapter stack order (ref lora/mod.rs Ordering);
+        xlora_path: X-LoRA dir with xlora_config.json + classifier weights."""
         import jax.numpy as jnp
 
         from mistralrs_tpu.models.loader import load_hf_model
@@ -105,7 +110,32 @@ class Runner:
         cfg, params, rope = load_hf_model(model_path, dtype=dtype, isq=isq, topology=topology)
         self.tokenizer = TokenizerWrapper.from_hf_dir(model_path)
         pc = pipeline_config or PipelineConfig()
-        pipe = TextPipeline(cfg, params, rope, pc, mesh=mesh)
+        self.adapter_names: list[str] = []
+        if adapters:
+            from mistralrs_tpu.lora import (
+                Ordering, apply_lora_to_params, load_peft_adapter,
+            )
+
+            ads = [load_peft_adapter(p) for p in adapters]
+            if ordering:
+                ads = Ordering.from_file(ordering).sort_adapters(ads)
+            params = apply_lora_to_params(params, cfg, ads, dtype=dtype)
+            self.adapter_names = [a.name for a in ads]
+        if xlora_path is not None:
+            import os
+
+            from mistralrs_tpu.lora.xlora import (
+                XLoraConfig, XLoraPipeline, classifier_from_safetensors,
+            )
+
+            xcfg = XLoraConfig.from_json_file(os.path.join(xlora_path, "xlora_config.json"))
+            clf = classifier_from_safetensors(
+                os.path.join(xlora_path, "xlora_classifier.safetensors"), dtype=dtype
+            )
+            pipe = XLoraPipeline(cfg, params, rope, pc, classifier=clf, xcfg=xcfg,
+                                 n_adapters=len(self.adapter_names), mesh=mesh)
+        else:
+            pipe = TextPipeline(cfg, params, rope, pc, mesh=mesh)
         engine = Engine(
             pipe,
             eos_token_ids=self.tokenizer.eos_token_ids,
@@ -113,6 +143,14 @@ class Runner:
         )
         self.handle = EngineHandle(engine)
         self.cfg = cfg
+
+    def activate_adapters(self, names: list[str]) -> None:
+        """Runtime adapter swap — a data-only gates update, no recompile
+        (ref /activate_adapters route + AdapterSwapper)."""
+        from mistralrs_tpu.lora import activate_adapters as _act
+
+        pipe = self.handle.engine.pipeline
+        pipe.params = _act(pipe.params, self.adapter_names, names)
 
     @classmethod
     def from_engine(cls, engine: Engine, tokenizer) -> "Runner":

@@ -1,0 +1,19 @@
+from mistralrs_tpu.lora.lora import (
+    LoraAdapter,
+    activate_adapters,
+    apply_lora_to_params,
+    make_lora,
+    merge_lora,
+)
+from mistralrs_tpu.lora.peft import load_peft_adapter
+from mistralrs_tpu.lora.ordering import Ordering
+
+__all__ = [
+    "LoraAdapter",
+    "Ordering",
+    "activate_adapters",
+    "apply_lora_to_params",
+    "load_peft_adapter",
+    "make_lora",
+    "merge_lora",
+]

@@ -68,14 +68,16 @@ def _norm(cfg: ModelConfig, p: dict[str, jax.Array], x: jax.Array) -> jax.Array:
     return L.rms_norm(x, p["w"], cfg.norm_eps, offset=cfg.norm_offset)
 
 
-def _mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array) -> jax.Array:
+def _mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) -> jax.Array:
     act = L.ACTIVATIONS[cfg.act]
     if cfg.mlp_style == "gated":
-        return linear(p["down"], act(linear(p["gate"], x)) * linear(p["up"], x))
-    return linear(p["fc2"], act(linear(p["fc1"], x)))
+        return linear(
+            p["down"], act(linear(p["gate"], x, lora_sc)) * linear(p["up"], x, lora_sc), lora_sc
+        )
+    return linear(p["fc2"], act(linear(p["fc1"], x, lora_sc)), lora_sc)
 
 
-def _moe_mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array) -> jax.Array:
+def _moe_mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) -> jax.Array:
     """Mixtral sparse MoE (ref models/mixtral.rs SparseMoeBlock).
 
     Round-1 formulation: dense dispatch — every expert runs on every token and
@@ -110,12 +112,13 @@ def _attention(
     cache_v: jax.Array,
     meta: AttnMeta,
     bias: jax.Array,
+    lora_sc=None,
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     B, T, _ = x.shape
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = linear(p["q"], x).reshape(B, T, Hq, D)
-    k = linear(p["k"], x).reshape(B, T, Hkv, D)
-    v = linear(p["v"], x).reshape(B, T, Hkv, D)
+    q = linear(p["q"], x, lora_sc).reshape(B, T, Hq, D)
+    k = linear(p["k"], x, lora_sc).reshape(B, T, Hkv, D)
+    v = linear(p["v"], x, lora_sc).reshape(B, T, Hkv, D)
     if cfg.qk_norm:
         q = L.layer_norm(q, p["q_norm"]["w"], p["q_norm"].get("b"), cfg.norm_eps)
         k = L.layer_norm(k, p["k_norm"]["w"], p["k_norm"].get("b"), cfg.norm_eps)
@@ -136,29 +139,35 @@ def _attention(
         mask=bias,
         logits_softcap=cfg.attn_logit_softcap,
     )
-    out = linear(p["o"], out.reshape(B, T, Hq * D))
+    out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
     return out, cache_k, cache_v
 
 
-def _block(cfg, p, h, cos, sin, rot_dim, ck, cv, meta, bias):
+def _block(cfg, p, h, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc=None):
     mlp_fn = _moe_mlp if cfg.is_moe else _mlp
     if cfg.block_style == "parallel":  # phi2
         x = _norm(cfg, p["input_norm"], h)
-        attn_out, ck, cv = _attention(cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias)
-        h = h + attn_out + mlp_fn(cfg, p["mlp"], x)
+        attn_out, ck, cv = _attention(
+            cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc
+        )
+        h = h + attn_out + mlp_fn(cfg, p["mlp"], x, lora_sc)
         return h, ck, cv
     if cfg.block_style == "sandwich":  # gemma2
         x = _norm(cfg, p["input_norm"], h)
-        attn_out, ck, cv = _attention(cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias)
+        attn_out, ck, cv = _attention(
+            cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc
+        )
         h = h + _norm(cfg, p["post_attn_norm"], attn_out)
         x = _norm(cfg, p["pre_mlp_norm"], h)
-        h = h + _norm(cfg, p["post_mlp_norm"], mlp_fn(cfg, p["mlp"], x))
+        h = h + _norm(cfg, p["post_mlp_norm"], mlp_fn(cfg, p["mlp"], x, lora_sc))
         return h, ck, cv
     # prenorm (default)
     x = _norm(cfg, p["input_norm"], h)
-    attn_out, ck, cv = _attention(cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias)
+    attn_out, ck, cv = _attention(
+        cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc
+    )
     h = h + attn_out
-    h = h + mlp_fn(cfg, p["mlp"], _norm(cfg, p["post_attn_norm"], h))
+    h = h + mlp_fn(cfg, p["mlp"], _norm(cfg, p["post_attn_norm"], h), lora_sc)
     return h, ck, cv
 
 
@@ -169,8 +178,12 @@ def decoder_forward(
     input_ids: jax.Array,  # [B, T] int32
     cache: KVCache | PagedKVCache,
     meta: AttnMeta | PagedAttnMeta,
+    xlora_scalings: jax.Array | None = None,  # [B, T, L, n_adapters]
 ) -> tuple[jax.Array, KVCache | PagedKVCache]:
-    """Run the decoder stack. Returns (hidden [B, T, E], updated cache)."""
+    """Run the decoder stack. Returns (hidden [B, T, E], updated cache).
+
+    xlora_scalings: per-token/layer/adapter LoRA scalings (X-LoRA dual-pass,
+    ref xlora_models/mod.rs:40-60); None for plain/LoRA models."""
     B, T = input_ids.shape
     if isinstance(meta, PagedAttnMeta):
         S = meta.block_tables.shape[1] * cache.page_size
@@ -198,10 +211,20 @@ def decoder_forward(
         [cfg.layer_uses_sliding_window(i) for i in range(cfg.num_layers)]
     )
 
+    sc_all = (
+        None if xlora_scalings is None else jnp.moveaxis(xlora_scalings, 2, 0)
+    )  # [L, B, T, n]
+
     def scan_body(h, xs):
-        layer_params, ck, cv, use_win = xs
+        if sc_all is None:
+            layer_params, ck, cv, use_win = xs
+            sc = None
+        else:
+            layer_params, ck, cv, use_win, sc = xs
         bias = jnp.where(use_win, bias_win, bias_full)
-        h, ck, cv = _block(cfg, layer_params, h, cos, sin, rope.rot_dim, ck, cv, meta, bias)
+        h, ck, cv = _block(
+            cfg, layer_params, h, cos, sin, rope.rot_dim, ck, cv, meta, bias, sc
+        )
         return h, (ck, cv)
 
     new_k_parts, new_v_parts = [], []
@@ -213,6 +236,8 @@ def decoder_forward(
             jax.lax.slice_in_dim(cache.v, offset, offset + size, axis=0),
             jax.lax.slice_in_dim(window_flags, offset, offset + size, axis=0),
         )
+        if sc_all is not None:
+            xs = xs + (jax.lax.slice_in_dim(sc_all, offset, offset + size, axis=0),)
         h, (nk, nv) = jax.lax.scan(scan_body, h, xs)
         new_k_parts.append(nk)
         new_v_parts.append(nv)

@@ -46,8 +46,13 @@ def register_kind(kind: str):
     return deco
 
 
-def linear(lin: Linear, x: jax.Array) -> jax.Array:
-    """y = x @ W (+b). x: [..., in] -> [..., out]."""
+def linear(lin: Linear, x: jax.Array, lora_scales: jax.Array | None = None) -> jax.Array:
+    """y = x @ W (+b). x: [..., in] -> [..., out].
+
+    lora_scales: optional per-token adapter scalings [..., n_adapters]
+    (X-LoRA); only the "lora" kind consumes them."""
+    if lin.kind == "lora":
+        return _FORWARDS["lora"](lin, x, lora_scales)
     return _FORWARDS[lin.kind](lin, x)
 
 

@@ -64,6 +64,7 @@ class OpenAIServer:
         app.router.add_post("/v1/chat/completions", self.chat_completions)
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/re_isq", self.re_isq)
+        app.router.add_post("/activate_adapters", self.activate_adapters)
         return app
 
     async def health(self, request: web.Request) -> web.Response:
@@ -89,6 +90,19 @@ class OpenAIServer:
         ok = await asyncio.to_thread(self._try_re_isq, body.get("ggml_type", ""))
         if not ok:
             return web.json_response({"error": "re-ISQ unsupported for this model"}, status=400)
+        return web.Response(text="ok")
+
+    async def activate_adapters(self, request: web.Request) -> web.Response:
+        """Runtime LoRA adapter swap (ref mistralrs-server main.rs:246-258
+        /activate_adapters route)."""
+        body = await request.json()
+        names = body.get("adapter_names", [])
+        if not hasattr(self.runner, "activate_adapters"):
+            return web.json_response({"error": "model has no adapters"}, status=400)
+        try:
+            await asyncio.to_thread(self.runner.activate_adapters, names)
+        except ValueError as e:
+            return web.json_response({"error": str(e)}, status=400)
         return web.Response(text="ok")
 
     def _try_re_isq(self, ggml_type: str) -> bool:
