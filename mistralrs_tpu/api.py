@@ -140,6 +140,7 @@ class Runner:
             pipe,
             eos_token_ids=self.tokenizer.eos_token_ids,
             detokenizer=self.tokenizer.detokenizer(),
+            grammar_vocab=self.tokenizer.grammar_vocab(),
         )
         self.handle = EngineHandle(engine)
         self.cfg = cfg
@@ -170,6 +171,7 @@ class Runner:
             pipe,
             eos_token_ids=tokenizer.eos_token_ids if tokenizer else set(),
             detokenizer=tokenizer.detokenizer() if tokenizer else None,
+            grammar_vocab=tokenizer.grammar_vocab() if tokenizer else None,
         )
         return cls.from_engine(engine, tokenizer)
 
@@ -192,15 +194,17 @@ class Runner:
         self,
         messages: list[dict[str, Any]],
         sampling: SamplingParams | None = None,
+        constraint: Any | None = None,
     ) -> ChatResponse:
         toks = self._prompt_from_messages(messages)
-        return self._complete(toks, sampling or SamplingParams())
+        return self._complete(toks, sampling or SamplingParams(), constraint)
 
     def send_completion_request(
-        self, prompt: str, sampling: SamplingParams | None = None
+        self, prompt: str, sampling: SamplingParams | None = None,
+        constraint: Any | None = None,
     ) -> ChatResponse:
         toks = self.tokenizer.encode(prompt)
-        return self._complete(toks, sampling or SamplingParams())
+        return self._complete(toks, sampling or SamplingParams(), constraint)
 
     def stream_chat_completion_request(
         self, messages: list[dict[str, Any]], sampling: SamplingParams | None = None
@@ -220,9 +224,12 @@ class Runner:
             if reason is not None:
                 return
 
-    def _complete(self, toks: list[int], sampling: SamplingParams) -> ChatResponse:
+    def _complete(self, toks: list[int], sampling: SamplingParams,
+                  constraint: Any | None = None) -> ChatResponse:
         rid = f"chatcmpl-{uuid.uuid4().hex[:20]}"
-        group = self.handle.submit(GenerationRequest(toks, sampling, request_id=rid))
+        group = self.handle.submit(
+            GenerationRequest(toks, sampling, request_id=rid, constraint=constraint)
+        )
         import time
 
         while not group.all_done():

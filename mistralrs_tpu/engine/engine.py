@@ -45,6 +45,7 @@ class GenerationRequest:
     request_id: str = ""
     return_logprobs: bool = False
     stream: StreamCallback | None = None
+    constraint: Any | None = None  # grammar.Constraint (regex/yacc)
 
 
 class Engine:
@@ -57,7 +58,11 @@ class Engine:
         seed: int = 0,
         prefix_cache: bool = True,
         prefix_cache_pages: int | None = None,
+        grammar_vocab: list[bytes] | None = None,
     ):
+        """grammar_vocab: per-token byte strings enabling grammar-constrained
+        decoding (built lazily into a TokTrie on the first constrained
+        request; ref engine/mod.rs recognizer construction :668)."""
         self.pipeline = pipeline
         pc = pipeline.pc
         self.is_speculative = getattr(pipeline, "is_speculative", False)
@@ -84,6 +89,24 @@ class Engine:
         self.prefill_chunk = pc.prefill_buckets[-1]
         self.max_model_len = pc.max_model_len
         self._groups: dict[str, SequenceGroup] = {}
+        self._grammar_vocab = grammar_vocab
+        self._tok_trie = None  # built on first constrained request
+
+    def _recognizer_for(self, constraint):
+        if constraint is None or constraint.kind == "none":
+            return None
+        if self._grammar_vocab is None:
+            raise ValueError(
+                "grammar constraints need a token vocabulary "
+                "(pass grammar_vocab= to Engine)"
+            )
+        if self._tok_trie is None:
+            from mistralrs_tpu.grammar.toktrie import TokTrie
+
+            self._tok_trie = TokTrie(self._grammar_vocab)
+        from mistralrs_tpu.grammar.recognizer import make_recognizer
+
+        return make_recognizer(constraint, self._tok_trie, self._grammar_vocab)
 
     # ------------------------------------------------------------- intake
     def add_request(self, req: GenerationRequest) -> SequenceGroup:
@@ -103,6 +126,7 @@ class Engine:
                 detokenizer=self.detokenizer,
                 return_logprobs=req.return_logprobs,
                 group=group,
+                recognizer=self._recognizer_for(req.constraint),
             )
             seq.stream = req.stream
             group.add(seq)
@@ -158,6 +182,7 @@ class Engine:
             and not p.logits_bias
             and not p.logits_processors
             and not seq.return_logprobs
+            and seq.recognizer is None
         )
 
     def _prefill_one(self, seq: Sequence) -> None:
@@ -211,8 +236,37 @@ class Engine:
             self.rng,
             [s.return_logprobs for s in seqs],
         )
-        for seq, lp in zip(seqs, results):
+        for i, (seq, lp) in enumerate(zip(seqs, results)):
+            if seq.recognizer is not None:
+                lp = self._constrain_token(seq, logits[i], lp)
             self._postprocess_token(seq, lp)
+
+    def _constrain_token(self, seq: Sequence, logits: np.ndarray, lp):
+        """Constrained second sampling pass (ref sampling.rs:314-354): keep
+        the sampled token if the grammar allows it, else mask and resample."""
+        rec = seq.recognizer
+        if lp.token in self.eos_token_ids and rec.eos_allowed:
+            return lp
+        if rec.allowed(lp.token):
+            rec.advance(lp.token)
+            return lp
+        mask = rec.mask()
+        biased = np.where(mask, logits.astype(np.float32), -np.inf)
+        if rec.eos_allowed:
+            for t in self.eos_token_ids:
+                if 0 <= t < biased.shape[-1]:
+                    biased[t] = logits[t]
+        elif not mask.any():
+            # grammar dead-end: terminate the sequence (ref recognizer error)
+            eos = min(self.eos_token_ids) if self.eos_token_ids else 0
+            from mistralrs_tpu.engine.sampler import Logprobs
+
+            seq.finish_error = "grammar dead-end: no token allowed"
+            return Logprobs(token=eos, logprob=float("-inf"))
+        lp2 = seq.sampler.sample(biased, seq.tokens, self.rng, seq.return_logprobs)
+        if not (lp2.token in self.eos_token_ids and rec.eos_allowed):
+            rec.advance(lp2.token)
+        return lp2
 
     def _postprocess_token(self, seq: Sequence, lp) -> None:
         seq.add_token(lp)

@@ -113,10 +113,37 @@ class OpenAIServer:
         return True
 
     # ------------------------------------------------------------- chat
+    @staticmethod
+    def _parse_constraint(body):
+        """Map request `grammar: {type, value}` to a Constraint (ref
+        chat_completion.rs:153-338 grammar mapping)."""
+        g = body.get("grammar")
+        if not g:
+            return None
+        from mistralrs_tpu.grammar.recognizer import Constraint
+
+        kind = g.get("type")
+        if kind not in ("regex", "yacc"):
+            raise ValueError(f"grammar type must be regex|yacc, got {kind!r}")
+        return Constraint(kind, g.get("value", ""))
+
+    @staticmethod
+    def _parse_tools(body):
+        tools = body.get("tools")
+        if not tools:
+            return None
+        from mistralrs_tpu.tools import Tool, ToolCallingMatcher, ToolChoice
+
+        choice = ToolChoice.from_openai(body.get("tool_choice"))
+        [Tool.from_openai(t) for t in tools]  # validate shapes
+        return ToolCallingMatcher(choice)
+
     async def chat_completions(self, request: web.Request) -> web.StreamResponse:
         body = await request.json()
         try:
             sampling = _parse_sampling(body)
+            constraint = self._parse_constraint(body)
+            matcher = self._parse_tools(body)
             messages = body["messages"]
             prompt_toks = await asyncio.to_thread(
                 self.runner._prompt_from_messages, messages
@@ -124,13 +151,16 @@ class OpenAIServer:
         except Exception as e:
             return web.json_response({"error": str(e)}, status=400)
         if body.get("stream"):
-            return await self._stream(request, prompt_toks, sampling, chat=True)
-        return await self._blocking(prompt_toks, sampling, chat=True)
+            return await self._stream(request, prompt_toks, sampling, chat=True,
+                                      constraint=constraint)
+        return await self._blocking(prompt_toks, sampling, chat=True,
+                                    constraint=constraint, matcher=matcher)
 
     async def completions(self, request: web.Request) -> web.StreamResponse:
         body = await request.json()
         try:
             sampling = _parse_sampling(body)
+            constraint = self._parse_constraint(body)
             prompt = body["prompt"]
             if isinstance(prompt, list):
                 prompt = prompt[0]
@@ -138,28 +168,40 @@ class OpenAIServer:
         except Exception as e:
             return web.json_response({"error": str(e)}, status=400)
         if body.get("stream"):
-            return await self._stream(request, prompt_toks, sampling, chat=False)
-        return await self._blocking(prompt_toks, sampling, chat=False)
+            return await self._stream(request, prompt_toks, sampling, chat=False,
+                                      constraint=constraint)
+        return await self._blocking(prompt_toks, sampling, chat=False,
+                                    constraint=constraint)
 
     # ------------------------------------------------------------- impls
-    async def _blocking(self, toks: list[int], sampling: SamplingParams, chat: bool):
+    async def _blocking(self, toks: list[int], sampling: SamplingParams, chat: bool,
+                        constraint=None, matcher=None):
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:20]
         group = await asyncio.to_thread(
-            self.runner.handle.submit, GenerationRequest(toks, sampling, request_id=rid)
+            self.runner.handle.submit,
+            GenerationRequest(toks, sampling, request_id=rid, constraint=constraint),
         )
         while not group.all_done():
             await asyncio.sleep(0.005)
         usage = group.usage()
         if chat:
-            choices = [
-                {
+            choices = []
+            for i, s in enumerate(group.seqs):
+                text = s.final_text()
+                msg = {"role": "assistant", "content": text}
+                finish = s.stop_reason.value if s.stop_reason else "stop"
+                calls = matcher.get_calls(text) if matcher is not None else []
+                if calls:
+                    # tool-call response shape (ref tools/response.rs)
+                    msg = {"role": "assistant", "content": None,
+                           "tool_calls": [c.to_openai() for c in calls]}
+                    finish = "tool_calls"
+                choices.append({
                     "index": i,
-                    "message": {"role": "assistant", "content": s.final_text()},
-                    "finish_reason": s.stop_reason.value if s.stop_reason else "stop",
+                    "message": msg,
+                    "finish_reason": finish,
                     "logprobs": None,
-                }
-                for i, s in enumerate(group.seqs)
-            ]
+                })
             obj = "chat.completion"
         else:
             choices = [
@@ -189,7 +231,8 @@ class OpenAIServer:
             }
         )
 
-    async def _stream(self, request, toks, sampling: SamplingParams, chat: bool):
+    async def _stream(self, request, toks, sampling: SamplingParams, chat: bool,
+                      constraint=None):
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:20]
         loop = asyncio.get_running_loop()
         q: asyncio.Queue = asyncio.Queue()
@@ -208,7 +251,8 @@ class OpenAIServer:
         await resp.prepare(request)
         await asyncio.to_thread(
             self.runner.handle.submit,
-            GenerationRequest(toks, sampling, request_id=rid, stream=on_delta),
+            GenerationRequest(toks, sampling, request_id=rid, stream=on_delta,
+                              constraint=constraint),
         )
         obj = "chat.completion.chunk" if chat else "text_completion"
         finished = 0

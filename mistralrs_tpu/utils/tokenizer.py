@@ -71,6 +71,23 @@ class TokenizerWrapper:
     def vocab_size(self) -> int:
         return self.tok.get_vocab_size()
 
+    def id_to_token(self, idx: int) -> str | None:
+        return self.tok.id_to_token(idx)
+
+    @property
+    def special_token_ids(self) -> set[int]:
+        """Ids of added/special tokens (excluded from grammar byte tries)."""
+        try:
+            return set(self.tok.get_added_tokens_decoder().keys())
+        except AttributeError:
+            return set()
+
+    def grammar_vocab(self) -> list[bytes]:
+        """Per-token byte strings for grammar-constrained decoding."""
+        from mistralrs_tpu.grammar.toktrie import vocab_bytes
+
+        return vocab_bytes(self)
+
     def detokenizer(self):
         """Callable for Sequence streaming decode."""
         return lambda ids: self.decode(ids)
