@@ -66,10 +66,16 @@ def _maybe_quantize(w_out_in: np.ndarray, b: np.ndarray | None, gtype, dtype) ->
     """ISQ a (out, in) torch-layout weight into a packed device Linear."""
     from mistralrs_tpu.quant import kquants
     from mistralrs_tpu.quant.gguf_linear import linear_from_gguf
+    from mistralrs_tpu.quant.hqq import HqqType, quantize_hqq
     from mistralrs_tpu.quant.isq import quantizable
 
     if gtype is None or not quantizable(w_out_in.shape, gtype):
         return None
+    if isinstance(gtype, HqqType):
+        return quantize_hqq(
+            w_out_in.astype(np.float32), gtype.bits, gtype.group_size,
+            dtype=dtype, bias=b,
+        )
     raw = kquants.quantize(w_out_in.astype(np.float32), gtype)
     lin = linear_from_gguf(raw, gtype, w_out_in.shape, dtype)
     if lin.kind == "dense":  # packer fell back; not worth it
@@ -79,7 +85,27 @@ def _maybe_quantize(w_out_in: np.ndarray, b: np.ndarray | None, gtype, dtype) ->
     return lin
 
 
-def _lin(src: TensorSource, prefix: str, dtype, transpose: bool = True, isq=None) -> Linear:
+def _lin(src: TensorSource, prefix: str, dtype, transpose: bool = True, isq=None,
+         gptq: dict | None = None) -> Linear:
+    if gptq is not None and (prefix + ".qweight") in src:
+        # AutoGPTQ checkpoint projection (ref gptq_linear lib.rs:234-272)
+        from mistralrs_tpu.quant.gptq import gptq_linear_from_tensors
+
+        bits = int(gptq["bits"])
+        qw = src(prefix + ".qweight")
+        in_f = (qw.shape[0] // 3) * 32 if bits == 3 else qw.shape[0] * (32 // bits)
+        return gptq_linear_from_tensors(
+            qw,
+            src(prefix + ".qzeros"),
+            src(prefix + ".scales").astype(np.float32),
+            src(prefix + ".g_idx") if (prefix + ".g_idx") in src else None,
+            bits,
+            in_f,
+            qw.shape[1],
+            dtype=dtype,
+            zero_plus_one=gptq.get("zero_plus_one", True),
+            bias=src(prefix + ".bias") if (prefix + ".bias") in src else None,
+        )
     w = src(prefix + ".weight")
     b = src(prefix + ".bias") if (prefix + ".bias") in src else None
     if isq is not None:
@@ -120,7 +146,8 @@ def _split_lin(lin_w: np.ndarray, lin_b: np.ndarray | None, sizes: list[int], dt
     return outs
 
 
-def _layer_params(cfg: ModelConfig, src: TensorSource, i: int, dtype, isq=None) -> dict[str, Any]:
+def _layer_params(cfg: ModelConfig, src: TensorSource, i: int, dtype, isq=None,
+                  gptq: dict | None = None) -> dict[str, Any]:
     pre = f"model.layers.{i}"
     a = f"{pre}.self_attn"
     p: dict[str, Any] = {}
@@ -135,14 +162,14 @@ def _layer_params(cfg: ModelConfig, src: TensorSource, i: int, dtype, isq=None) 
         attn = {"q": q, "k": k, "v": v}
     else:
         attn = {
-            "q": _lin(src, f"{a}.q_proj", dtype, isq=isq),
-            "k": _lin(src, f"{a}.k_proj", dtype, isq=isq),
-            "v": _lin(src, f"{a}.v_proj", dtype, isq=isq),
+            "q": _lin(src, f"{a}.q_proj", dtype, isq=isq, gptq=gptq),
+            "k": _lin(src, f"{a}.k_proj", dtype, isq=isq, gptq=gptq),
+            "v": _lin(src, f"{a}.v_proj", dtype, isq=isq, gptq=gptq),
         }
-    if f"{a}.o_proj.weight" in src:
-        attn["o"] = _lin(src, f"{a}.o_proj", dtype, isq=isq)
+    if f"{a}.o_proj.weight" in src or (gptq and f"{a}.o_proj.qweight" in src):
+        attn["o"] = _lin(src, f"{a}.o_proj", dtype, isq=isq, gptq=gptq)
     else:  # phi2 names it "dense"
-        attn["o"] = _lin(src, f"{a}.dense", dtype, isq=isq)
+        attn["o"] = _lin(src, f"{a}.dense", dtype, isq=isq, gptq=gptq)
     if cfg.qk_norm:
         attn["q_norm"] = _norm_p(src, f"{a}.q_layernorm", dtype)
         attn["k_norm"] = _norm_p(src, f"{a}.k_layernorm", dtype)
@@ -171,15 +198,17 @@ def _layer_params(cfg: ModelConfig, src: TensorSource, i: int, dtype, isq=None) 
         p["mlp"] = {"gate": gate, "up": up, "down": _lin(src, f"{m}.down_proj", dtype, isq=isq)}
     elif cfg.mlp_style == "gated":
         p["mlp"] = {
-            "gate": _lin(src, f"{m}.gate_proj", dtype, isq=isq),
-            "up": _lin(src, f"{m}.up_proj", dtype, isq=isq),
-            "down": _lin(src, f"{m}.down_proj", dtype, isq=isq),
+            "gate": _lin(src, f"{m}.gate_proj", dtype, isq=isq, gptq=gptq),
+            "up": _lin(src, f"{m}.up_proj", dtype, isq=isq, gptq=gptq),
+            "down": _lin(src, f"{m}.down_proj", dtype, isq=isq, gptq=gptq),
         }
     else:  # plain fc1/fc2 (phi2) or c_fc/c_proj (starcoder2)
-        if f"{m}.fc1.weight" in src:
-            p["mlp"] = {"fc1": _lin(src, f"{m}.fc1", dtype, isq=isq), "fc2": _lin(src, f"{m}.fc2", dtype, isq=isq)}
+        if f"{m}.fc1.weight" in src or (gptq and f"{m}.fc1.qweight" in src):
+            p["mlp"] = {"fc1": _lin(src, f"{m}.fc1", dtype, isq=isq, gptq=gptq),
+                        "fc2": _lin(src, f"{m}.fc2", dtype, isq=isq, gptq=gptq)}
         else:
-            p["mlp"] = {"fc1": _lin(src, f"{m}.c_fc", dtype, isq=isq), "fc2": _lin(src, f"{m}.c_proj", dtype, isq=isq)}
+            p["mlp"] = {"fc1": _lin(src, f"{m}.c_fc", dtype, isq=isq, gptq=gptq),
+                        "fc2": _lin(src, f"{m}.c_proj", dtype, isq=isq, gptq=gptq)}
 
     # norms
     p["input_norm"] = _norm_p(src, f"{pre}.input_layernorm", dtype)
@@ -221,10 +250,12 @@ def params_from_source(
     dtype=jnp.bfloat16,
     isq=None,
     topology=None,
+    gptq_cfg: dict | None = None,
 ) -> DecoderParams:
-    """isq: GGMLType or ISQ string (e.g. "Q4K") applied to every linear;
-    topology: quant.isq.Topology overriding per layer (ref pipeline/isq.rs +
-    topology/mod.rs)."""
+    """isq: GGMLType, HqqType, or ISQ string (e.g. "Q4K"/"HQQ4") applied to
+    every linear; topology: quant.isq.Topology overriding per layer (ref
+    pipeline/isq.rs + topology/mod.rs); gptq_cfg: AutoGPTQ checkpoint info
+    ({bits, zero_plus_one}) enabling qweight/qzeros/scales loading."""
     if isinstance(isq, str):
         from mistralrs_tpu.quant.isq import parse_isq
 
@@ -236,7 +267,8 @@ def params_from_source(
         return isq
 
     layers = [
-        _layer_params(cfg, src, i, dtype, isq=layer_isq(i)) for i in range(cfg.num_layers)
+        _layer_params(cfg, src, i, dtype, isq=layer_isq(i), gptq=gptq_cfg)
+        for i in range(cfg.num_layers)
     ]
     groups, sizes = group_layers(layers)
     embed = _to_jnp(src("model.embed_tokens.weight"), dtype)
@@ -270,7 +302,15 @@ def load_hf_model(
         from mistralrs_tpu.quant.isq import Topology
 
         topology = Topology.from_yaml_file(topology, cfg.num_layers)
-    params = params_from_source(cfg, src, dtype, isq=isq, topology=topology)
+    gptq_cfg = None
+    qc = hf.get("quantization_config")
+    if qc and qc.get("quant_method") == "gptq":
+        gptq_cfg = {
+            "bits": int(qc.get("bits", 4)),
+            "zero_plus_one": qc.get("checkpoint_format", "gptq") != "gptq_v2",
+        }
+    params = params_from_source(cfg, src, dtype, isq=isq, topology=topology,
+                                gptq_cfg=gptq_cfg)
     rope = make_rope(cfg, max_position_embeddings)
     return cfg, params, rope
 

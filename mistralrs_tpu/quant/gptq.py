@@ -1,0 +1,230 @@
+"""GPTQ checkpoint loading + packed dequant-matmul formats.
+
+Reference parity: mistralrs-quant/src/gptq/ — `GptqLayer` (gptq_linear
+lib.rs:234-272) backed by q_gemm.cu (2/3/4/8-bit dequant GEMM, act-order
+g_idx). The HF/AutoGPTQ on-disk format per linear:
+    qweight int32 [in*bits/32, out]   (32/bits input dims packed per int32)
+    qzeros  int32 [in/group, out*bits/32]
+    scales  f16   [in/group, out]
+    g_idx   int32 [in]                (group of each input dim; act-order)
+
+TPU device layout mirrors the Q4_K design (K-major, scale/min precomputed):
+    kind "gptq": q uint8 [ceil(in*bits/8) rows..., out] packed along `in`,
+    scale [in/group, out], zs = scale*zero [in/group, out], plus an optional
+    g_idx row-gather for desc_act checkpoints. Dequant is
+    w[k, o] = q[k, o] * scale[g(k), o] - zs[g(k), o], fused into the matmul
+    by XLA (Pallas kernel shares the Q4_K kernel's structure).
+
+3-bit packing is irregular (32 values / 3 int32s); those unpack to one byte
+per value at load (still 2x smaller than bf16 in HBM).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from mistralrs_tpu.quant.qlinear import Linear, register_kind
+
+def _unpack_int32_rows(packed: np.ndarray, bits: int, total: int) -> np.ndarray:
+    """[n_packed, C] int32 -> [total, C] uint8, `32//bits` values per int32
+    along axis 0 (AutoGPTQ row packing)."""
+    per = 32 // bits
+    mask = (1 << bits) - 1
+    u = packed.astype(np.uint32)
+    out = np.empty((packed.shape[0] * per, packed.shape[1]), np.uint8)
+    for j in range(per):
+        out[j::per] = ((u >> (bits * j)) & mask).astype(np.uint8)
+    return out[:total]
+
+
+def _unpack_int32_cols(packed: np.ndarray, bits: int, total: int) -> np.ndarray:
+    """[R, n_packed] int32 -> [R, total] uint8 along axis 1."""
+    per = 32 // bits
+    mask = (1 << bits) - 1
+    u = packed.astype(np.uint32)
+    out = np.empty((packed.shape[0], packed.shape[1] * per), np.uint8)
+    for j in range(per):
+        out[:, j::per] = ((u >> (bits * j)) & mask).astype(np.uint8)
+    return out[:, :total]
+
+
+def _unpack_3bit_rows(packed: np.ndarray, total: int) -> np.ndarray:
+    """AutoGPTQ 3-bit row packing: 32 values per 3 int32s (bit-contiguous)."""
+    u = packed.astype(np.uint32)
+    n_trip = packed.shape[0] // 3
+    C = packed.shape[1]
+    vals = np.empty((n_trip * 32, C), np.uint8)
+    # 96 bits per 32-value triple; extract each 3-bit field straddling words
+    w0, w1, w2 = u[0::3].astype(np.uint64), u[1::3].astype(np.uint64), u[2::3].astype(np.uint64)
+    for j in range(32):
+        lo_bit = 3 * j
+        hi_bit = lo_bit + 3
+        if hi_bit <= 32:
+            v = (w0 >> lo_bit) & 0x7
+        elif lo_bit < 32:
+            take = 32 - lo_bit
+            v = ((w0 >> lo_bit) | (w1 << take)) & 0x7
+        elif hi_bit <= 64:
+            v = (w1 >> (lo_bit - 32)) & 0x7
+        elif lo_bit < 64:
+            take = 64 - lo_bit
+            v = ((w1 >> (lo_bit - 32)) | (w2 << take)) & 0x7
+        else:
+            v = (w2 >> (lo_bit - 64)) & 0x7
+        vals[j::32] = v.astype(np.uint8)
+    return vals[:total]
+
+
+def _pack_bytes_rows(vals: np.ndarray, bits: int) -> np.ndarray:
+    """[in, out] uint8 (values < 2^bits) -> packed uint8 [in*bits/8, out]."""
+    per = 8 // bits
+    K, O = vals.shape
+    assert K % per == 0
+    v = vals.reshape(K // per, per, O).astype(np.uint16)
+    out = np.zeros((K // per, O), np.uint16)
+    for j in range(per):
+        out |= v[:, j] << (bits * j)
+    return out.astype(np.uint8)
+
+
+def gptq_linear_from_tensors(
+    qweight: np.ndarray,
+    qzeros: np.ndarray,
+    scales: np.ndarray,
+    g_idx: np.ndarray | None,
+    bits: int,
+    in_features: int,
+    out_features: int,
+    dtype=jnp.bfloat16,
+    zero_plus_one: bool = True,
+    bias: np.ndarray | None = None,
+) -> Linear:
+    """Build the device Linear from AutoGPTQ tensors.
+
+    zero_plus_one: v1 checkpoints store zero-1 (kernels add 1 back);
+    gptq_v2 stores the true zero (ref q_gemm.cu zero handling)."""
+    assert bits in (2, 3, 4, 8), bits
+    if bits == 3:
+        q = _unpack_3bit_rows(qweight, in_features)  # [in, out] uint8
+        zeros = _unpack_3bit_cols(qzeros, out_features)
+    else:
+        q = _unpack_int32_rows(qweight, bits, in_features)  # [in, out] uint8
+        zeros = _unpack_int32_cols(qzeros, bits, out_features)  # [ng, out]
+    if zero_plus_one:
+        zeros = zeros.astype(np.int32) + 1
+    s = scales.astype(np.float32)  # [ng, out]
+    zs = s * zeros.astype(np.float32)
+    n_groups = s.shape[0]
+    group_size = in_features // n_groups
+    contiguous = True
+    gi = None
+    if g_idx is not None:
+        want = np.arange(in_features) // group_size
+        if not np.array_equal(g_idx, want):
+            contiguous = False
+            gi = jnp.asarray(g_idx.astype(np.int32))
+    if bits == 3:
+        qdev = jnp.asarray(q)  # byte per value
+        kind = "gptq_b8"  # stored unpacked bytes
+    else:
+        qdev = jnp.asarray(_pack_bytes_rows(q, bits))
+        kind = f"gptq_{bits}"
+    data = {
+        "q": qdev,
+        "scale": jnp.asarray(s, dtype),
+        "zs": jnp.asarray(zs, dtype),
+    }
+    if gi is not None:
+        data["g_idx"] = gi
+    if bias is not None:
+        data["b"] = jnp.asarray(bias, dtype)
+    return Linear(kind=kind, shape=(in_features, out_features), data=data)
+
+
+def _unpack_3bit_cols(packed: np.ndarray, total: int) -> np.ndarray:
+    """Column-direction 3-bit unpack: [R, n*3] int32 -> [R, total] uint8."""
+    return _unpack_3bit_rows(packed.T, total).T
+
+
+# ------------------------------------------------------------------ forward
+def _gptq_weights(lin: Linear, dtype, bits: int) -> jax.Array:
+    """Dequantize to w_t [in, out] on device."""
+    q = lin.data["q"]
+    in_f, out_f = lin.shape
+    if bits == 8:
+        vals = q.astype(jnp.int32)  # [in, out] bytes
+    else:
+        per = 8 // bits
+        mask = (1 << bits) - 1
+        parts = [((q >> (bits * j)) & mask) for j in range(per)]
+        vals = jnp.stack(parts, axis=1).reshape(in_f, out_f).astype(jnp.int32)
+    scale = lin.data["scale"].astype(dtype)  # [ng, out]
+    zs = lin.data["zs"].astype(dtype)
+    gi = lin.data.get("g_idx")
+    if gi is not None:
+        srow = scale[gi]  # [in, out] gather (act-order)
+        zrow = zs[gi]
+    else:
+        group = in_f // scale.shape[0]
+        srow = jnp.repeat(scale, group, axis=0)
+        zrow = jnp.repeat(zs, group, axis=0)
+    return vals.astype(dtype) * srow - zrow  # [in, out]
+
+
+def _gptq_forward(bits: int):
+    def fwd(lin: Linear, x: jax.Array) -> jax.Array:
+        w_t = _gptq_weights(lin, x.dtype, bits)
+        y = jnp.dot(x, w_t)
+        b = lin.data.get("b")
+        if b is not None:
+            y = y + b.astype(x.dtype)
+        return y
+
+    return fwd
+
+
+register_kind("gptq_2")(_gptq_forward(2))
+register_kind("gptq_4")(_gptq_forward(4))
+register_kind("gptq_8")(_gptq_forward(8))
+register_kind("gptq_b8")(_gptq_forward(8))
+
+
+# ------------------------------------------------- reference-style quantizer
+def quantize_gptq_rtn(
+    w_out_in: np.ndarray, bits: int, group_size: int = 128, sym: bool = False
+) -> dict[str, np.ndarray]:
+    """Round-to-nearest GPTQ-format quantizer (no Hessian pass) — produces
+    AutoGPTQ-layout tensors for tests and ISQ-to-GPTQ."""
+    out_f, in_f = w_out_in.shape
+    assert in_f % group_size == 0
+    w = w_out_in.T.astype(np.float32)  # [in, out]
+    ng = in_f // group_size
+    wg = w.reshape(ng, group_size, out_f)
+    maxq = (1 << bits) - 1
+    if sym:
+        amax = np.abs(wg).max(axis=1, keepdims=True)
+        scale = np.maximum(amax / ((maxq + 1) / 2 - 0.5), 1e-9)
+        zero = np.full_like(scale, (maxq + 1) // 2)
+    else:
+        wmin = np.minimum(wg.min(axis=1, keepdims=True), 0)
+        wmax = np.maximum(wg.max(axis=1, keepdims=True), 0)
+        scale = np.maximum((wmax - wmin) / maxq, 1e-9)
+        zero = np.clip(np.round(-wmin / scale), 0, maxq)
+    q = np.clip(np.round(wg / scale) + zero, 0, maxq).astype(np.uint8)
+    q = q.reshape(in_f, out_f)
+    per = 32 // bits
+    qweight = np.zeros((in_f // per, out_f), np.uint32)
+    for j in range(per):
+        qweight |= q[j::per].astype(np.uint32) << (bits * j)
+    zcols = np.clip(zero[:, 0].astype(np.int32) - 1, 0, maxq).astype(np.uint32)  # v1 -1
+    qzeros = np.zeros((ng, out_f // per), np.uint32)
+    for j in range(per):
+        qzeros |= zcols[:, j::per] << (bits * j)
+    return {
+        "qweight": qweight.astype(np.int32),
+        "qzeros": qzeros.astype(np.int32),
+        "scales": scale[:, 0].astype(np.float16),  # [ng, out]
+        "g_idx": (np.arange(in_f) // group_size).astype(np.int32),
+    }

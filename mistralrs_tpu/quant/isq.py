@@ -39,11 +39,19 @@ _ISQ_NAMES: dict[str, GGMLType] = {
 SUPPORTED_ISQ = {GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q6_K}
 
 
-def parse_isq(value: str) -> GGMLType:
+def parse_isq(value: str):
+    """-> GGMLType | HqqType (ref parse_isq_value isq.rs:32-76 incl. HQQ)."""
     v = value.strip().upper()
+    if v.startswith("HQQ"):
+        from mistralrs_tpu.quant.hqq import HqqType
+
+        bits = int(v[3:])
+        if bits not in (1, 2, 3, 4, 8):
+            raise ValueError(f"HQQ bits must be 1/2/3/4/8, got {value!r}")
+        return HqqType(bits)
     if v not in _ISQ_NAMES:
         raise ValueError(
-            f"unknown ISQ type {value!r}; supported: {sorted(_ISQ_NAMES)}"
+            f"unknown ISQ type {value!r}; supported: {sorted(_ISQ_NAMES)} + HQQ1-8"
         )
     g = _ISQ_NAMES[v]
     if g not in SUPPORTED_ISQ:
@@ -107,8 +115,12 @@ class Topology:
         return default
 
 
-def quantizable(shape: tuple[int, ...], gtype: GGMLType) -> bool:
+def quantizable(shape: tuple[int, ...], gtype) -> bool:
     """A (out, in) weight is quantizable if `in` is a whole number of blocks."""
+    from mistralrs_tpu.quant.hqq import HqqType
+
+    if isinstance(gtype, HqqType):
+        return len(shape) == 2 and shape[1] % gtype.group_size == 0
     from mistralrs_tpu.gguf.reader import GGML_BLOCK_INFO
 
     be, _ = GGML_BLOCK_INFO[gtype]

@@ -1,0 +1,250 @@
+"""GPTQ + HQQ quantization tests: pack/unpack roundtrips, dequant numerics,
+HQQ proximal optimizer quality, checkpoint loading, engine e2e."""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from mistralrs_tpu.quant.gptq import (
+    _pack_bytes_rows,
+    _unpack_3bit_rows,
+    _unpack_int32_cols,
+    _unpack_int32_rows,
+    gptq_linear_from_tensors,
+    quantize_gptq_rtn,
+)
+from mistralrs_tpu.quant.hqq import HqqType, hqq_dequant_weights, quantize_hqq
+from mistralrs_tpu.quant.qlinear import linear
+
+
+# ------------------------------------------------------------- pack roundtrip
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_int32_row_pack_roundtrip(bits):
+    rng = np.random.default_rng(0)
+    per = 32 // bits
+    vals = rng.integers(0, 1 << bits, size=(per * 6, 10)).astype(np.uint8)
+    packed = np.zeros((6, 10), np.uint32)
+    for j in range(per):
+        packed |= vals[j::per].astype(np.uint32) << (bits * j)
+    got = _unpack_int32_rows(packed.astype(np.int32), bits, vals.shape[0])
+    np.testing.assert_array_equal(got, vals)
+
+
+def test_3bit_roundtrip():
+    rng = np.random.default_rng(1)
+    vals = rng.integers(0, 8, size=(64, 5)).astype(np.uint8)  # 2 triples of 32
+    packed = np.zeros((6, 5), np.uint32)
+    for t in range(2):
+        for j in range(32):
+            bitpos = 3 * j
+            word, off = divmod(bitpos, 32)
+            v = vals[t * 32 + j].astype(np.uint64)
+            packed[t * 3 + word] |= (v << off).astype(np.uint64) & 0xFFFFFFFF
+            if off > 29:  # straddles into the next word
+                packed[t * 3 + word + 1] |= (v >> (32 - off)).astype(np.uint32)
+    got = _unpack_3bit_rows(packed.astype(np.int32), 64)
+    np.testing.assert_array_equal(got, vals)
+
+
+@pytest.mark.parametrize("bits", [1, 2, 4])
+def test_byte_pack_roundtrip(bits):
+    rng = np.random.default_rng(2)
+    per = 8 // bits
+    vals = rng.integers(0, 1 << bits, size=(per * 8, 6)).astype(np.uint8)
+    packed = _pack_bytes_rows(vals, bits)
+    # unpack the way the forward does
+    parts = [((packed >> (bits * j)) & ((1 << bits) - 1)) for j in range(per)]
+    got = np.stack(parts, axis=1).reshape(vals.shape)
+    np.testing.assert_array_equal(got, vals)
+
+
+# ------------------------------------------------------------- gptq numerics
+@pytest.mark.parametrize("bits", [2, 4, 8])
+def test_gptq_rtn_roundtrip_error(bits):
+    rng = np.random.default_rng(3)
+    w = rng.standard_normal((32, 256)).astype(np.float32)  # (out, in)
+    t = quantize_gptq_rtn(w, bits, group_size=64)
+    lin = gptq_linear_from_tensors(
+        t["qweight"], t["qzeros"], t["scales"].astype(np.float32), t["g_idx"],
+        bits, 256, 32, dtype=jnp.float32,
+    )
+    from mistralrs_tpu.quant.gptq import _gptq_weights
+
+    wt = np.asarray(_gptq_weights(lin, jnp.float32, bits))  # [in, out]
+    err = np.abs(wt.T - w).mean()
+    # quantization error bounded by ~half a step per group
+    steps = (w.max(axis=1) - w.min(axis=1)) / ((1 << bits) - 1)
+    assert err <= steps.mean(), (err, steps.mean())
+
+
+def test_gptq_forward_matches_dequant_matmul():
+    rng = np.random.default_rng(4)
+    w = rng.standard_normal((16, 128)).astype(np.float32)
+    t = quantize_gptq_rtn(w, 4, group_size=32)
+    lin = gptq_linear_from_tensors(
+        t["qweight"], t["qzeros"], t["scales"].astype(np.float32), t["g_idx"],
+        4, 128, 16, dtype=jnp.float32,
+    )
+    x = rng.standard_normal((3, 128)).astype(np.float32)
+    y = np.asarray(linear(lin, jnp.asarray(x)))
+    from mistralrs_tpu.quant.gptq import _gptq_weights
+
+    want = x @ np.asarray(_gptq_weights(lin, jnp.float32, 4))
+    np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-5)
+
+
+def test_gptq_act_order_gather():
+    """Shuffled g_idx must dequantize identically to explicit gather."""
+    rng = np.random.default_rng(5)
+    w = rng.standard_normal((8, 64)).astype(np.float32)
+    t = quantize_gptq_rtn(w, 4, group_size=16)
+    perm = rng.permutation(64)
+    g_idx = t["g_idx"][perm]
+    lin = gptq_linear_from_tensors(
+        t["qweight"], t["qzeros"], t["scales"].astype(np.float32), g_idx,
+        4, 64, 8, dtype=jnp.float32,
+    )
+    assert "g_idx" in lin.data  # non-contiguous -> gather path
+    from mistralrs_tpu.quant.gptq import _gptq_weights
+
+    wt = np.asarray(_gptq_weights(lin, jnp.float32, 4))
+    q = _unpack_int32_rows(t["qweight"], 4, 64)
+    zeros = _unpack_int32_cols(t["qzeros"], 4, 8) + 1
+    s = t["scales"].astype(np.float32)
+    want = q.astype(np.float32) * s[g_idx] - s[g_idx] * zeros.astype(np.float32)[g_idx]
+    np.testing.assert_allclose(wt, want, rtol=1e-4, atol=1e-4)
+
+
+# ------------------------------------------------------------- hqq
+@pytest.mark.parametrize("bits", [1, 2, 3, 4, 8])
+def test_hqq_roundtrip_all_bits(bits):
+    rng = np.random.default_rng(6)
+    w = rng.standard_normal((16, 128)).astype(np.float32)
+    lin = quantize_hqq(w, bits, group_size=32, dtype=jnp.float32)
+    wt = np.asarray(hqq_dequant_weights(lin, jnp.float32, bits))
+    err = np.abs(wt.T - w).mean()
+    bound = {1: 0.9, 2: 0.5, 3: 0.25, 4: 0.12, 8: 0.01}[bits]
+    assert err < bound, (bits, err)
+
+
+def test_hqq_beats_rtn():
+    """The proximal optimizer must not be worse than plain round-to-nearest
+    on a heavy-tailed weight distribution (HQQ's design target)."""
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((32, 256)).astype(np.float32)
+    w[rng.uniform(size=w.shape) < 0.01] *= 8  # outliers
+    opt = quantize_hqq(w, 4, group_size=64, iters=20, dtype=jnp.float32)
+    rtn = quantize_hqq(w, 4, group_size=64, iters=0, dtype=jnp.float32)
+    e_opt = np.abs(np.asarray(hqq_dequant_weights(opt, jnp.float32, 4)).T - w)
+    e_rtn = np.abs(np.asarray(hqq_dequant_weights(rtn, jnp.float32, 4)).T - w)
+    # HQQ optimizes an lp objective; compare on robust error
+    assert np.median(e_opt) <= np.median(e_rtn) * 1.02
+
+
+def test_hqq_isq_parse_and_model_load():
+    from mistralrs_tpu.quant.isq import parse_isq
+
+    t = parse_isq("HQQ4")
+    assert isinstance(t, HqqType) and t.bits == 4
+    with pytest.raises(ValueError):
+        parse_isq("HQQ5")
+
+
+def _tiny_hf(tmp_path, quant=None):
+    import torch
+    import transformers as tf
+
+    torch.manual_seed(3)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=128,
+    )
+    model = tf.LlamaForCausalLM(hf_cfg).eval().float()
+    return hf_cfg, model
+
+
+def test_hqq_isq_engine_end_to_end():
+    """HQQ8-ISQ'd model greedy-decodes nearly like the f32 model."""
+    import torch
+
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    hf_cfg, model = _tiny_hf(None)
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    pc = PipelineConfig(page_size=4, num_pages=64, max_seqs=2, max_model_len=128,
+                        prefill_buckets=(8, 16), dtype=jnp.float32)
+
+    def eng(isq):
+        params = params_from_source(
+            cfg, TensorSource.from_dict(sd), dtype=jnp.float32, isq=isq
+        )
+        return Engine(TextPipeline(cfg, params, make_rope(cfg), pc), eos_token_ids=set())
+
+    rng = np.random.default_rng(8)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    base, _ = eng(None).generate(prompt, SamplingParams(max_len=8))
+    q8, _ = eng("HQQ8").generate(prompt, SamplingParams(max_len=8))
+    # 8-bit HQQ should track the fp model greedy tokens on a tiny net
+    assert q8 == base
+
+
+def test_gptq_checkpoint_loads_through_loader(tmp_path):
+    """Write an AutoGPTQ-format checkpoint dir and load via load_hf_model."""
+    import torch
+
+    from mistralrs_tpu.models.loader import load_hf_model
+
+    hf_cfg, model = _tiny_hf(tmp_path)
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    tensors = {}
+    for k, v in sd.items():
+        m = [p for p in ("q_proj", "k_proj", "v_proj", "o_proj",
+                         "gate_proj", "up_proj", "down_proj") if f"{p}.weight" in k]
+        if m:
+            t = quantize_gptq_rtn(v, 4, group_size=32)
+            base = k[: -len(".weight")]
+            for name, arr in t.items():
+                tensors[f"{base}.{name}"] = arr
+        else:
+            tensors[k] = v
+    from safetensors.numpy import save_file
+
+    d = tmp_path / "gptq_ckpt"
+    d.mkdir()
+    save_file(tensors, str(d / "model.safetensors"))
+    cfg_json = json.loads(hf_cfg.to_json_string())
+    cfg_json["quantization_config"] = {"quant_method": "gptq", "bits": 4, "group_size": 32}
+    (d / "config.json").write_text(json.dumps(cfg_json))
+
+    cfg, params, rope = load_hf_model(str(d), dtype=jnp.float32)
+    kinds = set()
+    from mistralrs_tpu.quant.qlinear import Linear
+
+    import jax
+
+    for leaf in jax.tree.leaves(params, is_leaf=lambda x: isinstance(x, Linear)):
+        if isinstance(leaf, Linear):
+            kinds.add(leaf.kind)
+    assert "gptq_4" in kinds
+
+    # and it decodes tokens close to the fp32 model
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models.loader import TensorSource, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    pc = PipelineConfig(page_size=4, num_pages=64, max_seqs=2, max_model_len=128,
+                        prefill_buckets=(8, 16), dtype=jnp.float32)
+    eng = Engine(TextPipeline(cfg, params, rope, pc), eos_token_ids=set())
+    rng = np.random.default_rng(9)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    toks, _ = eng.generate(prompt, SamplingParams(max_len=6))
+    assert len(toks) == 6 and all(0 <= t < 128 for t in toks)
