@@ -242,3 +242,110 @@ class Runner:
 
     def shutdown(self) -> None:
         self.handle.shutdown()
+
+
+class VisionRunner(Runner):
+    """Vision-model Runner (ref pyo3 Which.VisionPlain + VisionChat request).
+
+    arch: "llava" | "llava_next" | "idefics2"."""
+
+    def __init__(self, model_path: str, arch: str, *, dtype: Any = None,
+                 pipeline_config: Any = None, mesh: Any = None):
+        import jax.numpy as jnp
+
+        from mistralrs_tpu.pipeline.text import PipelineConfig
+        from mistralrs_tpu.pipeline.vision import VisionPipeline
+        from mistralrs_tpu.utils.tokenizer import TokenizerWrapper
+
+        dtype = dtype or jnp.bfloat16
+        self.tokenizer = TokenizerWrapper.from_hf_dir(model_path)
+        pc = pipeline_config or PipelineConfig()
+        self.adapter_names = []
+        if arch in ("llava", "llava_next"):
+            from mistralrs_tpu.vision.llava import load_llava, make_llava_encoder
+            from mistralrs_tpu.vision.processor import LlavaNextProcessor, LlavaProcessor
+
+            cfg, params, rope, vision, hf = load_llava(model_path, dtype=dtype)
+            img_tok = hf.get("image_token_index", hf.get("image_token_id"))
+            encode = make_llava_encoder(vision, llava_next=(arch == "llava_next"))
+            if arch == "llava_next":
+                self.processor = LlavaNextProcessor(self.tokenizer, img_tok, vision)
+            else:
+                self.processor = LlavaProcessor(
+                    self.tokenizer, img_tok, vision.vcfg.image_size,
+                    vision.vcfg.patch_size,
+                )
+        elif arch == "idefics2":
+            from mistralrs_tpu.vision.idefics2 import load_idefics2, make_idefics2_encoder
+            from mistralrs_tpu.vision.processor import Idefics2Processor
+
+            cfg, params, rope, vision, hf = load_idefics2(model_path, dtype=dtype)
+            img_tok = hf.get("image_token_id", hf.get("image_token_index"))
+            encode = make_idefics2_encoder(vision)
+            self.processor = Idefics2Processor(
+                self.tokenizer, img_tok,
+                hf["perceiver_config"].get("resampler_n_latents", 64),
+                image_size=vision.vcfg.image_size,
+            )
+        else:
+            raise ValueError(f"unknown vision arch {arch!r}")
+        pipe = VisionPipeline(cfg, params, rope, pc, image_token_id=img_tok,
+                              encode_images=encode, mesh=mesh)
+        engine = Engine(
+            pipe,
+            eos_token_ids=self.tokenizer.eos_token_ids,
+            detokenizer=self.tokenizer.detokenizer(),
+            grammar_vocab=self.tokenizer.grammar_vocab(),
+        )
+        self.handle = EngineHandle(engine)
+        self.cfg = cfg
+
+    def send_chat_completion_request(
+        self,
+        messages: list[dict[str, Any]],
+        sampling: SamplingParams | None = None,
+        constraint: Any | None = None,
+    ) -> ChatResponse:
+        """Messages may carry OpenAI image_url content parts (base64/data
+        URLs) — the VisionChat path (ref request.rs RequestMessage::VisionChat)."""
+        text, images = extract_images(messages, self.processor.image_token)
+        toks, pixel = self.processor(text, images)
+        rid = f"chatcmpl-{uuid.uuid4().hex[:20]}"
+        group = self.handle.submit(GenerationRequest(
+            toks, sampling or SamplingParams(), request_id=rid,
+            constraint=constraint, images=pixel,
+        ))
+        import time
+
+        while not group.all_done():
+            time.sleep(0.002)
+        choices = [
+            ChatChoice(i, s.final_text(), s.stop_reason.value if s.stop_reason else "stop")
+            for i, s in enumerate(group.seqs)
+        ]
+        return ChatResponse(id=rid, choices=choices, usage=group.usage())
+
+
+def extract_images(messages: list[dict[str, Any]], image_token: str = "<image>"):
+    """Flatten chat messages to text, replacing image content parts with the
+    image placeholder; returns (text, images) (ref chat_completion.rs
+    parse_request image handling :153-338)."""
+    texts = []
+    images: list[Any] = []
+    for m in messages:
+        content = m.get("content")
+        if isinstance(content, str):
+            texts.append(f"{m['role']}: {content}")
+            continue
+        parts = []
+        for item in content or []:
+            if item.get("type") in ("image_url", "image"):
+                url = item.get("image_url")
+                if isinstance(url, dict):
+                    url = url.get("url")
+                images.append(url if url is not None else item.get("image"))
+                parts.append(image_token)
+            else:
+                parts.append(item.get("text", ""))
+        texts.append(f"{m['role']}: {''.join(parts)}")
+    return "\n".join(texts) + "\nassistant:", images

@@ -46,6 +46,8 @@ class GenerationRequest:
     return_logprobs: bool = False
     stream: StreamCallback | None = None
     constraint: Any | None = None  # grammar.Constraint (regex/yacc)
+    # vision: preprocessed images [{"pixel_values", "orig_hw"}, ...]
+    images: list | None = None
 
 
 class Engine:
@@ -129,6 +131,8 @@ class Engine:
                 recognizer=self._recognizer_for(req.constraint),
             )
             seq.stream = req.stream
+            if req.images:
+                seq.images = req.images
             group.add(seq)
             self.scheduler.add_seq(seq)
         self._groups[rid] = group

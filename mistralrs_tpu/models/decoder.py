@@ -179,19 +179,26 @@ def decoder_forward(
     cache: KVCache | PagedKVCache,
     meta: AttnMeta | PagedAttnMeta,
     xlora_scalings: jax.Array | None = None,  # [B, T, L, n_adapters]
+    input_embeds: jax.Array | None = None,  # [B, T, E] (vision pipelines)
 ) -> tuple[jax.Array, KVCache | PagedKVCache]:
     """Run the decoder stack. Returns (hidden [B, T, E], updated cache).
 
     xlora_scalings: per-token/layer/adapter LoRA scalings (X-LoRA dual-pass,
-    ref xlora_models/mod.rs:40-60); None for plain/LoRA models."""
+    ref xlora_models/mod.rs:40-60); None for plain/LoRA models.
+    input_embeds: precomputed embeddings (image features spliced in by the
+    vision pipeline, ref vision pipeline forward_inputs); overrides the
+    input_ids lookup when given."""
     B, T = input_ids.shape
     if isinstance(meta, PagedAttnMeta):
         S = meta.block_tables.shape[1] * cache.page_size
     else:
         S = cache.max_len
-    h = jnp.take(params.embed, input_ids, axis=0)
-    if cfg.embed_scale != 1.0:
-        h = h * jnp.asarray(cfg.embed_scale, h.dtype)
+    if input_embeds is not None:
+        h = input_embeds.astype(params.embed.dtype)
+    else:
+        h = jnp.take(params.embed, input_ids, axis=0)
+        if cfg.embed_scale != 1.0:
+            h = h * jnp.asarray(cfg.embed_scale, h.dtype)
 
     cos, sin = rope.gather(meta.positions)  # [B, T, rot/2]
 

@@ -54,12 +54,19 @@ def gelu_erf(x: jax.Array) -> jax.Array:
     return jax.nn.gelu(x, approximate=False)
 
 
+def quick_gelu(x: jax.Array) -> jax.Array:
+    """CLIP's sigmoid-approximation gelu (ref clip.rs QuickGelu)."""
+    return x * jax.nn.sigmoid(1.702 * x)
+
+
 ACTIVATIONS = {
     "silu": silu,
     "swish": silu,
     "gelu": gelu_erf,
     "gelu_new": gelu_tanh,
+    "gelu_tanh": gelu_tanh,
     "gelu_pytorch_tanh": gelu_tanh,
+    "quick_gelu": quick_gelu,
     "relu": jax.nn.relu,
 }
 

@@ -1,0 +1,379 @@
+"""Vision tests: transforms vs HF image processors, ViT vs HF CLIP/SigLIP,
+llava / llava-next end-to-end logits + generate parity vs transformers."""
+
+import json
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import transformers as tf
+from PIL import Image
+
+from mistralrs_tpu.vision import transforms as T
+from mistralrs_tpu.vision.vit import VisionConfig, vision_params_from_hf, vit_forward
+
+
+def _rand_image(rng, h=48, w=64):
+    arr = rng.integers(0, 255, size=(h, w, 3), dtype=np.uint8)
+    return Image.fromarray(arr)
+
+
+# ---------------------------------------------------------------- transforms
+def test_normalize_rescale_pad_mask():
+    rng = np.random.default_rng(0)
+    img = _rand_image(rng)
+    x = T.to_tensor(img)
+    assert x.shape == (3, 48, 64) and 0 <= x.min() and x.max() <= 1
+    n = T.normalize(x, [0.5, 0.5, 0.5], [0.2, 0.2, 0.2])
+    np.testing.assert_allclose(n, (x - 0.5) / 0.2, rtol=1e-6)
+    p = T.pad_to(x, 64, 64)
+    assert p.shape == (3, 64, 64) and p[:, 50:, :].sum() == 0
+    m = T.make_pixel_mask(p, 48, 64)
+    assert m.sum() == 48 * 64
+
+
+def test_resize_matches_hf_clip_processor():
+    rng = np.random.default_rng(1)
+    img = _rand_image(rng, 50, 70)
+    proc = tf.CLIPImageProcessor(
+        size={"shortest_edge": 32}, crop_size={"height": 32, "width": 32},
+        do_center_crop=True, do_resize=True, do_rescale=True, do_normalize=True,
+        image_mean=[0.48, 0.46, 0.41], image_std=[0.27, 0.26, 0.28],
+    )
+    want = proc(img, return_tensors="np")["pixel_values"][0]
+    # ours: shortest-edge resize + center crop + rescale + normalize
+    h, w = T.get_resize_image_size(50, 70, 32)
+    resized = T.interpolate_resize(img, (h, w))
+    x = T.to_tensor(resized)
+    top = (h - 32) // 2
+    left = (w - 32) // 2
+    x = x[:, top : top + 32, left : left + 32]
+    got = T.normalize(x, [0.48, 0.46, 0.41], [0.27, 0.26, 0.28])
+    np.testing.assert_allclose(got, want, atol=2e-2, rtol=0)  # resampler tol
+
+
+# ---------------------------------------------------------------- ViT parity
+def _np_get(sd):
+    return lambda name: sd[name].numpy() if name in sd else None
+
+
+def test_vit_matches_hf_clip():
+    torch.manual_seed(0)
+    vc = tf.CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             image_size=32, patch_size=8)
+    hfm = tf.CLIPVisionModel(vc).eval().float()
+    cfg = VisionConfig.from_hf(vc.to_dict())
+    params = vision_params_from_hf(_np_get(hfm.state_dict()), "vision_model.", cfg)
+    rng = np.random.default_rng(2)
+    px = rng.standard_normal((2, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = hfm(torch.tensor(px), output_hidden_states=True)
+    final, per_layer = vit_forward(params, cfg, jnp.asarray(px))
+    np.testing.assert_allclose(
+        np.asarray(final), want.last_hidden_state.numpy(), atol=2e-4, rtol=1e-3
+    )
+    for j in range(1, 3):
+        np.testing.assert_allclose(
+            np.asarray(per_layer[j - 1]), want.hidden_states[j].numpy(),
+            atol=2e-4, rtol=1e-3,
+        )
+
+
+def test_vit_matches_hf_siglip():
+    torch.manual_seed(1)
+    vc = tf.SiglipVisionConfig(hidden_size=32, intermediate_size=64,
+                               num_hidden_layers=2, num_attention_heads=4,
+                               image_size=32, patch_size=8)
+    hfm = tf.SiglipVisionModel(vc).eval().float()
+    cfg = VisionConfig.from_hf(vc.to_dict(), siglip=True)
+    params = vision_params_from_hf(_np_get(hfm.state_dict()), "vision_model.", cfg)
+    rng = np.random.default_rng(3)
+    px = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    with torch.no_grad():
+        want = hfm(torch.tensor(px)).last_hidden_state.numpy()
+    final, _ = vit_forward(params, cfg, jnp.asarray(px))
+    np.testing.assert_allclose(np.asarray(final), want, atol=2e-4, rtol=1e-3)
+
+
+# ---------------------------------------------------------------- llava e2e
+IMG_TOK = 120
+
+
+def _tiny_llava(next_=False, seed=0):
+    torch.manual_seed(seed)
+    vc = tf.CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                             num_hidden_layers=2, num_attention_heads=4,
+                             image_size=32, patch_size=8)
+    tc = tf.LlamaConfig(hidden_size=48, intermediate_size=96, num_hidden_layers=2,
+                        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+                        max_position_embeddings=256)
+    if next_:
+        cfg = tf.LlavaNextConfig(
+            vision_config=vc.to_dict(), text_config=tc.to_dict(),
+            image_token_index=IMG_TOK,
+            image_grid_pinpoints=[[32, 64], [64, 32], [64, 64]],
+        )
+        hfm = tf.LlavaNextForConditionalGeneration(cfg).eval().float()
+    else:
+        cfg = tf.LlavaConfig(vision_config=vc.to_dict(), text_config=tc.to_dict(),
+                             image_token_index=IMG_TOK)
+        hfm = tf.LlavaForConditionalGeneration(cfg).eval().float()
+    return cfg, hfm
+
+
+def _our_llava(cfg, hfm, tmp_path, name):
+    from safetensors.torch import save_file
+
+    d = tmp_path / name
+    d.mkdir()
+    sd = hfm.state_dict()
+    save_file({k: v.contiguous() for k, v in sd.items()}, str(d / "model.safetensors"))
+    (d / "config.json").write_text(cfg.to_json_string())
+    from mistralrs_tpu.vision.llava import load_llava
+
+    return load_llava(str(d), dtype=jnp.float32)
+
+
+def _pipe(text_cfg, params, rope, vision, image_token_id, llava_next=False):
+    from mistralrs_tpu.pipeline.text import PipelineConfig
+    from mistralrs_tpu.pipeline.vision import VisionPipeline
+    from mistralrs_tpu.vision.llava import make_llava_encoder
+
+    pc = PipelineConfig(page_size=4, num_pages=128, max_seqs=2, max_model_len=256,
+                        prefill_buckets=(16, 32, 64), dtype=jnp.float32)
+    return VisionPipeline(
+        text_cfg, params, rope, pc,
+        image_token_id=image_token_id,
+        encode_images=make_llava_encoder(vision, llava_next=llava_next),
+    )
+
+
+def test_llava_generate_matches_hf(tmp_path):
+    cfg, hfm = _tiny_llava()
+    text_cfg, params, rope, vision, hf = _our_llava(cfg, hfm, tmp_path, "llava")
+    pipe = _pipe(text_cfg, params, rope, vision, IMG_TOK)
+
+    rng = np.random.default_rng(4)
+    px = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    n_img_toks = 16  # (32/8)^2 after dropping CLS
+    prompt = [3, 4] + [IMG_TOK] * n_img_toks + [5, 6, 7]
+    with torch.no_grad():
+        want = hfm.generate(
+            input_ids=torch.tensor([prompt]), pixel_values=torch.tensor(px),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=8, do_sample=False,
+        )[0, len(prompt):].tolist()
+
+    from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+    from mistralrs_tpu.engine.sampler import SamplingParams
+
+    eng = Engine(pipe, eos_token_ids=set())
+    req = GenerationRequest(prompt, SamplingParams(max_len=8))
+    g = eng.add_request(req)
+    g.seqs[0].images = [{"pixel_values": px[0], "orig_hw": (32, 32)}]
+    while eng.has_work:
+        eng.step()
+    assert g.seqs[0].generated_tokens == want
+
+
+def test_llava_chunked_prefill_matches_one_shot(tmp_path):
+    cfg, hfm = _tiny_llava(seed=1)
+    text_cfg, params, rope, vision, hf = _our_llava(cfg, hfm, tmp_path, "llava2")
+    rng = np.random.default_rng(5)
+    px = rng.standard_normal((1, 3, 32, 32)).astype(np.float32)
+    # long prompt so the image span crosses a chunk boundary
+    prompt = list(rng.integers(3, 100, size=10)) + [IMG_TOK] * 16 + \
+        list(rng.integers(3, 100, size=9))
+
+    from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.pipeline.text import PipelineConfig
+    from mistralrs_tpu.pipeline.vision import VisionPipeline
+    from mistralrs_tpu.vision.llava import make_llava_encoder
+
+    def run(buckets):
+        pc = PipelineConfig(page_size=4, num_pages=128, max_seqs=2, max_model_len=256,
+                            prefill_buckets=buckets, dtype=jnp.float32)
+        pipe = VisionPipeline(text_cfg, params, rope, pc, image_token_id=IMG_TOK,
+                              encode_images=make_llava_encoder(vision))
+        eng = Engine(pipe, eos_token_ids=set())
+        g = eng.add_request(GenerationRequest(list(prompt), SamplingParams(max_len=5)))
+        g.seqs[0].images = [{"pixel_values": px[0], "orig_hw": (32, 32)}]
+        while eng.has_work:
+            eng.step()
+        return g.seqs[0].generated_tokens
+
+    assert run((16,)) == run((64,))  # 3 chunks vs 1 chunk
+
+
+def test_llava_next_generate_matches_hf(tmp_path):
+    cfg, hfm = _tiny_llava(next_=True, seed=2)
+    text_cfg, params, rope, vision, hf = _our_llava(cfg, hfm, tmp_path, "llava_next")
+    assert vision.grid_pinpoints and vision.image_newline is not None
+    pipe = _pipe(text_cfg, params, rope, vision, IMG_TOK, llava_next=True)
+
+    rng = np.random.default_rng(6)
+    orig_hw = (40, 60)
+    proc = tf.LlavaNextImageProcessor(
+        size={"shortest_edge": 32}, crop_size={"height": 32, "width": 32},
+        image_grid_pinpoints=[[32, 64], [64, 32], [64, 64]],
+    )
+    img = Image.fromarray(rng.integers(0, 255, size=(*orig_hw, 3), dtype=np.uint8))
+    out = proc(img, return_tensors="np")
+    px = out["pixel_values"][0]  # [n_tiles, 3, 32, 32]
+    image_sizes = out["image_sizes"]  # [[h, w]]
+
+    # number of image tokens HF expects
+    with torch.no_grad():
+        n_img = int(hfm.model.get_image_features(
+            pixel_values=torch.tensor(px[None]),
+            image_sizes=torch.tensor(image_sizes),
+            vision_feature_layer=cfg.vision_feature_layer,
+            vision_feature_select_strategy=cfg.vision_feature_select_strategy,
+        )[0].shape[0])
+    prompt = [3, 4] + [IMG_TOK] * n_img + [5, 6]
+    with torch.no_grad():
+        want = hfm.generate(
+            input_ids=torch.tensor([prompt]),
+            pixel_values=torch.tensor(px[None]),
+            image_sizes=torch.tensor(image_sizes),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=6, do_sample=False,
+        )[0, len(prompt):].tolist()
+
+    from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+    from mistralrs_tpu.engine.sampler import SamplingParams
+
+    eng = Engine(pipe, eos_token_ids=set())
+    g = eng.add_request(GenerationRequest(prompt, SamplingParams(max_len=6)))
+    g.seqs[0].images = [{"pixel_values": px, "orig_hw": tuple(image_sizes[0])}]
+    while eng.has_work:
+        eng.step()
+    assert g.seqs[0].generated_tokens == want
+
+
+# ---------------------------------------------------------------- idefics2
+def test_idefics2_generate_matches_hf(tmp_path):
+    torch.manual_seed(7)
+    from transformers import Idefics2Config, Idefics2ForConditionalGeneration
+
+    cfg = Idefics2Config(
+        image_token_id=121,
+        vision_config=dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+                           num_attention_heads=4, image_size=32, patch_size=8),
+        perceiver_config=dict(resampler_depth=2, resampler_n_heads=4,
+                              resampler_head_dim=8, resampler_n_latents=6,
+                              num_key_value_heads=2),
+        text_config=dict(model_type="mistral", hidden_size=48, intermediate_size=96,
+                         num_hidden_layers=2, num_attention_heads=4,
+                         num_key_value_heads=2, vocab_size=128,
+                         max_position_embeddings=256, rms_norm_eps=1e-6),
+    )
+    hfm = Idefics2ForConditionalGeneration(cfg).eval().float()
+    from safetensors.torch import save_file
+
+    d = tmp_path / "idefics2"
+    d.mkdir()
+    save_file({k: v.contiguous() for k, v in hfm.state_dict().items()},
+              str(d / "model.safetensors"))
+    (d / "config.json").write_text(cfg.to_json_string())
+
+    from mistralrs_tpu.vision.idefics2 import load_idefics2, make_idefics2_encoder
+
+    text_cfg, params, rope, vision, hf = load_idefics2(str(d), dtype=jnp.float32)
+
+    rng = np.random.default_rng(8)
+    px = rng.standard_normal((1, 1, 3, 32, 32)).astype(np.float32)  # [B, n_img, ...]
+    n_lat = 6
+    prompt = [3, 4] + [121] * n_lat + [5, 6]
+    with torch.no_grad():
+        want = hfm.generate(
+            input_ids=torch.tensor([prompt]), pixel_values=torch.tensor(px),
+            attention_mask=torch.ones(1, len(prompt), dtype=torch.long),
+            max_new_tokens=6, do_sample=False,
+        )[0, len(prompt):].tolist()
+
+    from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.pipeline.text import PipelineConfig
+    from mistralrs_tpu.pipeline.vision import VisionPipeline
+
+    pc = PipelineConfig(page_size=4, num_pages=128, max_seqs=2, max_model_len=256,
+                        prefill_buckets=(16, 32), dtype=jnp.float32)
+    pipe = VisionPipeline(text_cfg, params, rope, pc, image_token_id=121,
+                          encode_images=make_idefics2_encoder(vision))
+    eng = Engine(pipe, eos_token_ids=set())
+    g = eng.add_request(GenerationRequest(prompt, SamplingParams(max_len=6)))
+    g.seqs[0].images = [{"pixel_values": px[0, 0], "orig_hw": (32, 32)}]
+    while eng.has_work:
+        eng.step()
+    assert g.seqs[0].generated_tokens == want
+
+
+# ------------------------------------------------------------- processors
+def test_llava_processor_and_vision_runner(tmp_path):
+    cfg, hfm = _tiny_llava(seed=3)
+    from safetensors.torch import save_file
+
+    d = tmp_path / "llava_full"
+    d.mkdir()
+    save_file({k: v.contiguous() for k, v in hfm.state_dict().items()},
+              str(d / "model.safetensors"))
+    (d / "config.json").write_text(cfg.to_json_string())
+    # word-level tokenizer artifacts
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    vocab = {f"w{i}": i for i in range(128)}
+    tok = Tokenizer(models.WordLevel(vocab, unk_token="w0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(str(d / "tokenizer.json"))
+    (d / "tokenizer_config.json").write_text(json.dumps({}))
+
+    from mistralrs_tpu.api import VisionRunner
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.pipeline.text import PipelineConfig
+
+    pc = PipelineConfig(page_size=4, num_pages=128, max_seqs=2, max_model_len=256,
+                        prefill_buckets=(16, 32, 64), dtype=jnp.float32)
+    r = VisionRunner(str(d), "llava", dtype=jnp.float32, pipeline_config=pc)
+    rng = np.random.default_rng(9)
+    img = Image.fromarray(rng.integers(0, 255, size=(40, 50, 3), dtype=np.uint8))
+    import base64, io
+
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    data_url = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
+    resp = r.send_chat_completion_request(
+        [{"role": "user", "content": [
+            {"type": "image_url", "image_url": {"url": data_url}},
+            {"type": "text", "text": "w5 w6 w7"},
+        ]}],
+        SamplingParams(max_len=5),
+    )
+    assert resp.choices[0].text  # generated something
+    r.shutdown()
+
+
+def test_llava_next_processor_token_count_matches_features(tmp_path):
+    cfg, hfm = _tiny_llava(next_=True, seed=4)
+    text_cfg, params, rope, vision, hf = _our_llava(cfg, hfm, tmp_path, "lnp")
+    from mistralrs_tpu.vision.llava import make_llava_encoder
+    from mistralrs_tpu.vision.processor import LlavaNextProcessor
+
+    class FakeTok:
+        def encode(self, s, add_special_tokens=True):
+            return [1] * len(s.split())
+
+    proc = LlavaNextProcessor(FakeTok(), IMG_TOK, vision)
+    rng = np.random.default_rng(10)
+    img = Image.fromarray(rng.integers(0, 255, size=(40, 60, 3), dtype=np.uint8))
+    ids, pixel = proc("a b <image> c", [img])
+    n_tok = sum(1 for t in ids if t == IMG_TOK)
+    # actual features produced must match the token count
+    class S: pass
+    s = S(); s.images = pixel
+    feats = make_llava_encoder(vision, llava_next=True)(s)
+    assert feats.shape[0] == n_tok
