@@ -143,8 +143,30 @@ def _attention(
     return out, cache_k, cache_v
 
 
+def _anymoe_mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) -> jax.Array:
+    """AnyMoE soft mixture over stacked expert MLPs (ref amoe/mod.rs MoeMlp
+    :160-186): gate -> softmax -> weighted sum; dense mixture (few experts)
+    keeps the MXU fed instead of top-k gathers."""
+    moe = p["anymoe"]
+    logits = linear(moe["gate"], x).astype(jnp.float32)  # [B, T, n]
+    w = jax.nn.softmax(logits, axis=-1).astype(x.dtype)
+    e = moe["experts"]
+    act = L.ACTIVATIONS[cfg.act]
+    if "gate" in e:  # gated mlp family
+        g = jnp.einsum("bth,nhi->nbti", x, e["gate"].astype(x.dtype))
+        u = jnp.einsum("bth,nhi->nbti", x, e["up"].astype(x.dtype))
+        d = jnp.einsum("nbti,nih->nbth", act(g) * u, e["down"].astype(x.dtype))
+    else:
+        h1 = jnp.einsum("bth,nhi->nbti", x, e["fc1"].astype(x.dtype))
+        d = jnp.einsum("nbti,nih->nbth", act(h1), e["fc2"].astype(x.dtype))
+    return jnp.einsum("nbth,btn->bth", d, w)
+
+
 def _block(cfg, p, h, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc=None):
-    mlp_fn = _moe_mlp if cfg.is_moe else _mlp
+    if "anymoe" in p["mlp"]:
+        mlp_fn = _anymoe_mlp
+    else:
+        mlp_fn = _moe_mlp if cfg.is_moe else _mlp
     if cfg.block_style == "parallel":  # phi2
         x = _norm(cfg, p["input_norm"], h)
         attn_out, ck, cv = _attention(
