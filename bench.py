@@ -19,21 +19,46 @@ import time
 import numpy as np
 
 
-def _random_q4k_linear(rng, in_f: int, out_f: int, dtype):
+_POOLS = {}
+
+
+def _pool(kind, rng):
+    """4MB host pools tiled on DEVICE into full-size weights — this host has
+    one slow CPU core; generating ~4GB of packed bytes host-side would take
+    minutes, while XLA tiling runs at device-memory speed."""
     import jax.numpy as jnp
 
+    if kind not in _POOLS:
+        if kind == "qs":
+            _POOLS[kind] = jnp.asarray(rng.integers(0, 256, size=1 << 22, dtype=np.uint8))
+        elif kind == "scale":
+            _POOLS[kind] = jnp.asarray(
+                (rng.random(1 << 20, np.float32) * 0.004 + 0.001)
+            )
+        else:
+            _POOLS[kind] = jnp.asarray((rng.random(1 << 20, np.float32) * 0.002))
+    return _POOLS[kind]
+
+
+def _tiled(pool, shape, dtype=None):
+    import jax.numpy as jnp
+
+    n = int(np.prod(shape))
+    reps = -(-n // pool.size)
+    arr = jnp.tile(pool, reps)[:n].reshape(shape)
+    return arr if dtype is None else arr.astype(dtype)
+
+
+def _random_q4k_linear(rng, in_f: int, out_f: int, dtype):
     from mistralrs_tpu.quant.qlinear import Linear
 
-    qs = rng.integers(0, 256, size=(in_f // 2, out_f), dtype=np.uint8)
-    scale = (rng.random((in_f // 32, out_f), np.float32) * 0.004 + 0.001)
-    minv = (rng.random((in_f // 32, out_f), np.float32) * 0.002)
     return Linear(
         kind="gguf_q4k",
         shape=(in_f, out_f),
         data={
-            "qs": jnp.asarray(qs),
-            "scale": jnp.asarray(scale, dtype),
-            "minv": jnp.asarray(minv, dtype),
+            "qs": _tiled(_pool("qs", rng), (in_f // 2, out_f)),
+            "scale": _tiled(_pool("scale", rng), (in_f // 32, out_f), dtype),
+            "minv": _tiled(_pool("minv", rng), (in_f // 32, out_f), dtype),
         },
     )
 
@@ -74,7 +99,7 @@ def _build_7b_q4k(dtype):
     from mistralrs_tpu.models.loader import group_layers
 
     groups, sizes = group_layers(layers)
-    embed = jnp.asarray(rng.standard_normal((cfg.vocab_size, H)) * 0.02, dtype)
+    embed = _tiled(_pool("scale", rng), (cfg.vocab_size, H), dtype)
     params = DecoderParams(
         embed=embed,
         layer_groups=groups,

@@ -80,6 +80,12 @@ class EngineHandle:
                     pass
 
     def submit(self, req: GenerationRequest) -> SequenceGroup:
+        # engine reboot on dead thread (ref lib.rs:333-397 RebootState: the
+        # engine state survives; only the serving thread is restarted)
+        if not self._thread.is_alive() and not self._shutdown.is_set():
+            self._thread = threading.Thread(target=self._run, daemon=True,
+                                            name="engine")
+            self._thread.start()
         evt = threading.Event()
         self._requests.put((req, evt))
         evt.wait()

@@ -93,6 +93,14 @@ class Engine:
         self._groups: dict[str, SequenceGroup] = {}
         self._grammar_vocab = grammar_vocab
         self._tok_trie = None  # built on first constrained request
+        # ref engine/mod.rs:39 TERMINATE_ALL_NEXT_STEP: cancel everything at
+        # the top of the next scheduling step
+        self.terminate_all_next_step = False
+        # opt-in per-step throughput log (ref engine/mod.rs:285-298 --throughput)
+        self.throughput_logging = False
+        self.last_throughput: dict | None = None
+        # optional request/response JSONL log (ref lib.rs:415-453)
+        self.request_log_file: str | None = None
 
     def _recognizer_for(self, constraint):
         if constraint is None or constraint.kind == "none":
@@ -136,7 +144,19 @@ class Engine:
             group.add(seq)
             self.scheduler.add_seq(seq)
         self._groups[rid] = group
+        self._log_event({"event": "request", "id": rid,
+                         "prompt_tokens": len(req.prompt_tokens),
+                         "n_choices": req.sampling.n_choices})
         return group
+
+    def _log_event(self, obj: dict) -> None:
+        if self.request_log_file:
+            import json
+            import time as _t
+
+            obj["ts"] = _t.time()
+            with open(self.request_log_file, "a") as f:
+                f.write(json.dumps(obj) + "\n")
 
     # ------------------------------------------------------------- stepping
     @property
@@ -144,14 +164,43 @@ class Engine:
         return self.scheduler.num_unfinished > 0
 
     def step(self) -> None:
+        if self.terminate_all_next_step:
+            # ref TERMINATE_ALL_NEXT_STEP honored by both schedulers
+            self.terminate_all_next_step = False
+            self._cancel_all()
+            return
+        t0 = time.monotonic() if self.throughput_logging else 0.0
         out = self.scheduler.schedule()
         if out.copy_ops:
             self._execute_copies(out.copy_ops)
+        n_prefill = n_decode = 0
         if out.prefill:
             for seq in out.prefill:
+                before = seq.prefill_done_tokens
                 self._prefill_one(seq)
+                n_prefill += seq.prefill_done_tokens - before
         elif out.decode:
+            before = sum(len(s.tokens) for s in out.decode)
             self._decode_batch(out.decode)
+            n_decode = sum(len(s.tokens) for s in out.decode) - before
+        self._finish_done()
+        if self.throughput_logging and (n_prefill or n_decode):
+            dt = max(time.monotonic() - t0, 1e-9)
+            self.last_throughput = {
+                "prompt_tok_s": n_prefill / dt if n_prefill else 0.0,
+                "completion_tok_s": n_decode / dt if n_decode else 0.0,
+            }
+
+    def _cancel_all(self) -> None:
+        from mistralrs_tpu.engine.sequence import StopReason
+
+        for seq in list(self.scheduler.running) + list(self.scheduler.waiting):
+            if not seq.is_finished():
+                seq.finish(StopReason.CANCELED)
+                stream = getattr(seq, "stream", None)
+                if stream:
+                    stream(seq, "", StopReason.CANCELED.value)
+        self.scheduler.waiting.clear()
         self._finish_done()
 
     def run_until_done(self) -> None:
@@ -278,6 +327,10 @@ class Engine:
         stream = getattr(seq, "stream", None)
         if reason is not None:
             seq.finish(reason)
+            if seq.group is not None:
+                self._log_event({"event": "response", "id": seq.group.request_id,
+                                 "completion_tokens": seq.num_generated,
+                                 "finish_reason": reason.value})
             if stream:
                 stream(seq, seq.get_delta(), reason.value)
         elif stream:

@@ -46,11 +46,31 @@ def register_kind(kind: str):
     return deco
 
 
+def _ensure_kind(kind: str) -> None:
+    """Import the module that registers `kind` (kinds register at import;
+    a Linear can be constructed before its forward module was imported)."""
+    import importlib
+
+    mod = None
+    if kind.startswith("gguf_"):
+        mod = "mistralrs_tpu.quant.gguf_linear"
+    elif kind.startswith("gptq_"):
+        mod = "mistralrs_tpu.quant.gptq"
+    elif kind.startswith("hqq_"):
+        mod = "mistralrs_tpu.quant.hqq"
+    elif kind == "lora":
+        mod = "mistralrs_tpu.lora.lora"
+    if mod is not None:
+        importlib.import_module(mod)
+
+
 def linear(lin: Linear, x: jax.Array, lora_scales: jax.Array | None = None) -> jax.Array:
     """y = x @ W (+b). x: [..., in] -> [..., out].
 
     lora_scales: optional per-token adapter scalings [..., n_adapters]
     (X-LoRA); only the "lora" kind consumes them."""
+    if lin.kind not in _FORWARDS:
+        _ensure_kind(lin.kind)
     if lin.kind == "lora":
         return _FORWARDS["lora"](lin, x, lora_scales)
     return _FORWARDS[lin.kind](lin, x)

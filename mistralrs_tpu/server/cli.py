@@ -23,6 +23,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="fraction of free HBM for KV pages (ref: 90%% default)")
     p.add_argument("--prefill-chunk", type=int, default=512)
     p.add_argument("--interactive", action="store_true", help="terminal chat instead of server")
+    p.add_argument("--throughput", action="store_true",
+                   help="per-step throughput logging (ref --throughput)")
+    p.add_argument("--log", default=None, help="request/response JSONL log file")
     p.add_argument("--tp", type=int, default=None, help="tensor-parallel degree")
     p.add_argument("--dp", type=int, default=1, help="data-parallel degree")
 
@@ -36,6 +39,9 @@ def build_parser() -> argparse.ArgumentParser:
     gguf = sub.add_parser("gguf", help="GGUF quantized model")
     gguf.add_argument("--model", required=True, help="path to .gguf file(s)", nargs="+")
     gguf.add_argument("--tokenizer", default=None, help="HF dir for tokenizer (else GGUF-embedded)")
+
+    toml = sub.add_parser("toml", help="TOML model selector (ref toml_selector.rs)")
+    toml.add_argument("--file", required=True, help="selector .toml path")
     return p
 
 
@@ -69,6 +75,11 @@ def main(argv=None):
             pipeline_config=pc, mesh=mesh,
         )
         model_id = args.model_id or args.model
+    elif args.which == "toml":
+        from mistralrs_tpu.toml_selector import runner_from_toml
+
+        runner = runner_from_toml(args.file, pc=pc, mesh=mesh)
+        model_id = args.model_id or args.file
     else:
         from mistralrs_tpu.pipeline.gguf import load_gguf_model
         from mistralrs_tpu.utils.tokenizer import TokenizerWrapper
@@ -78,6 +89,12 @@ def main(argv=None):
             tokenizer = TokenizerWrapper.from_hf_dir(args.tokenizer)
         runner = Runner.from_parts(cfg, params, rope, tokenizer, pc=pc, mesh=mesh)
         model_id = args.model_id or args.model[0]
+
+    eng = runner.handle.engine
+    if args.throughput:
+        eng.throughput_logging = True
+    if args.log:
+        eng.request_log_file = args.log
 
     if args.interactive:
         from mistralrs_tpu.server.interactive import interactive_chat

@@ -1,0 +1,141 @@
+"""TOML model selector.
+
+Reference parity: mistralrs-core/src/toml_selector.rs (:26-296) + the
+`toml-selectors/*.toml` examples — one file describes the whole model
+composition: base model ([model] with model_id / quantized_model_id+
+quantized_filename / adapters_model_id+order), optional [speculative]
+(gamma + draft_model) and optional [anymoe] (dataset + experts + config).
+Model ids are local directories/files (no hub fetch in this environment).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import tomllib
+from typing import Any
+
+
+@dataclasses.dataclass
+class TomlSelection:
+    raw: dict[str, Any]
+
+    @classmethod
+    def from_file(cls, path: str) -> "TomlSelection":
+        with open(path, "rb") as f:
+            return cls(tomllib.load(f))
+
+    @classmethod
+    def from_str(cls, text: str) -> "TomlSelection":
+        return cls(tomllib.loads(text))
+
+
+def _load_base(model: dict[str, Any], pc, dtype, mesh):
+    """[model] table -> (cfg, params, rope, tokenizer)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.utils.tokenizer import TokenizerWrapper
+
+    if "quantized_model_id" in model:
+        import os
+
+        from mistralrs_tpu.pipeline.gguf import load_gguf_model
+
+        path = model["quantized_model_id"]
+        fname = model.get("quantized_filename")
+        files = [os.path.join(path, fname)] if fname and os.path.isdir(path) else [path]
+        cfg, params, rope, tokenizer = load_gguf_model(files)
+        if model.get("tok_model_id"):
+            try:
+                tokenizer = TokenizerWrapper.from_hf_dir(model["tok_model_id"])
+            except Exception:
+                pass  # fall back to the GGUF-embedded tokenizer
+        return cfg, params, rope, tokenizer
+    from mistralrs_tpu.models.loader import load_hf_model
+
+    model_id = model.get("model_id") or model.get("adapters_model_id")
+    cfg, params, rope = load_hf_model(model_id, dtype=dtype)
+    tokenizer = TokenizerWrapper.from_hf_dir(model_id)
+    return cfg, params, rope, tokenizer
+
+
+def runner_from_toml(path_or_text: str, pc=None, dtype=None, mesh=None,
+                     is_file: bool = True):
+    """Build a Runner from a TOML selection (ref TomlSelector -> loaders)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.api import Runner
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    sel = (TomlSelection.from_file(path_or_text) if is_file
+           else TomlSelection.from_str(path_or_text))
+    doc = sel.raw
+    dtype = dtype or jnp.bfloat16
+    pc = pc or PipelineConfig()
+    model = doc["model"]
+
+    cfg, params, rope, tokenizer = _load_base(model, pc, dtype, mesh)
+
+    adapter_names: list[str] = []
+    if model.get("adapters") or model.get("adapters_model_id"):
+        from mistralrs_tpu.lora import (
+            Ordering, apply_lora_to_params, load_peft_adapter,
+        )
+
+        paths = model.get("adapters") or [model["adapters_model_id"]]
+        ads = [load_peft_adapter(p) for p in paths]
+        if model.get("order"):
+            ads = Ordering.from_file(model["order"]).sort_adapters(ads)
+        params = apply_lora_to_params(params, cfg, ads, dtype=dtype)
+        adapter_names = [a.name for a in ads]
+
+    if "anymoe" in doc:
+        am = doc["anymoe"]
+        amc = am.get("config", {})
+        from mistralrs_tpu.amoe import AnyMoeConfig, convert_to_anymoe, pretrain_gates
+        from mistralrs_tpu.models.loader import load_hf_model as _lh
+
+        experts = [_lh(mid, dtype=dtype)[1] for mid in am.get("model_ids", [])]
+        acfg = AnyMoeConfig(
+            lr=amc.get("lr", 1e-3),
+            epochs=amc.get("epochs", 100),
+            batch_size=amc.get("batch_size", 4),
+            gate_model_id=amc.get("gate_model_id"),
+            layers=am.get("layers"),
+        )
+        params = convert_to_anymoe(params, cfg, experts, acfg)
+        if am.get("dataset_json"):
+            with open(am["dataset_json"]) as f:
+                rows = json.load(f)
+            dataset = [
+                (tokenizer.encode(r["prompt"]), int(r["expert"])) for r in rows
+            ]
+            params = pretrain_gates(params, cfg, rope, dataset, acfg)
+        elif acfg.gate_model_id:
+            from mistralrs_tpu.amoe import load_gates
+
+            try:
+                params = load_gates(acfg.gate_model_id, params)
+            except FileNotFoundError:
+                pass
+
+    pipe = TextPipeline(cfg, params, rope, pc, mesh=mesh)
+
+    if "speculative" in doc:
+        sp = doc["speculative"]
+        dcfg, dparams, drope, _ = _load_base(sp["draft_model"], pc, dtype, mesh)
+        from mistralrs_tpu.pipeline.speculative import SpeculativePipeline
+
+        draft = TextPipeline(dcfg, dparams, drope, pc, mesh=mesh)
+        pipe = SpeculativePipeline(pipe, draft, gamma=int(sp.get("gamma", 4)))
+
+    engine = Engine(
+        pipe,
+        eos_token_ids=tokenizer.eos_token_ids if tokenizer else set(),
+        detokenizer=tokenizer.detokenizer() if tokenizer else None,
+        grammar_vocab=tokenizer.grammar_vocab() if tokenizer else None,
+    )
+    runner = Runner.from_engine(engine, tokenizer)
+    runner.adapter_names = adapter_names
+    return runner

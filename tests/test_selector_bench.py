@@ -1,0 +1,170 @@
+"""TOML selector, bench harness, and engine-aux (terminate/logging/reboot)
+tests."""
+
+import json
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import transformers as tf
+
+from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+from mistralrs_tpu.engine.sampler import SamplingParams
+from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+
+@pytest.fixture(scope="module")
+def tiny_ckpt(tmp_path_factory):
+    d = tmp_path_factory.mktemp("ckpt") / "model"
+    torch.manual_seed(3)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=128,
+    )
+    tf.LlamaForCausalLM(hf_cfg).save_pretrained(str(d), safe_serialization=True)
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    tok = Tokenizer(models.WordLevel({f"w{i}": i for i in range(128)}, unk_token="w0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(str(d / "tokenizer.json"))
+    (d / "tokenizer_config.json").write_text("{}")
+    return str(d)
+
+
+def _pc():
+    return PipelineConfig(page_size=4, num_pages=64, max_seqs=2, max_model_len=128,
+                          prefill_buckets=(8, 16), dtype=jnp.float32)
+
+
+def test_toml_plain(tiny_ckpt):
+    from mistralrs_tpu.toml_selector import runner_from_toml
+
+    toml = f'''
+[model]
+model_id = "{tiny_ckpt}"
+arch = "llama"
+'''
+    r = runner_from_toml(toml, pc=_pc(), dtype=jnp.float32, is_file=False)
+    resp = r.send_completion_request("w5 w6 w7", SamplingParams(max_len=4))
+    assert resp.choices[0].text
+    r.shutdown()
+
+
+def test_toml_speculative(tiny_ckpt):
+    from mistralrs_tpu.toml_selector import runner_from_toml
+
+    toml = f'''
+[model]
+model_id = "{tiny_ckpt}"
+
+[speculative]
+gamma = 2
+
+[speculative.draft_model]
+model_id = "{tiny_ckpt}"
+'''
+    r = runner_from_toml(toml, pc=_pc(), dtype=jnp.float32, is_file=False)
+    assert r.handle.engine.is_speculative
+    resp = r.send_completion_request("w5 w6 w7 w8", SamplingParams(max_len=5))
+    assert resp.choices[0].text
+    r.shutdown()
+
+
+def test_toml_anymoe(tiny_ckpt, tmp_path):
+    from mistralrs_tpu.toml_selector import runner_from_toml
+
+    rows = [{"prompt": "w5 w6", "expert": 0}, {"prompt": "w100 w101", "expert": 1}]
+    ds = tmp_path / "amoe.json"
+    ds.write_text(json.dumps(rows))
+    toml = f'''
+[model]
+model_id = "{tiny_ckpt}"
+
+[anymoe]
+dataset_json = "{ds}"
+model_ids = ["{tiny_ckpt}"]
+layers = [0]
+
+[anymoe.config]
+epochs = 5
+'''
+    r = runner_from_toml(toml, pc=_pc(), dtype=jnp.float32, is_file=False)
+    resp = r.send_completion_request("w5 w6 w7", SamplingParams(max_len=3))
+    assert resp.choices[0].text
+    r.shutdown()
+
+
+def test_bench_harness(tiny_ckpt):
+    from mistralrs_tpu.bench import run_bench
+    from mistralrs_tpu.models.loader import load_hf_model, make_rope
+
+    cfg, params, rope = load_hf_model(tiny_ckpt, dtype=jnp.float32)
+    eng = Engine(TextPipeline(cfg, params, rope, _pc()), eos_token_ids=set())
+    r = run_bench(eng, prompt_len=8, gen_len=8, repetitions=2, concurrency=2,
+                  vocab=128)
+    assert r["tg"] and r["tg"]["mean"] > 0
+    assert r["pp"] and r["pp"]["mean"] > 0
+
+
+def test_terminate_all_next_step(tiny_ckpt):
+    from mistralrs_tpu.models.loader import load_hf_model
+
+    cfg, params, rope = load_hf_model(tiny_ckpt, dtype=jnp.float32)
+    eng = Engine(TextPipeline(cfg, params, rope, _pc()), eos_token_ids=set())
+    g = eng.add_request(GenerationRequest([5, 6, 7], SamplingParams(max_len=50)))
+    eng.step()  # prefill
+    eng.step()  # one decode
+    eng.terminate_all_next_step = True
+    eng.step()
+    assert g.all_done()
+    assert g.seqs[0].stop_reason is not None
+    assert not eng.has_work
+
+
+def test_request_logging(tiny_ckpt, tmp_path):
+    from mistralrs_tpu.models.loader import load_hf_model
+
+    cfg, params, rope = load_hf_model(tiny_ckpt, dtype=jnp.float32)
+    eng = Engine(TextPipeline(cfg, params, rope, _pc()), eos_token_ids=set())
+    log = tmp_path / "reqs.jsonl"
+    eng.request_log_file = str(log)
+    eng.generate([5, 6, 7], SamplingParams(max_len=3))
+    lines = [json.loads(x) for x in log.read_text().splitlines()]
+    events = [x["event"] for x in lines]
+    assert "request" in events and "response" in events
+
+
+def test_throughput_logging(tiny_ckpt):
+    from mistralrs_tpu.models.loader import load_hf_model
+
+    cfg, params, rope = load_hf_model(tiny_ckpt, dtype=jnp.float32)
+    eng = Engine(TextPipeline(cfg, params, rope, _pc()), eos_token_ids=set())
+    eng.throughput_logging = True
+    eng.generate([5, 6, 7], SamplingParams(max_len=3))
+    assert eng.last_throughput is not None
+    assert eng.last_throughput["completion_tok_s"] > 0
+
+
+def test_engine_handle_reboots_dead_thread(tiny_ckpt):
+    from mistralrs_tpu.api import Runner
+    from mistralrs_tpu.models.loader import load_hf_model
+    from mistralrs_tpu.utils.tokenizer import TokenizerWrapper
+
+    cfg, params, rope = load_hf_model(tiny_ckpt, dtype=jnp.float32)
+    tok = TokenizerWrapper.from_hf_dir(tiny_ckpt)
+    r = Runner.from_parts(cfg, params, rope, tok, pc=_pc())
+    # kill the engine thread (simulates a crash; ref reboot lib.rs:333-397)
+    import ctypes
+
+    t = r.handle._thread
+    ctypes.pythonapi.PyThreadState_SetAsyncExc(
+        ctypes.c_long(t.ident), ctypes.py_object(SystemExit)
+    )
+    t.join(timeout=5)
+    assert not t.is_alive()
+    resp = r.send_completion_request("w5 w6", SamplingParams(max_len=3))
+    assert resp.choices[0].text
+    r.shutdown()
