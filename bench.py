@@ -121,7 +121,7 @@ def main():
     cfg, params = _build_7b_q4k(jnp.bfloat16)
     pc = PipelineConfig(
         page_size=16, num_pages=512, max_seqs=1, max_model_len=2048,
-        prefill_buckets=(64,),
+        prefill_buckets=(64,), decode_steps=16,
     )
     pipe = TextPipeline(cfg, params, make_rope(cfg, 2048), pc)
     eng = Engine(pipe, eos_token_ids=set())

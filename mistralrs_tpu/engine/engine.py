@@ -78,11 +78,14 @@ class Engine:
             if prefix_cache
             else None
         )
+        self.decode_steps = 1 if self.is_speculative else max(
+            1, getattr(pc, "decode_steps", 1)
+        )
         self.scheduler = Scheduler(
             self.block_manager,
             max_seqs=pc.max_seqs,
             prefix_cacher=self.prefix_cacher,
-            lookahead=(pipeline.gamma + 1) if self.is_speculative else 1,
+            lookahead=(pipeline.gamma + 1) if self.is_speculative else self.decode_steps,
         )
         self.eos_token_ids = set(eos_token_ids)
         self.detokenizer = detokenizer
@@ -268,11 +271,42 @@ class Engine:
                     self._postprocess_token(seq, lp)
             return
         if all(self._greedy_ok(s) for s in seqs):
+            T = self.decode_steps
+            if (
+                T > 1
+                and getattr(self.pipeline, "supports_multistep", False)
+                and all(self._multi_ok(s, T) for s in seqs)
+            ):
+                self._decode_multi(seqs, T)
+                return
             pack = self.pipeline.run_decode(seqs, greedy=True)
             self._emit_greedy(seqs, pack)
         else:
             logits = self.pipeline.run_decode(seqs)
             self._sample_and_emit(seqs, logits)
+
+    def _multi_ok(self, seq: Sequence, T: int) -> bool:
+        """All T writes must land inside the seq's block table span."""
+        phys = self.pipeline.max_pages_per_seq * self.pipeline.pc.page_size
+        return seq.kv_len + T <= phys and len(seq.block_table) * self.pipeline.pc.page_size >= seq.kv_len + T
+
+    def _decode_multi(self, seqs: list[Sequence], T: int) -> None:
+        """Greedy multi-token decode: one dispatch emits up to T tokens per
+        sequence; overshoot past stop conditions is discarded with a kv_len
+        counter rewind (same trick as speculative rollback)."""
+        from mistralrs_tpu.engine.sampler import Logprobs
+
+        pack = self.pipeline.run_decode_multi(seqs)  # [2, T, n]
+        for i, seq in enumerate(seqs):
+            start_kv = seq.kv_len - T
+            taken = 0
+            for t in range(T):
+                if seq.is_finished():
+                    break
+                lp = Logprobs(token=int(pack[0, t, i]), logprob=float(pack[1, t, i]))
+                self._postprocess_token(seq, lp)
+                taken += 1
+            seq.kv_len = start_kv + taken
 
     def _emit_greedy(self, seqs: list[Sequence], pack: np.ndarray) -> None:
         from mistralrs_tpu.engine.sampler import Logprobs

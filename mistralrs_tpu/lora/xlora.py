@@ -139,6 +139,8 @@ class XLoraPipeline(TextPipeline):
     cache) -> classifier -> pass 2 (real scalings, main KV cache). Both paged
     caches share the block table / page-id space."""
 
+    supports_multistep = False  # dual-pass step fn; multi-token loop n/a
+
     def __init__(self, cfg, params, rope, pc, classifier, xcfg: XLoraConfig,
                  n_adapters: int, mesh=None):
         self.clf = classifier

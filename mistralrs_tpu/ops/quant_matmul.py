@@ -34,31 +34,41 @@ from jax.experimental.pallas import tpu as pltpu
 from mistralrs_tpu.quant.qlinear import Linear
 
 
-def _unpack_q4_kmajor(qs: jax.Array, dtype) -> jax.Array:
-    """[Kt/2, To] packed nibbles -> [Kt, To] values 0..15 in ggml order.
+def _q4k_kernel(x_ref, qs_ref, scale_ref, o_ref, acc_ref, *, block_k: int):
+    """Paired-nibble tile: byte row r of the k-th qs tile holds elements
+    (K_off + r) and (K/2 + K_off + r); both halves unpack with one mask /
+    one shift (no sublane interleave) and contract against contiguous x and
+    scale slices."""
 
-    Byte row 32c+r holds elements 64c+r (lo) and 64c+32+r (hi): concat lo/hi
-    per 32-row chunk on the sublane axis only (lanes untouched)."""
-    in_half, To = qs.shape
-    nchunk = in_half // 32
-    q32 = qs.astype(jnp.int32)  # Mosaic has no uint8->bf16 cast; go via int32
-    lo = (q32 & 0xF).astype(dtype).reshape(nchunk, 32, To)
-    hi = (q32 >> 4).astype(dtype).reshape(nchunk, 32, To)
-    return jnp.concatenate([lo, hi], axis=1).reshape(nchunk * 64, To)
-
-
-def _q4k_kernel(x_ref, qs_ref, scale_ref, o_ref, acc_ref):
     @pl.when(pl.program_id(1) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
-    x = x_ref[...]  # [B, Kt]
-    q = _unpack_q4_kmajor(qs_ref[...], x.dtype)  # [Kt, To]
-    scale = scale_ref[...].astype(x.dtype)  # [Kt/32, To]
-    nsub, To = scale.shape
-    scale_rep = jnp.broadcast_to(scale[:, None, :], (nsub, 32, To)).reshape(nsub * 32, To)
-    w = q * scale_rep  # [Kt, To]
-    acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    k = pl.program_id(1)
+    bkh = block_k // 2
+    Khalf = x_ref.shape[1] // 2
+    nsub = bkh // 32
+    dt = x_ref.dtype
+    q32 = qs_ref[...].astype(jnp.int32)  # Mosaic: no direct uint8->bf16 cast
+    lo = (q32 & 0xF).astype(dt)  # [bkh, To] elements [k*bkh, (k+1)*bkh)
+    hi = (q32 >> 4).astype(dt)  # elements [Khalf + k*bkh, ...)
+    x1 = x_ref[:, pl.dslice(pl.multiple_of(k * bkh, 128), bkh)]
+    x2 = x_ref[:, pl.dslice(pl.multiple_of(Khalf + k * bkh, 128), bkh)]
+    s1 = scale_ref[pl.dslice(pl.multiple_of(k * nsub, 8), nsub), :].astype(jnp.float32)
+    s2 = scale_ref[
+        pl.dslice(pl.multiple_of((Khalf + k * bkh) // 32, 8), nsub), :
+    ].astype(jnp.float32)
+    # scale applied on the [B, To] accumulator per 32-element sub-block
+    # (VPU cost ~B*To per sub-block instead of 32*To weight-side muls —
+    # decode is VPU-dequant-bound, so fewer elementwise ops win)
+    acc = acc_ref[...]
+    for i in range(nsub):
+        p1 = jnp.dot(x1[:, 32 * i : 32 * i + 32], lo[32 * i : 32 * i + 32],
+                     preferred_element_type=jnp.float32)
+        p2 = jnp.dot(x2[:, 32 * i : 32 * i + 32], hi[32 * i : 32 * i + 32],
+                     preferred_element_type=jnp.float32)
+        acc = acc + p1 * s1[i][None, :] + p2 * s2[i][None, :]
+    acc_ref[...] = acc
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():
@@ -67,20 +77,20 @@ def _q4k_kernel(x_ref, qs_ref, scale_ref, o_ref, acc_ref):
 
 @functools.partial(jax.jit, static_argnames=("block_o", "block_k"))
 def _q4k_matmul_padded(x, qs, scale, minv, *, block_o: int, block_k: int):
-    """x [B, K]; qs [K/2, O]; scale/minv [K/32, O]. Returns [B, O]."""
+    """x [B, K]; qs [K/2, O] paired layout; scale/minv [K/32, O]."""
     B, K = x.shape
     O = qs.shape[1]
     grid = (O // block_o, K // block_k)
     y = pl.pallas_call(
-        _q4k_kernel,
+        functools.partial(_q4k_kernel, block_k=block_k),
         out_shape=jax.ShapeDtypeStruct((B, O), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((B, block_k), lambda o, k: (0, k)),
+                pl.BlockSpec((B, K), lambda o, k: (0, 0)),
                 pl.BlockSpec((block_k // 2, block_o), lambda o, k: (k, o)),
-                pl.BlockSpec((block_k // 32, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((K // 32, block_o), lambda o, k: (0, o)),
             ],
             out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
             scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
@@ -117,12 +127,18 @@ def _pick_blocks(out_f: int, in_f: int, block_o: int, block_k: int) -> tuple[int
     return bo, bk
 
 
-def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int = 1024) -> jax.Array:
+def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int = 1024) -> jax.Array:
     """Forward for kind 'gguf_q4k'. x [..., K] -> [..., O]."""
     in_f, out_f = lin.shape
     lead = x.shape[:-1]
-    x2 = _pad_rows(x.reshape(-1, in_f), 8)
     bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)
+    if bk < 512:
+        # paired-kernel sublane-alignment needs >=16 scale rows per k-tile;
+        # tiny matrices fall back to the fused XLA reference
+        from mistralrs_tpu.quant.gguf_linear import _ref_forward
+
+        return _ref_forward(lin, x)
+    x2 = _pad_rows(x.reshape(-1, in_f), 8)
     y = _q4k_matmul_padded(
         x2, lin.data["qs"], lin.data["scale"], lin.data["minv"], block_o=bo, block_k=bk
     )

@@ -42,10 +42,17 @@ class PipelineConfig:
     max_model_len: int = 4096
     prefill_buckets: tuple[int, ...] = (16, 64, 256, 512)
     dtype: Any = jnp.bfloat16
+    # greedy tokens generated per device dispatch (1 = classic step-per-token).
+    # Host dispatch through the runtime costs ~a step itself on slow hosts;
+    # the on-device argmax loop amortizes it (tokens past a stop condition
+    # are discarded by the engine, like speculative overshoot).
+    decode_steps: int = 8
 
 
 class TextPipeline:
     """Owns model params + paged cache + jitted step functions."""
+
+    supports_multistep = True  # greedy on-device multi-token decode
 
     def __init__(
         self,
@@ -72,6 +79,7 @@ class TextPipeline:
         self.cache = cache
         self._step_fn = self._build_step_fn()
         self._verify_fn = None  # built lazily (speculative decoding only)
+        self._multistep_fn = None  # built lazily (greedy multi-token decode)
 
     # ------------------------------------------------------------- jit steps
     def _build_step_fn(self):
@@ -99,6 +107,72 @@ class TextPipeline:
             return logits, greedy_pack, cache
 
         return step
+
+    def _build_multistep_fn(self):
+        """On-device greedy decode loop: `decode_steps` tokens per dispatch.
+
+        The argmax feeds straight back as the next input inside a lax.scan —
+        no host round-trip per token. Slot mappings derive from the block
+        tables on device; the scheduler reserves `decode_steps` lookahead
+        slots, and the engine discards overshoot past stop conditions
+        (ref: removes the per-step logits->CPU sync, pipeline/mod.rs:308)."""
+        cfg, rope = self.cfg, self.rope
+        ps = self.pc.page_size
+        T = self.pc.decode_steps
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def multistep(params, cache, ids, kv_lens, block_tables, active):
+            # ids [B], kv_lens [B] (= position of the token being fed)
+            def body(carry, _):
+                ids, kvl, cache = carry
+                pos = kvl[:, None]  # [B, 1]
+                page = jnp.take_along_axis(block_tables, pos // ps, axis=1)
+                slot = page * ps + pos % ps
+                meta = PagedAttnMeta(
+                    positions=pos,
+                    slot_mapping=slot,
+                    block_tables=block_tables,
+                    kv_lens=kvl + 1,
+                    active=active,
+                )
+                h, cache = decoder_forward(params, cfg, rope, ids[:, None], cache, meta)
+                logits = compute_logits(params, cfg, h[:, 0])  # [B, V]
+                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                chosen = jnp.take_along_axis(logits, nxt[:, None], axis=-1)[:, 0]
+                return (nxt, kvl + 1, cache), (nxt, chosen)
+            (_, _, cache), (toks, vals) = jax.lax.scan(
+                body, (ids, kv_lens, cache), None, length=T
+            )
+            return toks, vals, cache  # [T, B], [T, B]
+
+        return multistep
+
+    def run_decode_multi(self, seqs: list[Sequence]) -> np.ndarray:
+        """Greedy multi-token decode: returns pack [2, T, n] (token ids,
+        logit values). Advances each seq's kv_len by decode_steps; the caller
+        rewinds via kv_len when it consumes fewer (stop conditions)."""
+        if self._multistep_fn is None:
+            self._multistep_fn = self._build_multistep_fn()
+        B = self.pc.max_seqs
+        T = self.pc.decode_steps
+        n = len(seqs)
+        ids = np.zeros((B,), np.int32)
+        kv_lens = np.zeros((B,), np.int32)
+        block_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        active = np.zeros((B,), np.float32)
+        for i, seq in enumerate(seqs):
+            ids[i] = seq.tokens[-1]
+            kv_lens[i] = seq.kv_len
+            block_tables[i] = self._tables_row(seq)
+            active[i] = 1.0
+        toks, vals, self.cache = self._multistep_fn(
+            self.params, self.cache,
+            jnp.asarray(ids), jnp.asarray(kv_lens), jnp.asarray(block_tables),
+            jnp.asarray(active),
+        )
+        for seq in seqs:
+            seq.kv_len += T
+        return np.stack([np.asarray(toks, np.float32), np.asarray(vals)])[:, :, :n]
 
     def _build_verify_fn(self):
         """Like the step fn but returns logits at *every* fed position —

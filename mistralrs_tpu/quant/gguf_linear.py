@@ -45,7 +45,12 @@ from mistralrs_tpu.quant.qlinear import Linear, make_dense, register_kind
 
 
 def pack_q4k(raw: np.ndarray, out_features: int, in_features: int, dtype=jnp.bfloat16) -> Linear:
-    """GGUF Q4_K wire blocks -> K-major device layout. raw: uint8 of (out, in)."""
+    """GGUF Q4_K wire blocks -> K-major device layout. raw: uint8 of (out, in).
+
+    Nibble packing is *globally paired*: byte row r holds element r (lo) and
+    element r + in/2 (hi). The kernel's unpack is then two relayout-free
+    block ops (mask / shift) whose halves multiply against contiguous x and
+    scale slices — no sublane interleave (ops/quant_matmul.py)."""
     nblk = in_features // 256
     b = raw.reshape(out_features, nblk, 144)
     d = b[:, :, 0:2].copy().view(np.float16).astype(np.float32)  # [out, nblk, 1]
@@ -54,7 +59,14 @@ def pack_q4k(raw: np.ndarray, out_features: int, in_features: int, dtype=jnp.bfl
     qs = b[:, :, 16:144]  # [out, nblk, 128]
     scale = d * sc.astype(np.float32)  # [out, nblk, 8]
     minv = dmin * mn.astype(np.float32)
-    qs_t = np.ascontiguousarray(qs.transpose(1, 2, 0).reshape(nblk * 128, out_features))
+    # wire order -> element-order nibble matrix V [in, out]
+    qs4 = qs.reshape(out_features, nblk, 4, 32)
+    v = np.empty((out_features, nblk, 4, 2, 32), np.uint8)
+    v[..., 0, :] = qs4 & 0xF  # elements 256b + 64c + j
+    v[..., 1, :] = qs4 >> 4  # elements 256b + 64c + 32 + j
+    v = v.reshape(out_features, in_features).T  # [in, out]
+    half = in_features // 2
+    qs_t = np.ascontiguousarray(v[:half] | (v[half:] << 4))
     scale_t = np.ascontiguousarray(scale.transpose(1, 2, 0).reshape(nblk * 8, out_features))
     minv_t = np.ascontiguousarray(minv.transpose(1, 2, 0).reshape(nblk * 8, out_features))
     return Linear(
@@ -127,14 +139,14 @@ def linear_from_gguf(
 
 
 def dequant_q4k_weights(lin: Linear, dtype) -> jax.Array:
-    """[out, in] dequantized — reference path; the Pallas kernel fuses this."""
-    qs = lin.data["qs"]  # [in/2, out] uint8, K-major
+    """[out, in] dequantized — reference path; the Pallas kernel fuses this.
+
+    Paired layout: byte row r = (element r) | (element r + in/2) << 4."""
+    qs = lin.data["qs"]  # [in/2, out] uint8, K-major paired
     in_half, out_f = qs.shape
-    nchunk = in_half // 32  # 32-byte chunks -> 64 elems each
-    lo = (qs & 0xF).astype(dtype).reshape(nchunk, 32, out_f)
-    hi = (qs >> 4).astype(dtype).reshape(nchunk, 32, out_f)
-    q = jnp.concatenate([lo, hi], axis=1)  # [nchunk, 64, out]
-    q = q.reshape(nchunk * 64, out_f)  # [in, out] in ggml order
+    lo = (qs & 0xF).astype(dtype)  # elements [0, in/2)
+    hi = (qs >> 4).astype(dtype)  # elements [in/2, in)
+    q = jnp.concatenate([lo, hi], axis=0)  # [in, out] element order
     scale = jnp.repeat(lin.data["scale"].astype(dtype), 32, axis=0)  # [in, out]
     minv = jnp.repeat(lin.data["minv"].astype(dtype), 32, axis=0)
     w_t = q * scale - minv  # [in, out]

@@ -241,3 +241,80 @@ def test_engine_two_concurrent_real_requests():
         w2 = model.generate(torch.tensor([p2]), max_new_tokens=6, do_sample=False)[0, len(p2):].tolist()
     assert g1.seqs[0].generated_tokens == w1
     assert g2.seqs[0].generated_tokens == w2
+
+
+def _real_engine(decode_steps, seed=3, eos=None):
+    import json
+
+    import jax.numpy as jnp
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(seed)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=128,
+    )
+    model = tf.LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(__import__("json").loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    pipe = TextPipeline(
+        cfg, params, make_rope(cfg),
+        PipelineConfig(page_size=4, num_pages=64, max_seqs=2, max_model_len=128,
+                       prefill_buckets=(8, 16), dtype=jnp.float32,
+                       decode_steps=decode_steps),
+    )
+    return Engine(pipe, eos_token_ids=eos or set())
+
+
+def test_multistep_decode_matches_single_step():
+    rng = np.random.default_rng(17)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    single, _ = _real_engine(1).generate(prompt, SamplingParams(max_len=13))
+    multi, _ = _real_engine(8).generate(prompt, SamplingParams(max_len=13))
+    assert multi == single
+
+
+def test_multistep_eos_mid_chunk():
+    rng = np.random.default_rng(19)
+    prompt = rng.integers(3, 120, size=6).tolist()
+    ref, _ = _real_engine(1).generate(prompt, SamplingParams(max_len=12))
+    eos = ref[4]
+    got, _ = _real_engine(8, eos={eos}).generate(prompt, SamplingParams(max_len=12))
+    assert got == ref[:5]
+
+
+def test_multistep_concurrent_batch():
+    eng = _real_engine(4)
+    ref = _real_engine(1)
+    rng = np.random.default_rng(23)
+    p1 = rng.integers(3, 120, size=7).tolist()
+    p2 = rng.integers(3, 120, size=5).tolist()
+    g1 = eng.add_request(GenerationRequest(p1, SamplingParams(max_len=9)))
+    g2 = eng.add_request(GenerationRequest(p2, SamplingParams(max_len=9)))
+    while eng.has_work:
+        eng.step()
+    w1, _ = ref.generate(p1, SamplingParams(max_len=9))
+    w2, _ = ref.generate(p2, SamplingParams(max_len=9))
+    assert g1.seqs[0].generated_tokens == w1
+    assert g2.seqs[0].generated_tokens == w2
+
+
+def test_multistep_then_sampling_request_coexist():
+    """A non-greedy request forces the single-step path; both finish."""
+    eng = _real_engine(8)
+    rng = np.random.default_rng(29)
+    p1 = rng.integers(3, 120, size=5).tolist()
+    g1 = eng.add_request(GenerationRequest(p1, SamplingParams(max_len=6)))
+    g2 = eng.add_request(GenerationRequest(
+        p1, SamplingParams(max_len=6, temperature=0.7)))
+    while eng.has_work:
+        eng.step()
+    assert len(g1.seqs[0].generated_tokens) == 6
+    assert len(g2.seqs[0].generated_tokens) == 6
