@@ -253,7 +253,7 @@ class Runner:
 class VisionRunner(Runner):
     """Vision-model Runner (ref pyo3 Which.VisionPlain + VisionChat request).
 
-    arch: "llava" | "llava_next" | "idefics2"."""
+    arch: "llava" | "llava_next" | "idefics2" | "phi3v"."""
 
     def __init__(self, model_path: str, arch: str, *, dtype: Any = None,
                  pipeline_config: Any = None, mesh: Any = None):
@@ -293,6 +293,15 @@ class VisionRunner(Runner):
                 hf["perceiver_config"].get("resampler_n_latents", 64),
                 image_size=vision.vcfg.image_size,
             )
+        elif arch == "phi3v":
+            from mistralrs_tpu.vision.phi3v import (
+                Phi3VProcessor, load_phi3v, make_phi3v_encoder,
+            )
+
+            cfg, params, rope, vision, hf = load_phi3v(model_path, dtype=dtype)
+            img_tok = hf.get("image_token_id", 32038)  # phi3v placeholder id
+            encode = make_phi3v_encoder(vision)
+            self.processor = Phi3VProcessor(self.tokenizer, img_tok)
         else:
             raise ValueError(f"unknown vision arch {arch!r}")
         pipe = VisionPipeline(cfg, params, rope, pc, image_token_id=img_tok,

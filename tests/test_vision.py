@@ -377,3 +377,126 @@ def test_llava_next_processor_token_count_matches_features(tmp_path):
     s = S(); s.images = pixel
     feats = make_llava_encoder(vision, llava_next=True)(s)
     assert feats.shape[0] == n_tok
+
+
+# ---------------------------------------------------------------- phi3v
+def _tiny_phi3v_ckpt(tmp_path):
+    """Synthetic Phi-3-vision checkpoint: tiny CLIP tower + tiny phi3 text,
+    using the real key layout (model.vision_embed_tokens.*, fused qkv)."""
+    import torch
+    from safetensors.torch import save_file
+
+    torch.manual_seed(11)
+    E_txt, I_txt, L_txt, heads, kv = 48, 96, 2, 4, 2
+    vc = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+              num_attention_heads=4, image_size=336, patch_size=56)  # 6x6 grid... 
+    # 336/56 = 6 patches per side -> 36+1 tokens; HD pooling needs 24 -> keep
+    # the real 14-patch geometry but a small channel dim instead:
+    vc = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+              num_attention_heads=4, image_size=336, patch_size=14)
+    C = vc["hidden_size"]
+    sd = {}
+    vp = "model.vision_embed_tokens."
+    vm = vp + "img_processor.vision_model."
+    def t(*shape):
+        return torch.randn(*shape) * 0.05
+    sd[vm + "embeddings.patch_embedding.weight"] = t(C, 3, 14, 14)
+    sd[vm + "embeddings.class_embedding"] = t(C)
+    sd[vm + "embeddings.position_embedding.weight"] = t(577, C)
+    sd[vm + "pre_layrnorm.weight"] = torch.ones(C)
+    sd[vm + "pre_layrnorm.bias"] = torch.zeros(C)
+    sd[vm + "post_layernorm.weight"] = torch.ones(C)
+    sd[vm + "post_layernorm.bias"] = torch.zeros(C)
+    for i in range(vc["num_hidden_layers"]):
+        lp = vm + f"encoder.layers.{i}."
+        for nm, shp in (("self_attn.q_proj", (C, C)), ("self_attn.k_proj", (C, C)),
+                        ("self_attn.v_proj", (C, C)), ("self_attn.out_proj", (C, C)),
+                        ("mlp.fc1", (64, C)), ("mlp.fc2", (C, 64))):
+            sd[lp + nm + ".weight"] = t(*shp)
+            sd[lp + nm + ".bias"] = torch.zeros(shp[0])
+        for nm in ("layer_norm1", "layer_norm2"):
+            sd[lp + nm + ".weight"] = torch.ones(C)
+            sd[lp + nm + ".bias"] = torch.zeros(C)
+    sd[vp + "glb_GN"] = t(1, 1, 4 * C)
+    sd[vp + "sub_GN"] = t(1, 1, 1, 4 * C)
+    sd[vp + "img_projection.0.weight"] = t(E_txt, 4 * C)
+    sd[vp + "img_projection.0.bias"] = torch.zeros(E_txt)
+    sd[vp + "img_projection.2.weight"] = t(E_txt, E_txt)
+    sd[vp + "img_projection.2.bias"] = torch.zeros(E_txt)
+    # phi3 text (fused qkv / gate_up)
+    sd["model.embed_tokens.weight"] = t(128, E_txt)
+    sd["model.norm.weight"] = torch.ones(E_txt)
+    sd["lm_head.weight"] = t(128, E_txt)
+    hd = E_txt // heads
+    for i in range(L_txt):
+        lp = f"model.layers.{i}."
+        sd[lp + "self_attn.qkv_proj.weight"] = t(E_txt + 2 * kv * hd, E_txt)
+        sd[lp + "self_attn.o_proj.weight"] = t(E_txt, E_txt)
+        sd[lp + "mlp.gate_up_proj.weight"] = t(2 * I_txt, E_txt)
+        sd[lp + "mlp.down_proj.weight"] = t(E_txt, I_txt)
+        sd[lp + "input_layernorm.weight"] = torch.ones(E_txt)
+        sd[lp + "post_attention_layernorm.weight"] = torch.ones(E_txt)
+    d = tmp_path / "phi3v"
+    d.mkdir()
+    save_file({k: v.contiguous() for k, v in sd.items()}, str(d / "model.safetensors"))
+    cfg = {
+        "architectures": ["Phi3VForCausalLM"], "model_type": "phi3_v",
+        "hidden_size": E_txt, "intermediate_size": I_txt,
+        "num_hidden_layers": L_txt, "num_attention_heads": heads,
+        "num_key_value_heads": kv, "vocab_size": 128,
+        "max_position_embeddings": 2048, "rms_norm_eps": 1e-5,
+        "embd_layer": {"hd_transform_order": "sub_glb", "use_hd_transform": True},
+        "img_processor": {"layer_idx": -2, "type_feature": "patch",
+                          "vision_config": dict(vc)},
+    }
+    (d / "config.json").write_text(json.dumps(cfg))
+    return str(d)
+
+
+def test_phi3v_end_to_end(tmp_path):
+    from mistralrs_tpu.vision.phi3v import (
+        Phi3VProcessor, load_phi3v, make_phi3v_encoder, num_img_tokens,
+    )
+
+    path = _tiny_phi3v_ckpt(tmp_path)
+    text_cfg, params, rope, vision, hf = load_phi3v(path, dtype=jnp.float32)
+    assert vision.hd_order == "sub_glb"
+
+    class FakeTok:
+        def encode(self, s, add_special_tokens=True):
+            return [1] * len(s.split())
+
+    proc = Phi3VProcessor(FakeTok(), image_token_id=120, num_crops=4)
+    rng = np.random.default_rng(12)
+    img = Image.fromarray(rng.integers(0, 255, size=(200, 400, 3), dtype=np.uint8))
+    ids, pixel = proc("a b <|image|> c", [img])
+    n_tok = sum(1 for t in ids if t == 120)
+    assert n_tok == num_img_tokens(pixel[0]["orig_hw"])
+    # encoder produces exactly that many feature rows
+    class S: pass
+    s = S(); s.images = pixel
+    feats = make_phi3v_encoder(vision)(s)
+    assert feats.shape == (n_tok, text_cfg.hidden_size)
+
+    # engine e2e: chunked prefill vs one-shot identical
+    from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.pipeline.text import PipelineConfig
+    from mistralrs_tpu.pipeline.vision import VisionPipeline
+
+    def run(buckets):
+        pc = PipelineConfig(page_size=16, num_pages=128, max_seqs=2,
+                            max_model_len=2048, prefill_buckets=buckets,
+                            dtype=jnp.float32)
+        pipe = VisionPipeline(text_cfg, params, rope, pc, image_token_id=120,
+                              encode_images=make_phi3v_encoder(vision))
+        eng = Engine(pipe, eos_token_ids=set())
+        g = eng.add_request(GenerationRequest(list(ids), SamplingParams(max_len=4)))
+        g.seqs[0].images = pixel
+        while eng.has_work:
+            eng.step()
+        return g.seqs[0].generated_tokens
+
+    a = run((256, 1024))
+    b = run((1024,))
+    assert a == b and len(a) == 4
