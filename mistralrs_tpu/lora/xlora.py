@@ -45,6 +45,10 @@ class XLoraConfig:
     global_scaling_weight: float = 1.0
     scaling_pass_value: float = 0.0
     top_k_lora: int | None = None
+    # after this many generated tokens, freeze per-seq scalings and skip the
+    # scaling pass during decode (ref xlora_models/mod.rs NonGranularState
+    # :35-38 — trades per-token granularity for a single-pass decode)
+    tgt_non_granular_index: int | None = None
 
     @classmethod
     def from_json_file(cls, path: str) -> "XLoraConfig":
@@ -146,6 +150,8 @@ class XLoraPipeline(TextPipeline):
         self.clf = classifier
         self.xcfg = xcfg
         self.n_adapters = n_adapters
+        self._frozen_fn = None
+        self._current_seqs = None
         super().__init__(cfg, params, rope, pc, mesh=mesh)
         self.cache2 = PagedKVCache.create(
             cfg.num_layers, pc.num_pages, pc.page_size, cfg.num_kv_heads,
@@ -181,19 +187,86 @@ class XLoraPipeline(TextPipeline):
             top = jnp.argmax(logits, axis=-1)
             chosen = jnp.take_along_axis(logits, top[:, None], axis=-1)[:, 0]
             greedy_pack = jnp.stack([top.astype(jnp.float32), chosen])
-            return logits, greedy_pack, cache, cache2
+            # last real position's scalings, for the non-granular cache
+            last_scal = scal[jnp.arange(B), last_idx]  # [B, L, n]
+            return logits, greedy_pack, cache, cache2, last_scal
+
+        return step
+
+    def _build_frozen_step_fn(self):
+        """Single-pass decode with frozen per-seq scalings (NonGranularState)."""
+        cfg, rope = self.cfg, self.rope
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def step(params, cache, scal, ids, positions, slot_mapping,
+                 block_tables, kv_lens, active, last_idx):
+            meta = PagedAttnMeta(
+                positions=positions, slot_mapping=slot_mapping,
+                block_tables=block_tables, kv_lens=kv_lens, active=active,
+            )
+            B, T = ids.shape
+            scal_t = jnp.broadcast_to(scal[:, None], (B, T, *scal.shape[1:]))
+            h, cache = decoder_forward(
+                params, cfg, rope, ids, cache, meta, xlora_scalings=scal_t
+            )
+            h_last = h[jnp.arange(B), last_idx]
+            logits = compute_logits(params, cfg, h_last)
+            top = jnp.argmax(logits, axis=-1)
+            chosen = jnp.take_along_axis(logits, top[:, None], axis=-1)[:, 0]
+            return logits, jnp.stack([top.astype(jnp.float32), chosen]), cache
 
         return step
 
     def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx):
-        logits, pack, self.cache, self.cache2 = self._step_fn(
+        seqs = getattr(self, "_current_seqs", None)
+        ng = self.xcfg.tgt_non_granular_index
+        if ng is not None and seqs is not None and all(
+            getattr(s, "xlora_scalings", None) is not None
+            and s.num_generated >= ng
+            for s in seqs
+        ):
+            # frozen-scalings single-pass decode (ref NonGranularState)
+            if self._frozen_fn is None:
+                self._frozen_fn = self._build_frozen_step_fn()
+            B = ids.shape[0]
+            scal = np.zeros((B, self.cfg.num_layers, self.n_adapters), np.float32)
+            for i, s in enumerate(seqs):
+                scal[i] = s.xlora_scalings
+            logits, pack, self.cache = self._frozen_fn(
+                self.params, self.cache, jnp.asarray(scal),
+                jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(slot_mapping),
+                jnp.asarray(block_tables), jnp.asarray(kv_lens), jnp.asarray(active),
+                jnp.asarray(last_idx),
+            )
+            self.last_greedy_pack = pack
+            return logits
+        logits, pack, self.cache, self.cache2, last_scal = self._step_fn(
             self.params, self.clf, self.cache, self.cache2,
             jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(slot_mapping),
             jnp.asarray(block_tables), jnp.asarray(kv_lens), jnp.asarray(active),
             jnp.asarray(last_idx),
         )
         self.last_greedy_pack = pack
+        if ng is not None and seqs is not None:
+            scal_np = np.asarray(last_scal)
+            for i, s in enumerate(seqs):
+                s.xlora_scalings = scal_np[i]
         return logits
+
+    def run_decode(self, seqs, greedy=False):
+        self._current_seqs = seqs
+        try:
+            return super().run_decode(seqs, greedy=greedy)
+        finally:
+            self._current_seqs = None
+
+    def run_prefill_chunk(self, seq, chunk, greedy=False, advance_state=True):
+        self._current_seqs = [seq]
+        try:
+            return super().run_prefill_chunk(seq, chunk, greedy=greedy,
+                                             advance_state=advance_state)
+        finally:
+            self._current_seqs = None
 
     def apply_copies(self, ops):
         for attr in ("cache", "cache2"):

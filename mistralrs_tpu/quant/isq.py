@@ -35,8 +35,11 @@ _ISQ_NAMES: dict[str, GGMLType] = {
     "Q8_K": GGMLType.Q8_K,
 }
 
-# formats we can quantize *into* today (kquants.QUANTIZERS)
-SUPPORTED_ISQ = {GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_K, GGMLType.Q6_K}
+# formats we can quantize *into* (kquants.QUANTIZERS)
+SUPPORTED_ISQ = {
+    GGMLType.Q8_0, GGMLType.Q4_0, GGMLType.Q4_1, GGMLType.Q5_0, GGMLType.Q5_1,
+    GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q4_K, GGMLType.Q5_K, GGMLType.Q6_K,
+}
 
 
 def parse_isq(value: str):

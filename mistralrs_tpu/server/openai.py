@@ -65,7 +65,30 @@ class OpenAIServer:
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/re_isq", self.re_isq)
         app.router.add_post("/activate_adapters", self.activate_adapters)
+        app.router.add_get("/docs", self.docs)
+        app.router.add_get("/docs/openapi.json", self.openapi)
         return app
+
+    async def openapi(self, request: web.Request) -> web.Response:
+        """OpenAPI schema (ref mistralrs-server utoipa ApiDoc main.rs:238-247)."""
+        return web.json_response(_openapi_schema(self.model_id))
+
+    async def docs(self, request: web.Request) -> web.Response:
+        html = (
+            "<!doctype html><html><head><title>mistralrs-tpu API</title></head>"
+            "<body><h1>mistralrs-tpu OpenAI-compatible API</h1>"
+            "<p>Schema: <a href='/docs/openapi.json'>/docs/openapi.json</a></p>"
+            "<ul>"
+            "<li>POST /v1/chat/completions — chat (supports stream, grammar, "
+            "tools, image_url content parts)</li>"
+            "<li>POST /v1/completions — raw completions</li>"
+            "<li>GET /v1/models — model list</li>"
+            "<li>GET /health — liveness</li>"
+            "<li>POST /re_isq — runtime re-quantization</li>"
+            "<li>POST /activate_adapters — LoRA adapter swap</li>"
+            "</ul></body></html>"
+        )
+        return web.Response(text=html, content_type="text/html")
 
     async def health(self, request: web.Request) -> web.Response:
         return web.Response(text="OK")
@@ -145,16 +168,30 @@ class OpenAIServer:
             constraint = self._parse_constraint(body)
             matcher = self._parse_tools(body)
             messages = body["messages"]
-            prompt_toks = await asyncio.to_thread(
-                self.runner._prompt_from_messages, messages
-            )
+            images = None
+            if hasattr(self.runner, "processor"):
+                # vision model: image_url content parts -> pixel values
+                # (ref RequestMessage::VisionChat)
+                from mistralrs_tpu.api import extract_images
+
+                text, imgs = extract_images(
+                    messages, self.runner.processor.image_token
+                )
+                prompt_toks, images = await asyncio.to_thread(
+                    self.runner.processor, text, imgs
+                )
+            else:
+                prompt_toks = await asyncio.to_thread(
+                    self.runner._prompt_from_messages, messages
+                )
         except Exception as e:
             return web.json_response({"error": str(e)}, status=400)
         if body.get("stream"):
             return await self._stream(request, prompt_toks, sampling, chat=True,
-                                      constraint=constraint)
+                                      constraint=constraint, images=images)
         return await self._blocking(prompt_toks, sampling, chat=True,
-                                    constraint=constraint, matcher=matcher)
+                                    constraint=constraint, matcher=matcher,
+                                    images=images)
 
     async def completions(self, request: web.Request) -> web.StreamResponse:
         body = await request.json()
@@ -175,11 +212,12 @@ class OpenAIServer:
 
     # ------------------------------------------------------------- impls
     async def _blocking(self, toks: list[int], sampling: SamplingParams, chat: bool,
-                        constraint=None, matcher=None):
+                        constraint=None, matcher=None, images=None):
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:20]
         group = await asyncio.to_thread(
             self.runner.handle.submit,
-            GenerationRequest(toks, sampling, request_id=rid, constraint=constraint),
+            GenerationRequest(toks, sampling, request_id=rid, constraint=constraint,
+                              images=images),
         )
         while not group.all_done():
             await asyncio.sleep(0.005)
@@ -232,7 +270,7 @@ class OpenAIServer:
         )
 
     async def _stream(self, request, toks, sampling: SamplingParams, chat: bool,
-                      constraint=None):
+                      constraint=None, images=None):
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:20]
         loop = asyncio.get_running_loop()
         q: asyncio.Queue = asyncio.Queue()
@@ -252,7 +290,7 @@ class OpenAIServer:
         await asyncio.to_thread(
             self.runner.handle.submit,
             GenerationRequest(toks, sampling, request_id=rid, stream=on_delta,
-                              constraint=constraint),
+                              constraint=constraint, images=images),
         )
         obj = "chat.completion.chunk" if chat else "text_completion"
         finished = 0
@@ -291,3 +329,28 @@ class OpenAIServer:
 def run_server(runner, host: str = "0.0.0.0", port: int = 8080, model_id: str = "default"):
     server = OpenAIServer(runner, model_id)
     web.run_app(server.app(), host=host, port=port)
+
+
+def _openapi_schema(model_id: str) -> dict:
+    """Minimal OpenAPI 3 document for the served routes."""
+    req = {"required": True, "content": {"application/json": {"schema": {"type": "object"}}}}
+    ok = {"200": {"description": "OK"}}
+    return {
+        "openapi": "3.0.0",
+        "info": {"title": "mistralrs-tpu", "version": "0.1.0",
+                 "description": f"OpenAI-compatible serving for {model_id}"},
+        "paths": {
+            "/v1/chat/completions": {"post": {
+                "summary": "Chat completion (stream, grammar {type: regex|yacc, value},"
+                           " tools/tool_choice, image_url content parts)",
+                "requestBody": req, "responses": ok}},
+            "/v1/completions": {"post": {"summary": "Text completion",
+                                         "requestBody": req, "responses": ok}},
+            "/v1/models": {"get": {"summary": "List models", "responses": ok}},
+            "/health": {"get": {"summary": "Liveness", "responses": ok}},
+            "/re_isq": {"post": {"summary": "Runtime re-quantization",
+                                 "requestBody": req, "responses": ok}},
+            "/activate_adapters": {"post": {"summary": "Activate LoRA adapters",
+                                            "requestBody": req, "responses": ok}},
+        },
+    }

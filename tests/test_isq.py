@@ -35,8 +35,9 @@ def test_parse_isq():
     assert parse_isq("q8_0") == GGMLType.Q8_0
     with pytest.raises(ValueError, match="unknown ISQ"):
         parse_isq("Q17K")
+    assert parse_isq("Q3K") == GGMLType.Q3_K
     with pytest.raises(ValueError, match="no quantizer"):
-        parse_isq("Q3K")
+        parse_isq("Q8K")  # Q8_K is an intermediate format, not an ISQ target
 
 
 def test_topology_yaml():

@@ -309,3 +309,33 @@ def test_gguf_reader_roundtrip(tmp_path):
     got = g.tensor_f32("t2")
     want = kquants.dequantize(t2raw, GGMLType.Q8_0, (4, 64))
     np.testing.assert_array_equal(got, want)
+
+
+@pytest.mark.parametrize(
+    "gtype,bits_tol",
+    [
+        (GGMLType.Q4_1, 0.10), (GGMLType.Q5_0, 0.06), (GGMLType.Q5_1, 0.05),
+        (GGMLType.Q2_K, 0.45), (GGMLType.Q3_K, 0.25), (GGMLType.Q5_K, 0.05),
+    ],
+)
+def test_new_quantizer_roundtrip(gtype, bits_tol):
+    """quantize -> dequantize error bounded by the format's step size."""
+    rng = np.random.default_rng(5)
+    x = (rng.standard_normal((8, 512)) * 0.5).astype(np.float32)
+    raw = kquants.quantize(x, gtype)
+    back = kquants.dequantize(raw, gtype, x.shape)
+    err = np.abs(back - x)
+    assert err.mean() < bits_tol * 0.5, (gtype, err.mean())
+    assert err.max() < bits_tol * 4, (gtype, err.max())
+
+
+@pytest.mark.parametrize("gtype", [GGMLType.Q2_K, GGMLType.Q3_K, GGMLType.Q5_K,
+                                   GGMLType.Q5_0, GGMLType.Q5_1, GGMLType.Q4_1])
+def test_new_quantizer_requantize_fixed_point(gtype):
+    """Re-quantizing already-quantized values must be (near-)lossless —
+    catches any layout mismatch between quantizer and dequantizer."""
+    rng = np.random.default_rng(6)
+    x = (rng.standard_normal((4, 512)) * 0.3).astype(np.float32)
+    w1 = kquants.dequantize(kquants.quantize(x, gtype), gtype, x.shape)
+    w2 = kquants.dequantize(kquants.quantize(w1, gtype), gtype, x.shape)
+    np.testing.assert_allclose(w2, w1, rtol=0.09, atol=0.03)

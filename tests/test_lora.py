@@ -230,3 +230,19 @@ def test_xlora_nonlayerwise_broadcast():
     scal = classifier_forward(clf, xcfg, h, cfg.num_layers, 2)
     assert scal.shape == (1, 3, cfg.num_layers, 2)
     np.testing.assert_allclose(np.asarray(scal[:, :, 0]), np.asarray(scal[:, :, 1]))
+
+
+def test_xlora_non_granular_scalings():
+    """After tgt_non_granular_index generated tokens, decode switches to the
+    frozen-scalings single pass; generation still progresses and the early
+    tokens (granular phase) match the always-granular engine."""
+    cfg, params, lparams, clf, _, rng = _xlora_setup()
+    xcfg_g = XLoraConfig(hidden_size=16, xlora_depth=2)
+    xcfg_ng = XLoraConfig(hidden_size=16, xlora_depth=2, tgt_non_granular_index=3)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    full, _ = _engine(cfg, lparams, XLoraPipeline, classifier=clf, xcfg=xcfg_g,
+                      n_adapters=2).generate(prompt, SamplingParams(max_len=8))
+    ng, _ = _engine(cfg, lparams, XLoraPipeline, classifier=clf, xcfg=xcfg_ng,
+                    n_adapters=2).generate(prompt, SamplingParams(max_len=8))
+    assert ng[:3] == full[:3]  # granular phase identical
+    assert len(ng) == 8
