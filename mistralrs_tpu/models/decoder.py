@@ -70,6 +70,10 @@ def _norm(cfg: ModelConfig, p: dict[str, jax.Array], x: jax.Array) -> jax.Array:
 
 def _mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) -> jax.Array:
     act = L.ACTIVATIONS[cfg.act]
+    if "gateup" in p:  # fused gate/up projection (quant/fuse.py)
+        gu = linear(p["gateup"], x, lora_sc)
+        I = cfg.intermediate_size
+        return linear(p["down"], act(gu[..., :I]) * gu[..., I:], lora_sc)
     if cfg.mlp_style == "gated":
         return linear(
             p["down"], act(linear(p["gate"], x, lora_sc)) * linear(p["up"], x, lora_sc), lora_sc
@@ -116,9 +120,15 @@ def _attention(
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     B, T, _ = x.shape
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
-    q = linear(p["q"], x, lora_sc).reshape(B, T, Hq, D)
-    k = linear(p["k"], x, lora_sc).reshape(B, T, Hkv, D)
-    v = linear(p["v"], x, lora_sc).reshape(B, T, Hkv, D)
+    if "qkv" in p:  # fused projection (quant/fuse.py)
+        qkv = linear(p["qkv"], x, lora_sc)
+        q = qkv[..., : Hq * D].reshape(B, T, Hq, D)
+        k = qkv[..., Hq * D : (Hq + Hkv) * D].reshape(B, T, Hkv, D)
+        v = qkv[..., (Hq + Hkv) * D :].reshape(B, T, Hkv, D)
+    else:
+        q = linear(p["q"], x, lora_sc).reshape(B, T, Hq, D)
+        k = linear(p["k"], x, lora_sc).reshape(B, T, Hkv, D)
+        v = linear(p["v"], x, lora_sc).reshape(B, T, Hkv, D)
     if cfg.qk_norm:
         q = L.layer_norm(q, p["q_norm"]["w"], p["q_norm"].get("b"), cfg.norm_eps)
         k = L.layer_norm(k, p["k_norm"]["w"], p["k_norm"].get("b"), cfg.norm_eps)

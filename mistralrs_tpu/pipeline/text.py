@@ -47,6 +47,10 @@ class PipelineConfig:
     # the on-device argmax loop amortizes it (tokens past a stop condition
     # are discarded by the engine, like speculative overshoot).
     decode_steps: int = 8
+    # fuse q/k/v and gate/up projections into wide GEMMs (quant/fuse.py);
+    # applied only when unsharded (fused concat axes don't align with TP
+    # head sharding)
+    fuse_projections: bool = True
 
 
 class TextPipeline:
@@ -67,6 +71,10 @@ class TextPipeline:
         self.pc = pc
         self.mesh = mesh
         self.max_pages_per_seq = math.ceil(pc.max_model_len / pc.page_size)
+        if pc.fuse_projections and mesh is None:
+            from mistralrs_tpu.quant.fuse import fuse_decoder_params
+
+            params = fuse_decoder_params(params)
         cache = PagedKVCache.create(
             cfg.num_layers, pc.num_pages, pc.page_size, cfg.num_kv_heads, cfg.head_dim, pc.dtype
         )

@@ -1,0 +1,92 @@
+"""Projection fusion: merge q/k/v (and gate/up) into single wide GEMMs.
+
+Decode on TPU pays a fixed cost per kernel invocation (pipeline ramp,
+dispatch bookkeeping); fusing 7 per-layer matmuls into 4 measured ~11% on
+7B decode. Fusion is a pure layout transform: out-features concatenate on
+the lane axis, which every packed quant layout here stores contiguously
+(dense w [in,out], q4k qs/scale/minv [*, out], q8_0 q/scale, gptq/hqq
+q/scale/zs), so packed formats fuse without dequantizing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from mistralrs_tpu.quant.qlinear import Linear
+
+# data keys concatenated on the out (lane) axis per kind
+_CAT_AXIS1 = {
+    "dense": ("w",),
+    "gguf_q4k": ("qs", "scale", "minv"),
+    "gguf_q8_0": ("q", "scale"),
+    "gptq_2": ("q", "scale", "zs"),
+    "gptq_4": ("q", "scale", "zs"),
+    "gptq_8": ("q", "scale", "zs"),
+    "gptq_b8": ("q", "scale", "zs"),
+    "hqq_1": ("q", "scale", "zs"),
+    "hqq_2": ("q", "scale", "zs"),
+    "hqq_3": ("q", "scale", "zs"),
+    "hqq_4": ("q", "scale", "zs"),
+    "hqq_8": ("q", "scale", "zs"),
+}
+
+
+def fuse_linears(lins: list[Linear]) -> Linear | None:
+    """Concatenate same-kind, same-in-features linears along out-features.
+    Works on plain (2D) and stacked ([L, ...]) layouts alike: every layout
+    here keeps `out` on the LAST axis of each data leaf (and bias is 1D/2D
+    ending in out), so the concat axis is -1 throughout. Returns None when
+    fusion isn't possible (mixed kinds, lora wrappers, g_idx gathers,
+    unknown layouts)."""
+    kinds = {l.kind for l in lins}
+    if len(kinds) != 1:
+        return None
+    kind = lins[0].kind
+    if kind not in _CAT_AXIS1:
+        return None
+    if len({l.shape[0] for l in lins}) != 1:
+        return None
+    if any("g_idx" in l.data for l in lins):
+        return None
+    has_bias = [l.data.get("b") is not None for l in lins]
+    if any(has_bias) and not all(has_bias):
+        return None
+    cat = jax.jit(lambda *xs: jnp.concatenate(xs, axis=-1))
+    data = {}
+    for key in _CAT_AXIS1[kind]:
+        data[key] = cat(*[l.data[key] for l in lins])
+    if all(has_bias):
+        data["b"] = cat(*[l.data["b"] for l in lins])
+    out = sum(l.shape[1] for l in lins)
+    return Linear(kind=kind, shape=(lins[0].shape[0], out), data=data)
+
+
+def fuse_decoder_params(params):
+    """Fuse q/k/v -> qkv and gate/up -> gateup in every scan group, operating
+    directly on the stacked leaves (no per-layer unstacking: an unstack/
+    re-stack round trip would transiently triple device memory on large
+    models). Group structure and sizes are unchanged; the decoder dispatches
+    on which keys are present."""
+    import dataclasses
+
+    new_groups = []
+    for g in params.layer_groups:
+        g = jax.tree.map(lambda x: x, g)
+        attn = g["attn"]
+        if all(k in attn for k in ("q", "k", "v")):
+            fused = fuse_linears([attn["q"], attn["k"], attn["v"]])
+            if fused is not None:
+                # split sizes derive statically from ModelConfig in the decoder
+                new_attn = {k: v for k, v in attn.items() if k not in ("q", "k", "v")}
+                new_attn["qkv"] = fused
+                g["attn"] = new_attn
+        mlp = g.get("mlp", {})
+        if all(k in mlp for k in ("gate", "up")) and "anymoe" not in mlp:
+            fused = fuse_linears([mlp["gate"], mlp["up"]])
+            if fused is not None:
+                new_mlp = {k: v for k, v in mlp.items() if k not in ("gate", "up")}
+                new_mlp["gateup"] = fused
+                g["mlp"] = new_mlp
+        new_groups.append(g)
+    return dataclasses.replace(params, layer_groups=new_groups)

@@ -125,6 +125,28 @@ def gptq_linear_from_tensors(
         if not np.array_equal(g_idx, want):
             contiguous = False
             gi = jnp.asarray(g_idx.astype(np.int32))
+    if (
+        bits == 4
+        and gi is None
+        and in_features % 512 == 0
+        and group_size % 32 == 0
+    ):
+        # 4-bit contiguous-group GPTQ maps exactly onto the Q4_K device
+        # format (w = q*scale - minv): expand scales to 32-granularity,
+        # pair nibbles globally, and ride the fused Pallas kernel.
+        rep = group_size // 32
+        q32s = np.repeat(s, rep, axis=0).astype(np.float32)  # [in/32, out]
+        z32s = np.repeat(zs, rep, axis=0).astype(np.float32)
+        half = in_features // 2
+        qs_t = np.ascontiguousarray(q[:half] | (q[half:] << 4))
+        data = {
+            "qs": jnp.asarray(qs_t),
+            "scale": jnp.asarray(q32s, dtype),
+            "minv": jnp.asarray(z32s, dtype),
+        }
+        if bias is not None:
+            data["b"] = jnp.asarray(bias, dtype)
+        return Linear(kind="gguf_q4k", shape=(in_features, out_features), data=data)
     if bits == 3:
         qdev = jnp.asarray(q)  # byte per value
         kind = "gptq_b8"  # stored unpacked bytes

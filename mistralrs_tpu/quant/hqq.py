@@ -85,6 +85,21 @@ def quantize_hqq(
     s2 = scale[:, 0]  # [ng, out]
     zs = (scale * zero)[:, 0]
 
+    if bits == 4 and in_f % 512 == 0 and group_size % 32 == 0:
+        # ride the fused Q4_K Pallas kernel (same w = q*scale - minv form)
+        rep = group_size // 32
+        q32s = np.repeat(s2, rep, axis=0).astype(np.float32)
+        z32s = np.repeat(zs, rep, axis=0).astype(np.float32)
+        half = in_f // 2
+        qs_t = np.ascontiguousarray(q[:half] | (q[half:] << 4))
+        data = {
+            "qs": jnp.asarray(qs_t),
+            "scale": jnp.asarray(q32s, dtype),
+            "minv": jnp.asarray(z32s, dtype),
+        }
+        if bias is not None:
+            data["b"] = jnp.asarray(bias, dtype)
+        return Linear(kind="gguf_q4k", shape=(in_f, out_f), data=data)
     if bits in (8, 3):
         qdev = jnp.asarray(q)  # byte per value (3-bit: no sub-byte packing)
         kind = "hqq_8" if bits == 8 else "hqq_3"
