@@ -37,7 +37,10 @@ def _next_bucket(n: int, buckets: tuple[int, ...]) -> int:
 @dataclasses.dataclass
 class PipelineConfig:
     page_size: int = 16
-    num_pages: int = 512
+    # None = size the pool from free device memory at pipeline build time
+    # (ref paged_attention/mod.rs calculate_cache_config :91-131)
+    num_pages: int | None = 512
+    kv_mem_fraction: float = 0.9
     max_seqs: int = 8
     max_model_len: int = 4096
     prefill_buckets: tuple[int, ...] = (16, 64, 256, 512)
@@ -68,6 +71,15 @@ class TextPipeline:
     ):
         self.cfg = cfg
         self.rope = rope
+        if pc.num_pages is None:
+            from mistralrs_tpu.utils.memory import PagedCacheConfig, calculate_num_pages
+
+            n = calculate_num_pages(
+                PagedCacheConfig(mem_fraction=pc.kv_mem_fraction, page_size=pc.page_size),
+                cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
+                dtype_bytes=jnp.dtype(pc.dtype).itemsize, max_seqs=pc.max_seqs,
+            )
+            pc = dataclasses.replace(pc, num_pages=n)
         self.pc = pc
         self.mesh = mesh
         self.max_pages_per_seq = math.ceil(pc.max_model_len / pc.page_size)

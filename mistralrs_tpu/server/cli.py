@@ -50,10 +50,15 @@ def main(argv=None):
     import jax.numpy as jnp
 
     from mistralrs_tpu.pipeline.text import PipelineConfig
+    from mistralrs_tpu.utils.debug import initialize_logging
 
+    initialize_logging()
     pc = PipelineConfig(
         page_size=args.page_size,
-        num_pages=args.kv_pages or 512,
+        # None = auto-size from free device memory after the model loads
+        # (ref main.rs:352-405 PagedAttention resolution matrix)
+        num_pages=args.kv_pages,
+        kv_mem_fraction=args.kv_mem_fraction,
         max_seqs=args.max_seqs,
         max_model_len=args.max_model_len,
         prefill_buckets=tuple(

@@ -168,3 +168,93 @@ def test_engine_handle_reboots_dead_thread(tiny_ckpt):
     resp = r.send_completion_request("w5 w6", SamplingParams(max_len=3))
     assert resp.choices[0].text
     r.shutdown()
+
+
+def test_kv_pool_autosizing(tiny_ckpt):
+    from mistralrs_tpu.utils.memory import PagedCacheConfig, calculate_num_pages
+
+    # explicit budget: 1 MB, page cost = 2*L*Hkv*D*page*2B
+    n = calculate_num_pages(
+        PagedCacheConfig(mem_bytes=1 << 20, page_size=16),
+        num_layers=2, num_kv_heads=2, head_dim=16, dtype_bytes=2,
+    )
+    assert n == (1 << 20) // (2 * 2 * 2 * 16 * 16 * 2)
+    # context-length sizing
+    n = calculate_num_pages(
+        PagedCacheConfig(context_len=256, page_size=16),
+        num_layers=2, num_kv_heads=2, head_dim=16, max_seqs=4,
+    )
+    assert n == 16 * 4 + 1
+    # num_pages=None auto path builds a working pipeline (CPU: falls back 512)
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models.loader import load_hf_model
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    cfg, params, rope = load_hf_model(tiny_ckpt, dtype=jnp.float32)
+    pc = PipelineConfig(page_size=4, num_pages=None, max_seqs=2, max_model_len=128,
+                        prefill_buckets=(8, 16), dtype=jnp.float32)
+    pipe = TextPipeline(cfg, params, rope, pc)
+    assert pipe.pc.num_pages >= 2
+    eng = Engine(pipe, eos_token_ids=set())
+    toks, _ = eng.generate([5, 6, 7], SamplingParams(max_len=3))
+    assert len(toks) == 3
+
+
+def test_debug_utils(tmp_path, monkeypatch):
+    from mistralrs_tpu.utils import debug as D
+
+    monkeypatch.setenv(D.DEBUG_ENV, "1")
+    assert D.debug_enabled()
+
+    class FakeInfo:
+        def __init__(self, g, s):
+            from mistralrs_tpu.gguf.reader import GGMLType
+
+            self.ggml_type = GGMLType.Q4_K
+            self.shape = s
+
+    class FakeG:
+        tensors = {"a.weight": FakeInfo(None, (4, 8))}
+
+    out = tmp_path / "dump.txt"
+    D.maybe_dump_gguf_tensors(FakeG(), str(out))
+    assert "Q4_K" in out.read_text()
+
+
+def test_perplexity_harness(tiny_ckpt):
+    """PPL matches a direct HF computation on the same tokens, and Q8_0 ISQ
+    stays close to f32 (the BASELINE quality-delta measurement path)."""
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.models.loader import load_hf_model
+    from mistralrs_tpu.perplexity import perplexity_over_tokens
+
+    cfg, params, rope = load_hf_model(tiny_ckpt, dtype=jnp.float32)
+    rng = np.random.default_rng(3)
+    tokens = rng.integers(3, 120, size=60).tolist()
+    ppl = perplexity_over_tokens(cfg, params, rope, tokens, ctx=32, stride=32)
+
+    hfm = tf.LlamaForCausalLM.from_pretrained(tiny_ckpt).eval().float()
+    total, cnt = 0.0, 0
+    for s in range(0, len(tokens) - 1, 32):
+        w = tokens[s : s + 32]
+        if len(w) < 2:
+            break
+        ids = torch.tensor([w])
+        with torch.no_grad():
+            logits = hfm(ids).logits
+        logp = torch.log_softmax(logits[:, :-1].float(), -1)
+        nll = -logp.gather(-1, ids[:, 1:, None])[..., 0]
+        total += float(nll.sum()); cnt += nll.numel()
+    import math
+
+    want = math.exp(total / cnt)
+    assert abs(ppl - want) / want < 0.02, (ppl, want)
+
+    q8 = load_hf_model(tiny_ckpt, dtype=jnp.float32, isq="Q8_0")
+    ppl_q8 = perplexity_over_tokens(q8[0], q8[1], q8[2], tokens, ctx=32, stride=32)
+    assert abs(ppl_q8 - ppl) / ppl < 0.05
