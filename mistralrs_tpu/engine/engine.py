@@ -221,8 +221,8 @@ class Engine:
         cache = self.pipeline.cache
         src = jnp.asarray([s for s, _ in ops], jnp.int32)
         dst = jnp.asarray([d for _, d in ops], jnp.int32)
-        k = cache.k.at[:, dst].set(cache.k[:, src])
-        v = cache.v.at[:, dst].set(cache.v[:, src])
+        k = cache.k.at[:, :, dst].set(cache.k[:, :, src])
+        v = cache.v.at[:, :, dst].set(cache.v[:, :, src])
         self.pipeline.cache = type(cache)(k=k, v=v)
 
     @staticmethod

@@ -273,8 +273,8 @@ class XLoraPipeline(TextPipeline):
             cache = getattr(self, attr)
             src = jnp.asarray([s for s, _ in ops], jnp.int32)
             dst = jnp.asarray([d for _, d in ops], jnp.int32)
-            k = cache.k.at[:, dst].set(cache.k[:, src])
-            v = cache.v.at[:, dst].set(cache.v[:, src])
+            k = cache.k.at[:, :, dst].set(cache.k[:, :, src])
+            v = cache.v.at[:, :, dst].set(cache.v[:, :, src])
             setattr(self, attr, type(cache)(k=k, v=v))
 
     def run_span(self, *a, **kw):

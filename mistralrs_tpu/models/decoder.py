@@ -34,8 +34,26 @@ from mistralrs_tpu.ops.paged_attention import (
     PagedAttnMeta,
     PagedKVCache,
     gather_paged_kv,
+    paged_decode_attention,
     write_paged_kv,
 )
+
+
+def _use_paged_decode_kernel(cfg: ModelConfig, T: int, window_ok: bool, span: int = 0) -> bool:
+    """Fused Pallas block-table decode kernel eligibility (static): single
+    query token, TPU backend, and no sliding-window layer could clip context
+    (the kernel masks by length only)."""
+    # below ~4k context span the gather+SDPA path is ~8% faster; the
+    # streamed kernel wins ~20% at 16k
+    if T != 1 or span < 4096:
+        return False
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return False
+    if cfg.sliding_window is None or cfg.sliding_window_pattern == "none":
+        return True
+    return window_ok
 from mistralrs_tpu.ops.rope import RopeTable, apply_rope
 from mistralrs_tpu.quant.qlinear import Linear, linear
 
@@ -134,13 +152,35 @@ def _attention(
         k = L.layer_norm(k, p["k_norm"]["w"], p["k_norm"].get("b"), cfg.norm_eps)
     q = apply_rope(q, cos, sin, rot_dim)
     k = apply_rope(k, cos, sin, rot_dim)
+    scale = cfg.query_scale if cfg.query_scale is not None else D**-0.5
     if isinstance(meta, PagedAttnMeta):
         cache_k, cache_v = write_paged_kv(cache_k, cache_v, k, v, meta.slot_mapping)
+        # a sequence can never exceed its block-table span; if that span fits
+        # inside the sliding window, length masking alone is exact
+        window_ok = (
+            cfg.sliding_window is not None
+            and meta.block_tables.shape[1] * cache_k.shape[2] <= cfg.sliding_window
+        )
+        span = meta.block_tables.shape[1] * cache_k.shape[2]
+        if _use_paged_decode_kernel(cfg, T, window_ok, span):
+            # fused block-table decode: streams only the named pages
+            # (ref paged_attention v1/v2 CUDA kernels)
+            out = paged_decode_attention(
+                q, cache_k, cache_v, meta,
+                scale=scale, logits_softcap=cfg.attn_logit_softcap,
+            )
+            out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
+            return out, cache_k, cache_v
         ctx_k, ctx_v = gather_paged_kv(cache_k, cache_v, meta.block_tables)
+        out = attn_ops.sdpa_head_major(
+            q, ctx_k.astype(q.dtype), ctx_v.astype(q.dtype),
+            scale=scale, mask=bias, logits_softcap=cfg.attn_logit_softcap,
+        )
+        out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
+        return out, cache_k, cache_v
     else:
         cache_k, cache_v = write_kv_rows(cache_k, cache_v, k, v, meta.write_pos)
         ctx_k, ctx_v = cache_k, cache_v
-    scale = cfg.query_scale if cfg.query_scale is not None else D**-0.5
     out = attn_ops.sdpa(
         q,
         ctx_k.astype(q.dtype),

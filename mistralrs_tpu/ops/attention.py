@@ -115,3 +115,35 @@ def gqa_attention(
         pad = jnp.where(jnp.arange(S)[None] < kv_lens[:, None], 0.0, NEG_INF)
         bias = bias + pad[:, None, None, :]
     return sdpa(q, k, v, scale=scale, mask=bias, logits_softcap=logits_softcap)
+
+
+def sdpa_head_major(
+    q: jax.Array,
+    k: jax.Array,
+    v: jax.Array,
+    *,
+    scale: float,
+    mask: jax.Array | None = None,
+    logits_softcap: float | None = None,
+) -> jax.Array:
+    """GQA attention with head-major context: q:[B,T,Hq,D],
+    k,v:[Hkv,B,S,D] -> [B,T,Hq,D].
+
+    The paged gather produces context in [Hkv, B, S, D] (the pool layout's
+    natural order); consuming it directly avoids materializing a transposed
+    copy of the whole gathered context every layer."""
+    B, T, Hq, D = q.shape
+    Hkv = k.shape[0]
+    assert Hq % Hkv == 0, (Hq, Hkv)
+    G = Hq // Hkv
+    qg = q.reshape(B, T, Hkv, G, D)
+    scores = jnp.einsum("bthgd,hbsd->bhgts", qg, k, preferred_element_type=jnp.float32)
+    scores = scores * scale
+    if logits_softcap is not None:
+        scores = logits_softcap * jnp.tanh(scores / logits_softcap)
+    if mask is not None:
+        m = mask if mask.ndim == 4 else mask[None]
+        scores = scores + m[:, :, None].astype(scores.dtype)
+    probs = jax.nn.softmax(scores, axis=-1)
+    out = jnp.einsum("bhgts,hbsd->bthgd", probs, v.astype(q.dtype))
+    return out.reshape(B, T, Hq, D).astype(q.dtype)

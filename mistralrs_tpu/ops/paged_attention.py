@@ -5,8 +5,12 @@ Reference parity: mistralrs-paged-attn CUDA kernels (SURVEY.md §2.2) —
 (decode over block tables), `copy_blocks`/`swap_blocks` — and
 mistralrs-core/src/paged_attention/cache_engine.rs block tensors.
 
-TPU layout: pages are ``[L, P, page_size, Hkv, D]`` with page_size a multiple
-of the (8,128)/(16,128) tile so each page is a whole number of tiles.
+TPU layout: pages are ``[L, Hkv, P, page_size, D]`` — the kv-head axis
+leads (after layers) so each head's pool is contiguous, which is both the
+sharding axis (head-parallel KV) and the layout the Pallas decode kernel
+streams (jax.experimental.pallas.ops.tpu.paged_attention). page_size is a
+multiple of the (8,128)/(16,128) tile so each page is a whole number of
+tiles.
 Page 0 of every layer is a *garbage page*: padding tokens' slot_mapping points
 into it, so writes need no masking (the reference handles padding with
 slot_mapping -1 checks in CUDA; here a reserved page keeps the scatter
@@ -27,23 +31,23 @@ from mistralrs_tpu.ops.attention import NEG_INF, sdpa
 
 @struct.dataclass
 class PagedKVCache:
-    """k/v: [L, P, page_size, Hkv, D]. Page 0 is reserved as garbage."""
+    """k/v: [L, Hkv, P, page_size, D]. Page 0 is reserved as garbage."""
 
     k: jax.Array
     v: jax.Array
 
     @classmethod
     def create(cls, num_layers, num_pages, page_size, kv_heads, head_dim, dtype=jnp.bfloat16):
-        shape = (num_layers, num_pages, page_size, kv_heads, head_dim)
+        shape = (num_layers, kv_heads, num_pages, page_size, head_dim)
         return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[3]
 
     @property
     def num_pages(self) -> int:
-        return self.k.shape[1]
+        return self.k.shape[2]
 
 
 @struct.dataclass
@@ -66,44 +70,45 @@ class PagedAttnMeta:
 
 
 def write_paged_kv(
-    cache_k: jax.Array,  # [P, page, Hkv, D] (one layer)
+    cache_k: jax.Array,  # [Hkv, P, page, D] (one layer)
     cache_v: jax.Array,
     new_k: jax.Array,  # [B, T, Hkv, D]
     new_v: jax.Array,
     slot_mapping: jax.Array,  # [B, T]
 ) -> tuple[jax.Array, jax.Array]:
     """reshape_and_cache: scatter new KV rows into pages (one layer)."""
-    P, page, H, D = cache_k.shape
-    flat_k = cache_k.reshape(P * page, H, D)
-    flat_v = cache_v.reshape(P * page, H, D)
+    H, P, page, D = cache_k.shape
+    flat_k = cache_k.reshape(H, P * page, D)
+    flat_v = cache_v.reshape(H, P * page, D)
     idx = slot_mapping.reshape(-1)
-    nk = new_k.reshape(-1, H, D).astype(cache_k.dtype)
-    nv = new_v.reshape(-1, H, D).astype(cache_v.dtype)
-    flat_k = flat_k.at[idx].set(nk, mode="drop")
-    flat_v = flat_v.at[idx].set(nv, mode="drop")
+    nk = new_k.reshape(-1, H, D).swapaxes(0, 1).astype(cache_k.dtype)  # [H, N, D]
+    nv = new_v.reshape(-1, H, D).swapaxes(0, 1).astype(cache_v.dtype)
+    flat_k = flat_k.at[:, idx].set(nk, mode="drop")
+    flat_v = flat_v.at[:, idx].set(nv, mode="drop")
     return flat_k.reshape(cache_k.shape), flat_v.reshape(cache_v.shape)
 
 
 def gather_paged_kv(
-    cache_k: jax.Array,  # [P, page, Hkv, D] (one layer)
+    cache_k: jax.Array,  # [Hkv, P, page, D] (one layer)
     cache_v: jax.Array,
     block_tables: jax.Array,  # [B, MAX_PAGES]
 ) -> tuple[jax.Array, jax.Array]:
-    """Gather each row's context into dense [B, MAX_PAGES*page, Hkv, D]."""
+    """Gather each row's context, HEAD-MAJOR: [Hkv, B, MAX_PAGES*page, D]
+    (reshape-only from the pool layout; attention consumes it via
+    sdpa_head_major so no transposed copy is ever materialized)."""
     B, MP = block_tables.shape
-    page = cache_k.shape[1]
-    k = jnp.take(cache_k, block_tables.reshape(-1), axis=0)
-    v = jnp.take(cache_v, block_tables.reshape(-1), axis=0)
-    H, D = cache_k.shape[2], cache_k.shape[3]
+    H, P, page, D = cache_k.shape
+    k = jnp.take(cache_k, block_tables.reshape(-1), axis=1)  # [H, B*MP, page, D]
+    v = jnp.take(cache_v, block_tables.reshape(-1), axis=1)
     return (
-        k.reshape(B, MP * page, H, D),
-        v.reshape(B, MP * page, H, D),
+        k.reshape(H, B, MP * page, D),
+        v.reshape(H, B, MP * page, D),
     )
 
 
 def paged_attention_reference(
     q: jax.Array,  # [B, T, Hq, D]
-    cache_k: jax.Array,  # [P, page, Hkv, D] (one layer)
+    cache_k: jax.Array,  # [Hkv, P, page, D] (one layer)
     cache_v: jax.Array,
     meta: PagedAttnMeta,
     *,
@@ -118,9 +123,11 @@ def paged_attention_reference(
     positions in order because pages in a row's block table are its logical
     blocks in sequence order.
     """
+    from mistralrs_tpu.ops.attention import sdpa_head_major
+
     B, T = q.shape[0], q.shape[1]
     k, v = gather_paged_kv(cache_k, cache_v, meta.block_tables)
-    S = k.shape[1]
+    S = k.shape[2]
     q_off = meta.kv_lens - T  # first query token's absolute position
     q_ids = jnp.arange(T)[None, :] + q_off[:, None]  # [B, T]
     kv_ids = jnp.arange(S)[None, :]
@@ -129,7 +136,45 @@ def paged_attention_reference(
     if sliding_window is not None:
         keep &= kv_ids[:, None, :] > q_ids[:, :, None] - sliding_window
     bias = jnp.where(keep, 0.0, NEG_INF)[:, None]  # [B, 1, T, S]
-    return sdpa(
+    return sdpa_head_major(
         q, k.astype(q.dtype), v.astype(q.dtype),
         scale=scale, mask=bias, logits_softcap=logits_softcap,
     )
+
+
+def paged_decode_attention(
+    q: jax.Array,  # [B, 1, Hq, D]
+    cache_k: jax.Array,  # [Hkv, P, page, D] (one layer)
+    cache_v: jax.Array,
+    meta: PagedAttnMeta,
+    *,
+    scale: float,
+    logits_softcap: float | None = None,
+    pages_per_compute_block: int = 8,
+) -> jax.Array:
+    """Fused Pallas block-table decode attention (TPU): streams only the
+    pages named in each row's table instead of materializing the gathered
+    context in HBM (the CUDA paged_attention v1/v2 equivalent).
+
+    The kernel computes raw q.k^T, so the softmax scale is folded into q.
+    """
+    from jax.experimental.pallas.ops.tpu.paged_attention.paged_attention_kernel import (
+        paged_attention,
+    )
+
+    B = q.shape[0]
+    q3 = (q[:, 0] * jnp.asarray(scale, q.dtype)).astype(cache_k.dtype)  # [B, Hq, D]
+    MP = meta.block_tables.shape[1]
+    ppcb = pages_per_compute_block
+    while MP % ppcb:
+        ppcb //= 2
+    out = paged_attention(
+        q3,
+        cache_k,
+        cache_v,
+        meta.kv_lens.astype(jnp.int32),
+        meta.block_tables.astype(jnp.int32),
+        attn_logits_soft_cap=logits_softcap,
+        pages_per_compute_block=max(ppcb, 1),
+    )
+    return out.astype(q.dtype)[:, None]  # [B, 1, Hq, D]

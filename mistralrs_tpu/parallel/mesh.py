@@ -131,8 +131,8 @@ def shard_params(params: DecoderParams, cfg: ModelConfig, mesh: Mesh) -> Decoder
 
 
 def cache_spec() -> P:
-    """KV pages [L, P, page, Hkv, D]: shard the KV-head axis over tp."""
-    return P(None, None, None, "tp", None)
+    """KV pages [L, Hkv, P, page, D]: shard the KV-head axis over tp."""
+    return P(None, "tp", None, None, None)
 
 
 def shard_cache(cache, mesh: Mesh):

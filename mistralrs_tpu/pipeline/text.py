@@ -279,8 +279,8 @@ class TextPipeline:
         cache = self.cache
         src = jnp.asarray([s for s, _ in ops], jnp.int32)
         dst = jnp.asarray([d for _, d in ops], jnp.int32)
-        k = cache.k.at[:, dst].set(cache.k[:, src])
-        v = cache.v.at[:, dst].set(cache.v[:, src])
+        k = cache.k.at[:, :, dst].set(cache.k[:, :, src])
+        v = cache.v.at[:, :, dst].set(cache.v[:, :, src])
         self.cache = type(cache)(k=k, v=v)
 
     def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx):
