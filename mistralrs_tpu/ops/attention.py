@@ -4,10 +4,10 @@ Reference parity: mistralrs-core/src/layers.rs ScaledDotProductAttention
 dispatch (:475-560, flash-attn -> cuBLASLt fused -> naive) and
 layers_masker.rs CausalMasker (:8-290, causal + sliding-window bias).
 
-TPU design: one einsum-based reference implementation with f32 softmax that
-XLA already maps onto the MXU, plus a Pallas flash kernel
-(ops/flash_attention.py) for long prefills, and a Pallas block-table kernel
-(ops/paged_attention.py) for paged decode. GQA is computed by folding the
+TPU design: einsum-based implementations with f32 softmax that XLA maps
+onto the MXU (batch-major `sdpa` and head-major `sdpa_head_major` for the
+paged gather layout); decode at long context spans uses the Pallas
+block-table kernel (ops/paged_attention.py). GQA is computed by folding the
 query-head group axis into the einsum instead of materializing repeated KV —
 the TPU equivalent of the reference's `repeat_kv` elision.
 

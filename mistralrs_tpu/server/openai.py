@@ -191,7 +191,8 @@ class OpenAIServer:
                                       constraint=constraint, images=images)
         return await self._blocking(prompt_toks, sampling, chat=True,
                                     constraint=constraint, matcher=matcher,
-                                    images=images)
+                                    images=images,
+                                    return_logprobs=bool(body.get("logprobs")))
 
     async def completions(self, request: web.Request) -> web.StreamResponse:
         body = await request.json()
@@ -208,16 +209,35 @@ class OpenAIServer:
             return await self._stream(request, prompt_toks, sampling, chat=False,
                                       constraint=constraint)
         return await self._blocking(prompt_toks, sampling, chat=False,
-                                    constraint=constraint)
+                                    constraint=constraint,
+                                    return_logprobs=bool(body.get("logprobs")))
 
     # ------------------------------------------------------------- impls
+    @staticmethod
+    def _logprobs_json(seq):
+        """OpenAI logprobs content block (ref chat_completion.rs logprobs)."""
+        if not seq.return_logprobs or not seq.logprobs:
+            return None
+        content = []
+        for lp in seq.logprobs:
+            content.append({
+                "token": str(lp.token),
+                "logprob": lp.logprob,
+                "top_logprobs": [
+                    {"token": str(t.token), "logprob": t.logprob}
+                    for t in (lp.top_logprobs or [])
+                ],
+            })
+        return {"content": content}
+
     async def _blocking(self, toks: list[int], sampling: SamplingParams, chat: bool,
-                        constraint=None, matcher=None, images=None):
+                        constraint=None, matcher=None, images=None,
+                        return_logprobs=False):
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:20]
         group = await asyncio.to_thread(
             self.runner.handle.submit,
             GenerationRequest(toks, sampling, request_id=rid, constraint=constraint,
-                              images=images),
+                              images=images, return_logprobs=return_logprobs),
         )
         while not group.all_done():
             await asyncio.sleep(0.005)
@@ -238,7 +258,7 @@ class OpenAIServer:
                     "index": i,
                     "message": msg,
                     "finish_reason": finish,
-                    "logprobs": None,
+                    "logprobs": self._logprobs_json(s),
                 })
             obj = "chat.completion"
         else:
@@ -247,7 +267,7 @@ class OpenAIServer:
                     "index": i,
                     "text": s.final_text(),
                     "finish_reason": s.stop_reason.value if s.stop_reason else "stop",
-                    "logprobs": None,
+                    "logprobs": self._logprobs_json(s),
                 }
                 for i, s in enumerate(group.seqs)
             ]

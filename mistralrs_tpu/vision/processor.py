@@ -133,23 +133,45 @@ class LlavaNextProcessor(LlavaProcessor):
 
 
 class Idefics2Processor:
-    """Expand <image> into fake-token-wrapped n_latents image tokens
-    (ref idefics2 input processor; non-split variant)."""
+    """Expand <image> into n_latents image tokens per sub-image
+    (ref idefics2_input_processor.rs; with do_image_splitting the image
+    becomes 4 quadrant crops + the full image = 5 sub-images, :250-259)."""
 
     def __init__(self, tokenizer, image_token_id: int, n_latents: int,
                  image_size: int = 224, image_token: str = "<image>",
-                 mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5)):
+                 mean=(0.5, 0.5, 0.5), std=(0.5, 0.5, 0.5),
+                 do_image_splitting: bool = False):
         self.tok = tokenizer
         self.image_token = image_token
         self.image_token_id = image_token_id
         self.n_latents = n_latents
         self.image_size = image_size
         self.mean, self.std = mean, std
+        self.do_image_splitting = do_image_splitting
+
+    def _sub_images(self, img: Image.Image) -> list[Image.Image]:
+        if not self.do_image_splitting:
+            return [img]
+        w, h = img.width, img.height
+        mw, mh = w // 2, h // 2
+        return [
+            img.crop((0, 0, mw, mh)), img.crop((mw, 0, w, mh)),
+            img.crop((0, mh, mw, h)), img.crop((mw, mh, w, h)),
+            img,
+        ]
 
     def preprocess_image(self, img: Image.Image) -> dict:
-        x = T.preprocess_standard(img, (self.image_size, self.image_size),
+        subs = [
+            T.preprocess_standard(s, (self.image_size, self.image_size),
                                   self.mean, self.std)
-        return {"pixel_values": x, "orig_hw": (img.height, img.width)}
+            for s in self._sub_images(img)
+        ]
+        import numpy as _np
+
+        return {"pixel_values": _np.stack(subs), "orig_hw": (img.height, img.width)}
+
+    def tokens_per_image(self) -> int:
+        return self.n_latents * (5 if self.do_image_splitting else 1)
 
     def __call__(self, text: str, images: list) -> tuple[list[int], list[dict]]:
         pixel = [self.preprocess_image(decode_image(im)) for im in images]
@@ -158,6 +180,6 @@ class Idefics2Processor:
             raise ValueError("image count mismatch")
         ids: list[int] = self.tok.encode(parts[0])
         for part in parts[1:]:
-            ids.extend([self.image_token_id] * self.n_latents)
+            ids.extend([self.image_token_id] * self.tokens_per_image())
             ids.extend(self.tok.encode(part, add_special_tokens=False))
         return ids, pixel

@@ -191,3 +191,21 @@ def test_stop_string(client_and_runner):
         assert chr(65 + 10) not in data["choices"][0]["message"]["content"]
 
     _run(loop, go())
+
+
+def test_completions_logprobs(client_and_runner):
+    """OpenAI logprobs=true returns per-token logprob content."""
+    client, _, loop = client_and_runner
+
+    async def go():
+        resp = await client.post("/v1/completions", json={
+            "model": "fake-model", "prompt": "abc", "max_tokens": 3,
+            "logprobs": True, "top_logprobs": 2, "temperature": 0.7,
+        })
+        body = await resp.json()
+        assert resp.status == 200, body
+        lp = body["choices"][0]["logprobs"]
+        assert lp and len(lp["content"]) == 3
+        assert len(lp["content"][0]["top_logprobs"]) == 2
+
+    _run(loop, go())

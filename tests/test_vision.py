@@ -500,3 +500,19 @@ def test_phi3v_end_to_end(tmp_path):
     a = run((256, 1024))
     b = run((1024,))
     assert a == b and len(a) == 4
+
+
+def test_idefics2_image_splitting_processor():
+    from mistralrs_tpu.vision.processor import Idefics2Processor
+
+    class FakeTok:
+        def encode(self, s, add_special_tokens=True):
+            return [1] * len(s.split())
+
+    proc = Idefics2Processor(FakeTok(), image_token_id=121, n_latents=6,
+                             image_size=32, do_image_splitting=True)
+    rng = np.random.default_rng(13)
+    img = Image.fromarray(rng.integers(0, 255, size=(40, 60, 3), dtype=np.uint8))
+    ids, pixel = proc("a <image> b", [img])
+    assert sum(1 for t in ids if t == 121) == 6 * 5
+    assert pixel[0]["pixel_values"].shape == (5, 3, 32, 32)
