@@ -24,6 +24,17 @@ class AllocStatus(enum.Enum):
     IMPOSSIBLE = "impossible"  # larger than the whole pool
 
 
+def make_block_manager(num_pages: int, page_size: int, watermark: float = 0.01):
+    """Native (C++) allocator when available, Python fallback otherwise
+    (set MISTRALRS_NATIVE=0 to force Python)."""
+    from mistralrs_tpu.native import runtime_lib
+
+    lib = runtime_lib()
+    if lib is not None:
+        return NativeBlockManager(lib, num_pages, page_size, watermark)
+    return BlockManager(num_pages, page_size, watermark)
+
+
 class BlockManager:
     def __init__(self, num_pages: int, page_size: int, watermark: float = 0.01):
         assert num_pages >= 2
@@ -132,3 +143,93 @@ class BlockManager:
                 self.free_pages.append(p)
             else:
                 self.refcount[p] = rc
+
+
+class NativeBlockManager:
+    """ctypes facade over the C++ allocator (native/runtime.cpp) with the
+    same surface and semantics as BlockManager. Sequences' `block_table`
+    lists are mirrored from the native side after every mutation (the
+    pipeline builds device arrays from them)."""
+
+    def __init__(self, lib, num_pages: int, page_size: int, watermark: float = 0.01):
+        import ctypes
+
+        assert num_pages >= 2
+        self._lib = lib
+        self._h = lib.bm_new(num_pages, page_size, watermark)
+        self._i32 = ctypes.c_int32
+        self.num_pages = num_pages
+        self.page_size = page_size
+        self.watermark_pages = max(1, int(watermark * num_pages))
+
+    def __del__(self):
+        try:
+            self._lib.bm_delete(self._h)
+        except Exception:
+            pass
+
+    # ------------------------------------------------------------- queries
+    @property
+    def num_free(self) -> int:
+        return int(self._lib.bm_num_free(self._h))
+
+    def pages_needed(self, num_tokens: int) -> int:
+        return (num_tokens + self.page_size - 1) // self.page_size
+
+    def can_allocate(self, seq: Sequence) -> AllocStatus:
+        r = self._lib.bm_can_allocate(self._h, seq.id, len(seq.tokens))
+        return (AllocStatus.OK, AllocStatus.LATER, AllocStatus.IMPOSSIBLE)[r]
+
+    def can_append_token(self, seq: Sequence, n: int = 1) -> bool:
+        return bool(self._lib.bm_can_append(self._h, seq.id, seq.kv_len, n))
+
+    # ------------------------------------------------------------- helpers
+    def _sync_table(self, seq: Sequence) -> None:
+        import ctypes
+
+        n = self._lib.bm_table_len(self._h, seq.id)
+        buf = (self._i32 * max(n, 1))()
+        if n:
+            self._lib.bm_get_table(self._h, seq.id, buf)
+        seq.block_table = list(buf[:n])
+
+    @staticmethod
+    def _arr(pages):
+        import ctypes
+
+        return (ctypes.c_int32 * len(pages))(*pages)
+
+    # ------------------------------------------------------------- mutation
+    def allocate(self, seq: Sequence) -> None:
+        r = self._lib.bm_allocate(self._h, seq.id, len(seq.tokens))
+        assert r >= 0, "allocator out of pages (scheduler admitted too much)"
+        self._sync_table(seq)
+
+    def append_slot(self, seq: Sequence, n: int = 1):
+        packed = self._lib.bm_append_slots(self._h, seq.id, seq.kv_len, n)
+        assert packed != -2, "allocator out of pages during append"
+        self._sync_table(seq)
+        if packed == -1:
+            return None
+        return (int(packed >> 32), int(packed & 0xFFFFFFFF))
+
+    def fork(self, parent: Sequence, child: Sequence) -> None:
+        self._lib.bm_share_prefix(self._h, child.id, self._arr(parent.block_table),
+                                  len(parent.block_table))
+        self._sync_table(child)
+
+    def share_prefix(self, seq: Sequence, pages: list[int]) -> None:
+        self._lib.bm_share_prefix(self._h, seq.id, self._arr(pages), len(pages))
+        self._sync_table(seq)
+
+    def free_sequence(self, seq: Sequence) -> None:
+        self._lib.bm_free_seq(self._h, seq.id)
+        seq.block_table = []
+
+    def ref_pages(self, pages: list[int]) -> None:
+        if pages:
+            self._lib.bm_ref_pages(self._h, self._arr(pages), len(pages))
+
+    def unref_pages(self, pages: list[int]) -> None:
+        if pages:
+            self._lib.bm_unref_pages(self._h, self._arr(pages), len(pages))

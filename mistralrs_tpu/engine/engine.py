@@ -22,7 +22,7 @@ from typing import Any, Callable
 
 import numpy as np
 
-from mistralrs_tpu.engine.block_manager import BlockManager
+from mistralrs_tpu.engine.block_manager import make_block_manager
 from mistralrs_tpu.engine.prefix_cache import PrefixCacheManager
 from mistralrs_tpu.engine.sampler import SamplingParams, sample_batch
 from mistralrs_tpu.engine.scheduler import Scheduler
@@ -72,7 +72,7 @@ class Engine:
             # shared prefix pages would leave the draft cache inconsistent
             # (ref disables prefix caching in composite pipelines too)
             prefix_cache = False
-        self.block_manager = BlockManager(pc.num_pages, pc.page_size)
+        self.block_manager = make_block_manager(pc.num_pages, pc.page_size)
         self.prefix_cacher = (
             PrefixCacheManager(self.block_manager, max_pages=prefix_cache_pages)
             if prefix_cache
