@@ -217,7 +217,8 @@ class XLoraPipeline(TextPipeline):
 
         return step
 
-    def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx):
+    def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active,
+             last_idx, first_chunk: bool = False):
         seqs = getattr(self, "_current_seqs", None)
         ng = self.xcfg.tgt_non_granular_index
         if ng is not None and seqs is not None and all(

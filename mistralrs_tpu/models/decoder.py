@@ -39,6 +39,21 @@ from mistralrs_tpu.ops.paged_attention import (
 )
 
 
+def _use_flash_prefill(cfg: ModelConfig, T: int, meta) -> bool:
+    """First-chunk prefill flash eligibility (static): chunk long enough for
+    the kernel's 128-row blocks, no logit softcap (unsupported), window not
+    clipped within the chunk, TPU backend."""
+    if T < 128 or T % 128 or not meta.first_chunk:
+        return False
+    if cfg.attn_logit_softcap is not None:
+        return False
+    if cfg.sliding_window is not None and cfg.sliding_window < T:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def _use_paged_decode_kernel(cfg: ModelConfig, T: int, window_ok: bool, span: int = 0) -> bool:
     """Fused Pallas block-table decode kernel eligibility (static): single
     query token, TPU backend, and no sliding-window layer could clip context
@@ -155,6 +170,28 @@ def _attention(
     scale = cfg.query_scale if cfg.query_scale is not None else D**-0.5
     if isinstance(meta, PagedAttnMeta):
         cache_k, cache_v = write_paged_kv(cache_k, cache_v, k, v, meta.slot_mapping)
+        if _use_flash_prefill(cfg, T, meta):
+            # first prefill chunk: context == the chunk itself; run the
+            # Pallas flash kernel, skipping the paged gather and the
+            # [B,Hq,T,S] score materialization entirely
+            from jax.experimental.pallas.ops.tpu.flash_attention import (
+                flash_attention,
+            )
+
+            rep = Hq // Hkv
+            kf = jnp.repeat(k, rep, axis=2) if rep > 1 else k
+            vf = jnp.repeat(v, rep, axis=2) if rep > 1 else v
+            out = flash_attention(
+                q.transpose(0, 2, 1, 3).astype(jnp.float32),
+                kf.transpose(0, 2, 1, 3).astype(jnp.float32),
+                vf.transpose(0, 2, 1, 3).astype(jnp.float32),
+                causal=True,
+                sm_scale=scale,
+            ).transpose(0, 2, 1, 3).astype(q.dtype)
+            # zero padding rows (they attended garbage) via active mask
+            out = out * meta.active[:, None, None, None].astype(out.dtype)
+            out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
+            return out, cache_k, cache_v
         # a sequence can never exceed its block-table span; if that span fits
         # inside the sliding window, length masking alone is exact
         window_ok = (

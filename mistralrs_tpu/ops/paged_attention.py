@@ -67,6 +67,10 @@ class PagedAttnMeta:
     block_tables: jax.Array
     kv_lens: jax.Array
     active: jax.Array
+    # static: this step is the FIRST prefill chunk (positions start at 0 for
+    # every row), so the chunk's own K/V is the entire context — prefill can
+    # run the Pallas flash kernel on it without a paged gather
+    first_chunk: bool = struct.field(pytree_node=False, default=False)
 
 
 def write_paged_kv(

@@ -105,14 +105,16 @@ class TextPipeline:
     def _build_step_fn(self):
         cfg, rope = self.cfg, self.rope
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def step(params, cache, ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx):
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(9,))
+        def step(params, cache, ids, positions, slot_mapping, block_tables,
+                 kv_lens, active, last_idx, first_chunk=False):
             meta = PagedAttnMeta(
                 positions=positions,
                 slot_mapping=slot_mapping,
                 block_tables=block_tables,
                 kv_lens=kv_lens,
                 active=active,
+                first_chunk=first_chunk,
             )
             h, cache = decoder_forward(params, cfg, rope, ids, cache, meta)
             B = ids.shape[0]
@@ -283,7 +285,8 @@ class TextPipeline:
         v = cache.v.at[:, :, dst].set(cache.v[:, :, src])
         self.cache = type(cache)(k=k, v=v)
 
-    def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx):
+    def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active,
+             last_idx, first_chunk: bool = False):
         logits, greedy_pack, self.cache = self._step_fn(
             self.params,
             self.cache,
@@ -294,6 +297,7 @@ class TextPipeline:
             jnp.asarray(kv_lens),
             jnp.asarray(active),
             jnp.asarray(last_idx),
+            first_chunk,
         )
         self.last_greedy_pack = greedy_pack  # device array; fetched on demand
         return logits
@@ -369,7 +373,8 @@ class TextPipeline:
         kv_lens = np.asarray([start + T], np.int32)
         active = np.ones((1,), np.float32)
         last_idx = np.asarray([n - 1], np.int32)
-        logits = self._run(ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx)
+        logits = self._run(ids, positions, slot_mapping, block_tables, kv_lens,
+                           active, last_idx, first_chunk=(start == 0))
         if advance_state:
             seq.prefill_done_tokens = start + n
             seq.kv_len = start + n
