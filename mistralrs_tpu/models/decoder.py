@@ -54,6 +54,26 @@ def _use_flash_prefill(cfg: ModelConfig, T: int, meta) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_flash_continuation(cfg: ModelConfig, T: int, meta, span: int) -> bool:
+    """Continuation-chunk flash eligibility: right-aligned flash over the
+    full static span (ops/paged_attention.flash_prefill_continuation)."""
+    if T < 128 or T % 128 or meta.first_chunk:
+        return False
+    # the right-aligned trick pads q to the full span: S^2/2 flash FLOPs vs
+    # the dense path's T*S score bytes. Breakeven ~ S = 11*T; beyond 4k span
+    # the quadratic padding loses (block-sparse splash masks are the 32k+
+    # answer, future work)
+    if span % 128 or span > 4096:
+        return False
+    if cfg.attn_logit_softcap is not None:
+        return False
+    if cfg.sliding_window is not None and cfg.sliding_window < span:
+        return False
+    import jax
+
+    return jax.default_backend() == "tpu"
+
+
 def _use_paged_decode_kernel(cfg: ModelConfig, T: int, window_ok: bool, span: int = 0) -> bool:
     """Fused Pallas block-table decode kernel eligibility (static): single
     query token, TPU backend, and no sliding-window layer could clip context
@@ -206,6 +226,13 @@ def _attention(
                 q, cache_k, cache_v, meta,
                 scale=scale, logits_softcap=cfg.attn_logit_softcap,
             )
+            out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
+            return out, cache_k, cache_v
+        if _use_flash_continuation(cfg, T, meta, span):
+            from mistralrs_tpu.ops.paged_attention import flash_prefill_continuation
+
+            out = flash_prefill_continuation(q, cache_k, cache_v, meta, scale=scale)
+            out = out * meta.active[:, None, None, None].astype(out.dtype)
             out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
             return out, cache_k, cache_v
         ctx_k, ctx_v = gather_paged_kv(cache_k, cache_v, meta.block_tables)

@@ -182,3 +182,76 @@ def paged_decode_attention(
         pages_per_compute_block=max(ppcb, 1),
     )
     return out.astype(q.dtype)[:, None]  # [B, 1, Hq, D]
+
+
+def flash_prefill_continuation(
+    q: jax.Array,  # [B, T, Hq, D] chunk queries (positions start..start+T)
+    cache_k: jax.Array,  # [Hkv, P, page, D] (chunk already written)
+    cache_v: jax.Array,
+    meta: PagedAttnMeta,
+    *,
+    scale: float,
+) -> jax.Array:
+    """Flash attention for continuation prefill chunks over the paged context.
+
+    The TPU flash kernel's causal mask is top-left (col <= row on raw
+    indices), so both the gathered KV pages and the chunk's query rows are
+    RIGHT-ALIGNED into the static span S = MAX_PAGES*page such that the col
+    of kv position p and the row of query position p coincide; segment ids
+    mask the left padding and the partially-filled last page's tail. This
+    avoids materializing the [B, Hq, T, S] score matrix of the dense path —
+    which dominates prefill HBM traffic at long context.
+    """
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        SegmentIds,
+        flash_attention,
+    )
+
+    B, T, Hq, D = q.shape
+    Hkv, P, page, _ = cache_k.shape
+    MP = meta.block_tables.shape[1]
+    S = MP * page
+
+    used_pages = (meta.kv_lens + page - 1) // page  # [B]
+    shift = MP - used_pages  # right-align whole pages
+    col = jnp.arange(MP)[None, :]  # [1, MP]
+    src = col - shift[:, None]
+    tables = jnp.where(
+        src >= 0,
+        jnp.take_along_axis(meta.block_tables, jnp.clip(src, 0, MP - 1), axis=1),
+        0,
+    )
+    k, v = gather_paged_kv(cache_k, cache_v, tables)  # [Hkv, B, S, D]
+    rep = Hq // Hkv
+    kf = jnp.repeat(k, rep, axis=0) if rep > 1 else k
+    vf = jnp.repeat(v, rep, axis=0) if rep > 1 else v
+    kf = kf.transpose(1, 0, 2, 3)  # [B, Hq, S, D]
+    vf = vf.transpose(1, 0, 2, 3)
+
+    # kv col f holds position p = f - (S - used*page); real iff 0 <= p < kv_len
+    base = S - used_pages * page  # [B]
+    flat = jnp.arange(S)[None, :]
+    kv_seg = ((flat >= base[:, None]) & (flat < base[:, None] + meta.kv_lens[:, None]))
+
+    # query token i (position start+i, start = kv_len - T) sits at row
+    # base + start + i so that row == col of its own position
+    start = meta.kv_lens - T
+    row0 = base + start  # [B]
+    rows = row0[:, None] + jnp.arange(T)[None, :]  # [B, T]
+    qs = (q * jnp.asarray(scale, q.dtype)).transpose(0, 2, 1, 3)  # [B, Hq, T, D]
+    q_pad = jnp.zeros((B, Hq, S, D), qs.dtype)
+    q_pad = jax.vmap(lambda qp, qb, r: qp.at[:, r].set(qb))(q_pad, qs, rows)
+    q_seg = jnp.zeros((B, S), jnp.int32)
+    q_seg = jax.vmap(lambda s, r: s.at[r].set(1))(q_seg, rows)
+
+    out = flash_attention(
+        q_pad.astype(jnp.float32),
+        kf.astype(jnp.float32),
+        vf.astype(jnp.float32),
+        segment_ids=SegmentIds(q=q_seg, kv=kv_seg.astype(jnp.int32)),
+        causal=True,
+        sm_scale=1.0,  # folded into q
+    )
+    # gather the real rows back out: [B, Hq, T, D]
+    outT = jax.vmap(lambda o, r: o[:, r])(out, rows)
+    return outT.transpose(0, 2, 1, 3).astype(q.dtype)  # [B, T, Hq, D]
