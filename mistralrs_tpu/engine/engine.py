@@ -281,9 +281,48 @@ class Engine:
                 return
             pack = self.pipeline.run_decode(seqs, greedy=True)
             self._emit_greedy(seqs, pack)
+        elif self._topk_batch_ok(seqs):
+            self._decode_topk(seqs)
         else:
             logits = self.pipeline.run_decode(seqs)
             self._sample_and_emit(seqs, logits)
+
+    def _topk_batch_ok(self, seqs: list[Sequence]) -> bool:
+        """Device top-K sampled decode: every row is either greedy-eligible
+        or exactly samplable from the top-K pack (rare tail draws fall back
+        to a full-logits fetch of that row)."""
+        if not getattr(self.pipeline, "supports_topk_pack", False):
+            return False
+        from mistralrs_tpu.engine.sampler import topk_eligible
+        from mistralrs_tpu.pipeline.text import TOPK_PACK
+
+        return all(
+            seq.recognizer is None
+            and (self._greedy_ok(seq)
+                 or topk_eligible(seq.sampler, seq.return_logprobs, TOPK_PACK))
+            for seq in seqs
+        )
+
+    def _decode_topk(self, seqs: list[Sequence]) -> None:
+        """Sampled decode from the device top-K pack: fetches [n,K] instead
+        of [n,V] logits and skips the host softmax over the vocab."""
+        from mistralrs_tpu.engine.sampler import Logprobs, sample_from_topk
+
+        tv, ti, m, z = self.pipeline.run_decode(seqs, mode="topk")
+        for i, seq in enumerate(seqs):
+            if self._greedy_ok(seq):
+                lp = Logprobs(token=int(ti[i, 0]), logprob=float(tv[i, 0]))
+            else:
+                lp = sample_from_topk(
+                    seq.sampler, tv[i], ti[i], float(m[i]), float(z[i]),
+                    self.rng, seq.return_logprobs,
+                )
+                if lp is None:  # truncation set or draw beyond K: exact fallback
+                    lp = seq.sampler.sample(
+                        self.pipeline.fetch_full_logits_row(i), seq.tokens,
+                        self.rng, seq.return_logprobs,
+                    )
+            self._postprocess_token(seq, lp)
 
     def _multi_ok(self, seq: Sequence, T: int) -> bool:
         """All T writes must land inside the seq's block table span."""

@@ -207,3 +207,99 @@ def sample_batch(
         rl = return_logprobs[i] if return_logprobs else False
         out.append(s.sample(logits[i], contexts[i], rng, rl))
     return out
+
+
+def topk_eligible(sampler: "Sampler", return_logprobs: bool, k: int) -> bool:
+    """Can this sequence sample exactly from the device top-K pack?
+    Penalties / bias / custom processors perturb arbitrary logits (need the
+    full vector); top-n logprobs must fit in K."""
+    p = sampler.p
+    if p.temperature is None:
+        return False  # argmax path handles it
+    if p.frequency_penalty is not None or p.presence_penalty is not None:
+        return False
+    if p.logits_bias or p.logits_processors:
+        return False
+    if return_logprobs and p.top_n_logprobs > k:
+        return False
+    return True
+
+
+def sample_from_topk(
+    sampler: "Sampler",
+    tv: np.ndarray,  # [K] tempered logits of the top-K candidates (desc)
+    ti: np.ndarray,  # [K] their token ids
+    m: float,  # max over the full tempered vocab
+    z: float,  # sum(exp(y - m)) over the full vocab
+    rng: np.random.Generator,
+    return_logprobs: bool = False,
+) -> "Logprobs | None":
+    """Reference-exact sampling restricted to the device top-K pack.
+
+    probs are exact (the softmax normalizer covers the FULL vocab); whenever
+    the reference pipeline's truncation set could extend beyond K — top-p /
+    min-p cutoffs not reached inside K, or the multinomial draw landing in
+    the tail mass — returns None and the caller falls back to full logits.
+    """
+    p = sampler.p
+    k = tv.shape[0]
+    probs = np.exp(tv.astype(np.float64) - m) / z  # [K] exact, descending
+    cum_k = float(probs.sum())
+
+    top_k = p.top_k if p.top_k and p.top_k > 0 else 0
+    if top_k and top_k < k:
+        probs = probs[:top_k].copy()
+    elif top_k == 0 or top_k >= k:
+        # no top-k truncation inside K: the tail may carry real mass
+        probs = probs.copy()
+
+    kept = probs
+    top_p = p.top_p if p.top_p is not None else 1.0
+    if 0.0 < top_p < 1.0:
+        cums = np.cumsum(kept)
+        if cums[-1] < top_p and not (top_k and top_k <= kept.shape[0]):
+            return None  # cutoff beyond K: need the full vector
+        cut = cums - kept >= top_p
+        kept = np.where(cut, 0.0, kept)
+        min_p = p.min_p if p.min_p is not None else 0.0
+        if 0.0 < min_p < 1.0:
+            kept = np.where(kept <= kept[0] * min_p, 0.0, kept)
+    elif not (top_k and top_k <= kept.shape[0]):
+        # untruncated multinomial over the full vocab: draw u and fall back
+        # only if it lands in the tail (exact: tail mass = 1 - cum_k)
+        u = rng.random()
+        if u > cum_k:
+            return None  # rare for peaked LLM distributions
+        cums = np.cumsum(probs)
+        idx = int(np.searchsorted(cums, u, side="right"))
+        idx = min(idx, probs.shape[0] - 1)
+        tok = int(ti[idx])
+        lp = float(np.log10(probs[idx])) if probs[idx] > 0 else float("-inf")
+        return Logprobs(token=tok, logprob=lp,
+                        top_logprobs=_top_from_pack(sampler, probs, ti) if return_logprobs else None)
+
+    total = kept.sum()
+    if total <= 0:
+        tok = int(ti[0])
+        return Logprobs(token=tok, logprob=0.0,
+                        top_logprobs=_top_from_pack(sampler, kept, ti) if return_logprobs else None)
+    u = rng.random() * total
+    cums = np.cumsum(kept)
+    idx = int(np.searchsorted(cums, u, side="right"))
+    idx = min(idx, kept.shape[0] - 1)
+    tok = int(ti[idx])
+    lp = float(np.log10(kept[idx])) if kept[idx] > 0 else float("-inf")
+    return Logprobs(token=tok, logprob=lp,
+                    top_logprobs=_top_from_pack(sampler, kept, ti) if return_logprobs else None)
+
+
+def _top_from_pack(sampler, probs, ti) -> list["TopLogprob"]:
+    n = sampler.p.top_n_logprobs
+    if n <= 0:
+        return []
+    out = []
+    for j in range(min(n, probs.shape[0])):
+        pv = probs[j]
+        out.append(TopLogprob(int(ti[j]),
+                              float(np.log10(pv)) if pv > 0 else float("-inf")))
+    return out

@@ -144,6 +144,7 @@ class XLoraPipeline(TextPipeline):
     caches share the block table / page-id space."""
 
     supports_multistep = False  # dual-pass step fn; multi-token loop n/a
+    supports_topk_pack = False  # custom step fn without the top-K outputs
 
     def __init__(self, cfg, params, rope, pc, classifier, xcfg: XLoraConfig,
                  n_adapters: int, mesh=None):
@@ -218,7 +219,7 @@ class XLoraPipeline(TextPipeline):
         return step
 
     def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active,
-             last_idx, first_chunk: bool = False):
+             last_idx, first_chunk: bool = False, temps=None):
         seqs = getattr(self, "_current_seqs", None)
         ng = self.xcfg.tgt_non_granular_index
         if ng is not None and seqs is not None and all(

@@ -27,6 +27,10 @@ from mistralrs_tpu.ops.paged_attention import PagedAttnMeta, PagedKVCache
 from mistralrs_tpu.ops.rope import RopeTable
 
 
+# candidates returned by the device sampled-decode fast path
+TOPK_PACK = 64
+
+
 def _next_bucket(n: int, buckets: tuple[int, ...]) -> int:
     for b in buckets:
         if n <= b:
@@ -60,6 +64,7 @@ class TextPipeline:
     """Owns model params + paged cache + jitted step functions."""
 
     supports_multistep = True  # greedy on-device multi-token decode
+    supports_topk_pack = True  # device top-K sampled-decode fast path
 
     def __init__(
         self,
@@ -107,7 +112,7 @@ class TextPipeline:
 
         @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(9,))
         def step(params, cache, ids, positions, slot_mapping, block_tables,
-                 kv_lens, active, last_idx, first_chunk=False):
+                 kv_lens, active, last_idx, first_chunk=False, temps=None):
             meta = PagedAttnMeta(
                 positions=positions,
                 slot_mapping=slot_mapping,
@@ -126,7 +131,17 @@ class TextPipeline:
             top = jnp.argmax(logits, axis=-1)
             chosen = jnp.take_along_axis(logits, top[:, None], axis=-1)[:, 0]
             greedy_pack = jnp.stack([top.astype(jnp.float32), chosen])
-            return logits, greedy_pack, cache
+            # sampled fast path: top-K of the tempered distribution + exact
+            # softmax stats — the host samples from K candidates with an
+            # exact tail-mass fallback (engine/sampler.sample_from_topk)
+            if temps is None:
+                temps = jnp.ones((B,), jnp.float32)
+            y = logits / temps[:, None]
+            m = jnp.max(y, axis=-1)
+            z = jnp.sum(jnp.exp(y - m[:, None]), axis=-1)
+            tv, ti = jax.lax.top_k(y, TOPK_PACK)
+            topk_pack = (tv, ti.astype(jnp.int32), m, z)
+            return logits, greedy_pack, topk_pack, cache
 
         return step
 
@@ -286,8 +301,8 @@ class TextPipeline:
         self.cache = type(cache)(k=k, v=v)
 
     def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active,
-             last_idx, first_chunk: bool = False):
-        logits, greedy_pack, self.cache = self._step_fn(
+             last_idx, first_chunk: bool = False, temps=None):
+        logits, greedy_pack, topk_pack, self.cache = self._step_fn(
             self.params,
             self.cache,
             jnp.asarray(ids),
@@ -298,8 +313,11 @@ class TextPipeline:
             jnp.asarray(active),
             jnp.asarray(last_idx),
             first_chunk,
+            None if temps is None else jnp.asarray(temps),
         )
         self.last_greedy_pack = greedy_pack  # device array; fetched on demand
+        self.last_topk_pack = topk_pack
+        self.last_logits = logits
         return logits
 
     # ------------------------------------------------------------- helpers
@@ -314,12 +332,15 @@ class TextPipeline:
         return page * self.pc.page_size + pos % self.pc.page_size
 
     # ------------------------------------------------------------- decode
-    def run_decode(self, seqs: list[Sequence], greedy: bool = False) -> np.ndarray:
+    def run_decode(self, seqs: list[Sequence], greedy: bool = False,
+                   mode: str | None = None) -> np.ndarray:
         """One decode token for each seq.
 
-        Returns logits [len(seqs), V], or with greedy=True the fused-argmax
-        pack [2, len(seqs)] (row 0 token ids, row 1 their raw logits) — a
-        tiny host fetch instead of the full logits."""
+        mode: "full" (default) returns logits [n, V]; "greedy" the fused
+        argmax pack [2, n]; "topk" the device top-K sampling pack
+        (tv [n,K], ti [n,K], m [n], z [n]) — small fetches instead of the
+        full logits."""
+        mode = mode or ("greedy" if greedy else "full")
         B = self.pc.max_seqs
         assert len(seqs) <= B
         ids = np.zeros((B, 1), np.int32)
@@ -328,6 +349,7 @@ class TextPipeline:
         block_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
         kv_lens = np.ones((B,), np.int32)  # 1 for padding rows: avoids NaN rows
         active = np.zeros((B,), np.float32)
+        temps = np.ones((B,), np.float32)
         for i, seq in enumerate(seqs):
             pos = seq.kv_len
             ids[i, 0] = seq.tokens[-1]
@@ -336,13 +358,25 @@ class TextPipeline:
             block_tables[i] = self._tables_row(seq)
             kv_lens[i] = pos + 1
             active[i] = 1.0
+            if seq.sampling.temperature is not None:
+                temps[i] = seq.sampling.temperature
         last_idx = np.zeros((B,), np.int32)
-        logits = self._run(ids, positions, slot_mapping, block_tables, kv_lens, active, last_idx)
+        logits = self._run(ids, positions, slot_mapping, block_tables, kv_lens,
+                           active, last_idx, temps=temps)
         for seq in seqs:
             seq.kv_len += 1
-        if greedy:
-            return np.asarray(self.last_greedy_pack)[:, : len(seqs)]
-        return np.asarray(logits)[: len(seqs)]
+        n = len(seqs)
+        if mode == "greedy":
+            return np.asarray(self.last_greedy_pack)[:, :n]
+        if mode == "topk":
+            tv, ti, m, z = self.last_topk_pack
+            return (np.asarray(tv)[:n], np.asarray(ti)[:n],
+                    np.asarray(m)[:n], np.asarray(z)[:n])
+        return np.asarray(logits)[:n]
+
+    def fetch_full_logits_row(self, i: int) -> np.ndarray:
+        """Fallback: full-vocab logits of row i from the last decode step."""
+        return np.asarray(self.last_logits[i])
 
     # ------------------------------------------------------------- prefill
     def run_prefill_chunk(

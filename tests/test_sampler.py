@@ -91,3 +91,57 @@ def test_deterministic_with_seeded_rng():
     a = [Sampler(p).sample(logits, [], np.random.default_rng(7)).token for _ in range(5)]
     b = [Sampler(p).sample(logits, [], np.random.default_rng(7)).token for _ in range(5)]
     assert a == b
+
+
+def test_topk_pack_sampling_matches_full_distribution():
+    """sample_from_topk must induce the same distribution as Sampler.sample
+    over many draws (exactness of the K-candidate + tail-fallback scheme)."""
+    from mistralrs_tpu.engine.sampler import (
+        Sampler, SamplingParams, sample_from_topk, topk_eligible,
+    )
+
+    rng = np.random.default_rng(0)
+    V, K = 200, 64
+    logits = (rng.standard_normal(V) * 2).astype(np.float32)
+    for params in (
+        SamplingParams(temperature=0.8, top_k=20),
+        SamplingParams(temperature=1.2, top_k=50, top_p=0.9),
+        SamplingParams(temperature=0.7),  # untruncated: tail fallback path
+        SamplingParams(temperature=0.9, top_k=10, top_p=0.8, min_p=0.05),
+    ):
+        s = Sampler(params)
+        assert topk_eligible(s, False, K)
+        # device-pack emulation
+        y = logits / params.temperature
+        m = float(y.max())
+        z = float(np.exp(y - m).sum())
+        order = np.argsort(-y, kind="stable")[:K]
+        tv, ti = y[order], order
+        n = 4000
+        r1, r2 = np.random.default_rng(1), np.random.default_rng(2)
+        c_full = np.zeros(V)
+        c_pack = np.zeros(V)
+        for _ in range(n):
+            c_full[s.sample(logits, [], r1).token] += 1
+            lp = sample_from_topk(s, tv, ti, m, z, r2)
+            tok = lp.token if lp is not None else s.sample(logits, [], r2).token
+            c_pack[tok] += 1
+        # same support
+        assert set(np.nonzero(c_pack)[0]) <= set(np.nonzero(c_full)[0]) | set(
+            np.nonzero(c_pack)[0]
+        )
+        # total variation distance small
+        tvd = 0.5 * np.abs(c_full / n - c_pack / n).sum()
+        assert tvd < 0.08, (params, tvd)
+
+
+def test_topk_pack_ineligible_cases():
+    from mistralrs_tpu.engine.sampler import Sampler, SamplingParams, topk_eligible
+
+    assert not topk_eligible(Sampler(SamplingParams()), False, 64)  # argmax
+    assert not topk_eligible(
+        Sampler(SamplingParams(temperature=0.7, frequency_penalty=0.1)), False, 64)
+    assert not topk_eligible(
+        Sampler(SamplingParams(temperature=0.7, logits_bias={3: 1.0})), False, 64)
+    assert not topk_eligible(
+        Sampler(SamplingParams(temperature=0.7, top_n_logprobs=100)), True, 64)
