@@ -1,0 +1,88 @@
+"""Real-TPU-only parity tests (skipped on CPU; run on hardware with
+`pytest -m tpu`). These codify the manual on-chip validations of the
+TPU-gated kernel paths: flash prefill (first + continuation chunks), the
+Pallas block-table decode kernel, and the fused Q4_K dequant-GEMM."""
+
+import json
+
+import numpy as np
+import pytest
+
+pytestmark = pytest.mark.tpu
+
+
+def _tiny(max_pos=1024):
+    import jax.numpy as jnp
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, params_from_source
+
+    torch.manual_seed(3)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=256, intermediate_size=512, num_hidden_layers=2,
+        num_attention_heads=2, num_key_value_heads=1, vocab_size=256,
+        max_position_embeddings=max_pos, head_dim=128,
+    )
+    model = tf.LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    return cfg, params
+
+
+def _generate(cfg, params, prompt, *, flash=True, max_model_len=512, buckets=(128,)):
+    import jax.numpy as jnp
+
+    import mistralrs_tpu.models.decoder as dec
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models.loader import make_rope
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    o1, o2, o3 = (dec._use_flash_prefill, dec._use_flash_continuation,
+                  dec._use_paged_decode_kernel)
+    if not flash:
+        dec._use_flash_prefill = lambda c, T, m: False
+        dec._use_flash_continuation = lambda c, T, m, s: False
+        dec._use_paged_decode_kernel = lambda c, T, w, s=0: False
+    try:
+        pc = PipelineConfig(page_size=16, num_pages=128, max_seqs=2,
+                            max_model_len=max_model_len, prefill_buckets=buckets,
+                            dtype=jnp.float32, decode_steps=1)
+        eng = Engine(TextPipeline(cfg, params, make_rope(cfg), pc),
+                     eos_token_ids=set())
+        toks, _ = eng.generate(list(prompt), SamplingParams(max_len=8))
+        return toks
+    finally:
+        dec._use_flash_prefill = o1
+        dec._use_flash_continuation = o2
+        dec._use_paged_decode_kernel = o3
+
+
+def test_flash_prefill_paths_match_gather():
+    cfg, params = _tiny()
+    rng = np.random.default_rng(0)
+    prompt = rng.integers(3, 250, size=300).tolist()  # first + 2 continuation
+    assert _generate(cfg, params, prompt, flash=True) == \
+        _generate(cfg, params, prompt, flash=False)
+
+
+def test_q4k_kernel_matches_reference_on_chip():
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.gguf.reader import GGMLType
+    from mistralrs_tpu.ops.quant_matmul import q4k_matmul
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.gguf_linear import _ref_forward, linear_from_gguf
+
+    rng = np.random.default_rng(1)
+    O, K = 1024, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q4_K)
+    lin = linear_from_gguf(raw, GGMLType.Q4_K, (O, K), dtype=jnp.bfloat16)
+    x = (rng.standard_normal((8, K)) * 0.5).astype(np.float32)
+    got = np.asarray(q4k_matmul(lin, jnp.asarray(x, jnp.bfloat16)), np.float32)
+    want = np.asarray(_ref_forward(lin, jnp.asarray(x, jnp.bfloat16)), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
