@@ -318,3 +318,86 @@ def test_multistep_then_sampling_request_coexist():
         eng.step()
     assert len(g1.seqs[0].generated_tokens) == 6
     assert len(g2.seqs[0].generated_tokens) == 6
+
+
+def test_engine_stress_mixed_workload():
+    """Mixed greedy/sampled/constrained/multi-choice requests arriving while
+    the engine runs, under page pressure (preemption) - everything must
+    complete, and greedy requests must match isolated runs exactly."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.grammar.recognizer import Constraint
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+    import torch
+    import transformers as tf
+    import json as _json
+
+    torch.manual_seed(3)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=256,
+    )
+    model = tf.LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(_json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    vocab = [f"w{i}".encode() for i in range(128)]
+
+    def make(decode_steps=4, num_pages=48):
+        pc = PipelineConfig(page_size=4, num_pages=num_pages, max_seqs=3,
+                            max_model_len=160, prefill_buckets=(8, 32),
+                            dtype=jnp.float32, decode_steps=decode_steps)
+        return Engine(TextPipeline(cfg, params, make_rope(cfg), pc),
+                      eos_token_ids={127}, grammar_vocab=vocab)
+
+    eng = make()
+    rng = np.random.default_rng(42)
+    reqs = []
+    for i in range(12):
+        kind = i % 4
+        prompt = rng.integers(3, 120, size=int(rng.integers(3, 40))).tolist()
+        if kind == 0:
+            sp = SamplingParams(max_len=int(rng.integers(3, 12)))
+            reqs.append(("greedy", prompt, GenerationRequest(list(prompt), sp)))
+        elif kind == 1:
+            sp = SamplingParams(max_len=8, temperature=0.8, top_k=20, top_p=0.9)
+            reqs.append(("sampled", prompt, GenerationRequest(list(prompt), sp)))
+        elif kind == 2:
+            sp = SamplingParams(max_len=6, temperature=0.9)
+            reqs.append(("constrained", prompt, GenerationRequest(
+                list(prompt), sp, constraint=Constraint.regex(r"(w1[0-9]*)+"))))
+        else:
+            sp = SamplingParams(max_len=5, temperature=0.7, n_choices=2)
+            reqs.append(("multi", prompt, GenerationRequest(list(prompt), sp)))
+
+    groups = []
+    steps = 0
+    pending = list(reqs)
+    while pending or eng.has_work:
+        if pending and steps % 3 == 0:  # trickle arrivals mid-serving
+            groups.append((pending[0][0], pending[0][1], eng.add_request(pending.pop(0)[2])))
+        if eng.has_work:
+            eng.step()
+        steps += 1
+        assert steps < 3000, "engine wedged"
+
+    for kind, prompt, g in groups:
+        for s in g.seqs:
+            assert s.is_finished(), (kind, s.state)
+            assert len(s.generated_tokens) >= 1
+            if kind == "constrained":
+                for t in s.generated_tokens:
+                    if t != 127:
+                        assert vocab[t].startswith(b"w1"), (s.generated_tokens,)
+
+    # greedy results identical to isolated single-request runs
+    for kind, prompt, g in groups:
+        if kind != "greedy":
+            continue
+        iso = make()
+        want, _ = iso.generate(list(prompt), SamplingParams(
+            max_len=len(g.seqs[0].generated_tokens)))
+        assert g.seqs[0].generated_tokens == want[:len(g.seqs[0].generated_tokens)]
