@@ -26,6 +26,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--throughput", action="store_true",
                    help="per-step throughput logging (ref --throughput)")
     p.add_argument("--log", default=None, help="request/response JSONL log file")
+    p.add_argument("--profile-dir", default=None,
+                   help="write a jax.profiler trace of serving to this dir "
+                        "(SURVEY §5: the TPU answer to the reference's tracing)")
     p.add_argument("--tp", type=int, default=None, help="tensor-parallel degree")
     p.add_argument("--dp", type=int, default=1, help="data-parallel degree")
 
@@ -101,14 +104,22 @@ def main(argv=None):
     if args.log:
         eng.request_log_file = args.log
 
-    if args.interactive:
-        from mistralrs_tpu.server.interactive import interactive_chat
+    import contextlib
 
-        interactive_chat(runner)
-    else:
-        from mistralrs_tpu.server.openai import run_server
+    prof = contextlib.nullcontext()
+    if args.profile_dir:
+        import jax
 
-        run_server(runner, host=args.host, port=args.port, model_id=model_id)
+        prof = jax.profiler.trace(args.profile_dir)
+    with prof:
+        if args.interactive:
+            from mistralrs_tpu.server.interactive import interactive_chat
+
+            interactive_chat(runner)
+        else:
+            from mistralrs_tpu.server.openai import run_server
+
+            run_server(runner, host=args.host, port=args.port, model_id=model_id)
 
 
 if __name__ == "__main__":
