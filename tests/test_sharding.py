@@ -89,3 +89,30 @@ def test_sharded_mixtral_expert_parallel():
     with torch.no_grad():
         want = model.generate(torch.tensor([prompt]), max_new_tokens=5, do_sample=False)[0, 7:].tolist()
     assert got == want
+
+
+def test_ring_attention_matches_dense():
+    """Blockwise ring attention over the 8-device mesh == dense SDPA."""
+    import jax
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.ops.attention import causal_mask_bias, sdpa
+    from mistralrs_tpu.parallel.mesh import make_mesh
+    from mistralrs_tpu.parallel.ring_attention import ring_attention
+
+    mesh = make_mesh(jax.devices()[:8], dp=1)
+    rng = np.random.default_rng(0)
+    B, T, Hq, Hkv, D = 2, 64, 4, 2, 16
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+
+    got = np.asarray(ring_attention(q, k, v, mesh, causal=True))
+    bias = causal_mask_bias(T, T)
+    want = np.asarray(sdpa(q, k, v, scale=D**-0.5, mask=bias))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    # non-causal too
+    got = np.asarray(ring_attention(q, k, v, mesh, causal=False))
+    want = np.asarray(sdpa(q, k, v, scale=D**-0.5, mask=None))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
