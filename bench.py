@@ -131,20 +131,22 @@ def main():
     # warmup: compiles prefill + decode, runs a short generation
     eng.generate(prompt, SamplingParams(max_len=8))
 
-    n_tokens = 64
-    group = eng.add_request(GenerationRequest(prompt, SamplingParams(max_len=n_tokens)))
-    # time decode only: skip the prefill step(s)
-    while any(s.state.value == "running_prefill" for s in group.seqs) or any(
-        s.state.value == "waiting" for s in group.seqs
-    ):
-        eng.step()
-    t0 = time.perf_counter()
-    start_tokens = group.seqs[0].num_generated
-    while not group.all_done():
-        eng.step()
-    dt = time.perf_counter() - t0
-    produced = group.seqs[0].num_generated - start_tokens
-    tok_s = produced / dt
+    # median of 3 timed generations (this host's throughput drifts ~±10%)
+    rates = []
+    for rep in range(3):
+        group = eng.add_request(GenerationRequest(list(prompt),
+                                                  SamplingParams(max_len=64)))
+        # time decode only: skip the prefill step(s)
+        while any(s.state.value in ("running_prefill", "waiting")
+                  for s in group.seqs):
+            eng.step()
+        t0 = time.perf_counter()
+        start_tokens = group.seqs[0].num_generated
+        while not group.all_done():
+            eng.step()
+        dt = time.perf_counter() - t0
+        rates.append((group.seqs[0].num_generated - start_tokens) / dt)
+    tok_s = sorted(rates)[1]
 
     baseline = 131.0  # reference A100 mistral-7b Q4_K_M tg T/s (README.md:192)
     print(json.dumps({

@@ -216,14 +216,11 @@ class Engine:
         if hasattr(self.pipeline, "apply_copies"):
             self.pipeline.apply_copies(ops)
             return
-        import jax.numpy as jnp
+        from mistralrs_tpu.ops.paged_attention import copy_pages
 
-        cache = self.pipeline.cache
-        src = jnp.asarray([s for s, _ in ops], jnp.int32)
-        dst = jnp.asarray([d for _, d in ops], jnp.int32)
-        k = cache.k.at[:, :, dst].set(cache.k[:, :, src])
-        v = cache.v.at[:, :, dst].set(cache.v[:, :, src])
-        self.pipeline.cache = type(cache)(k=k, v=v)
+        self.pipeline.cache = copy_pages(
+            self.pipeline.cache, [s for s, _ in ops], [d for _, d in ops]
+        )
 
     @staticmethod
     def _greedy_ok(seq: Sequence) -> bool:

@@ -156,7 +156,7 @@ class XLoraPipeline(TextPipeline):
         super().__init__(cfg, params, rope, pc, mesh=mesh)
         self.cache2 = PagedKVCache.create(
             cfg.num_layers, pc.num_pages, pc.page_size, cfg.num_kv_heads,
-            cfg.head_dim, pc.dtype,
+            cfg.head_dim, pc.dtype, head_major=self.head_major,
         )
         if mesh is not None:
             from mistralrs_tpu.parallel.mesh import shard_cache
@@ -166,6 +166,7 @@ class XLoraPipeline(TextPipeline):
     def _build_step_fn(self):
         cfg, rope, xcfg, n = self.cfg, self.rope, self.xcfg, self.n_adapters
         L = cfg.num_layers
+        hm = self.head_major
 
         @functools.partial(jax.jit, donate_argnums=(2, 3))
         def step(params, clf, cache, cache2, ids, positions, slot_mapping,
@@ -173,6 +174,7 @@ class XLoraPipeline(TextPipeline):
             meta = PagedAttnMeta(
                 positions=positions, slot_mapping=slot_mapping,
                 block_tables=block_tables, kv_lens=kv_lens, active=active,
+                head_major=hm,
             )
             B, T = ids.shape
             dummy = jnp.full((B, T, L, n), xcfg.scaling_pass_value, jnp.float32)
@@ -197,6 +199,7 @@ class XLoraPipeline(TextPipeline):
     def _build_frozen_step_fn(self):
         """Single-pass decode with frozen per-seq scalings (NonGranularState)."""
         cfg, rope = self.cfg, self.rope
+        hm = self.head_major
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, cache, scal, ids, positions, slot_mapping,
@@ -204,6 +207,7 @@ class XLoraPipeline(TextPipeline):
             meta = PagedAttnMeta(
                 positions=positions, slot_mapping=slot_mapping,
                 block_tables=block_tables, kv_lens=kv_lens, active=active,
+                head_major=hm,
             )
             B, T = ids.shape
             scal_t = jnp.broadcast_to(scal[:, None], (B, T, *scal.shape[1:]))
@@ -271,13 +275,12 @@ class XLoraPipeline(TextPipeline):
             self._current_seqs = None
 
     def apply_copies(self, ops):
+        from mistralrs_tpu.ops.paged_attention import copy_pages
+
+        src = [s for s, _ in ops]
+        dst = [d for _, d in ops]
         for attr in ("cache", "cache2"):
-            cache = getattr(self, attr)
-            src = jnp.asarray([s for s, _ in ops], jnp.int32)
-            dst = jnp.asarray([d for _, d in ops], jnp.int32)
-            k = cache.k.at[:, :, dst].set(cache.k[:, :, src])
-            v = cache.v.at[:, :, dst].set(cache.v[:, :, src])
-            setattr(self, attr, type(cache)(k=k, v=v))
+            setattr(self, attr, copy_pages(getattr(self, attr), src, dst))
 
     def run_span(self, *a, **kw):
         raise NotImplementedError(

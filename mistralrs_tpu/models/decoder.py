@@ -189,7 +189,10 @@ def _attention(
     k = apply_rope(k, cos, sin, rot_dim)
     scale = cfg.query_scale if cfg.query_scale is not None else D**-0.5
     if isinstance(meta, PagedAttnMeta):
-        cache_k, cache_v = write_paged_kv(cache_k, cache_v, k, v, meta.slot_mapping)
+        hm = meta.head_major
+        cache_k, cache_v = write_paged_kv(
+            cache_k, cache_v, k, v, meta.slot_mapping, head_major=hm
+        )
         if _use_flash_prefill(cfg, T, meta):
             # first prefill chunk: context == the chunk itself; run the
             # Pallas flash kernel, skipping the paged gather and the
@@ -214,12 +217,13 @@ def _attention(
             return out, cache_k, cache_v
         # a sequence can never exceed its block-table span; if that span fits
         # inside the sliding window, length masking alone is exact
+        page = cache_k.shape[2] if hm else cache_k.shape[1]
         window_ok = (
             cfg.sliding_window is not None
-            and meta.block_tables.shape[1] * cache_k.shape[2] <= cfg.sliding_window
+            and meta.block_tables.shape[1] * page <= cfg.sliding_window
         )
-        span = meta.block_tables.shape[1] * cache_k.shape[2]
-        if _use_paged_decode_kernel(cfg, T, window_ok, span):
+        span = meta.block_tables.shape[1] * page
+        if hm and _use_paged_decode_kernel(cfg, T, window_ok, span):
             # fused block-table decode: streams only the named pages
             # (ref paged_attention v1/v2 CUDA kernels)
             out = paged_decode_attention(
@@ -235,8 +239,11 @@ def _attention(
             out = out * meta.active[:, None, None, None].astype(out.dtype)
             out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
             return out, cache_k, cache_v
-        ctx_k, ctx_v = gather_paged_kv(cache_k, cache_v, meta.block_tables)
-        out = attn_ops.sdpa_head_major(
+        ctx_k, ctx_v = gather_paged_kv(
+            cache_k, cache_v, meta.block_tables, head_major=hm
+        )
+        paged_attn = attn_ops.sdpa_head_major if hm else attn_ops.sdpa
+        out = paged_attn(
             q, ctx_k.astype(q.dtype), ctx_v.astype(q.dtype),
             scale=scale, mask=bias, logits_softcap=cfg.attn_logit_softcap,
         )
@@ -388,7 +395,10 @@ def decoder_forward(
     new_k = new_k_parts[0] if len(new_k_parts) == 1 else jnp.concatenate(new_k_parts, axis=0)
     new_v = new_v_parts[0] if len(new_v_parts) == 1 else jnp.concatenate(new_v_parts, axis=0)
     h = _norm(cfg, params.final_norm, h)
-    new_cache = type(cache)(k=new_k, v=new_v)
+    if hasattr(cache, "head_major"):  # paged pool: preserve the layout flag
+        new_cache = type(cache)(k=new_k, v=new_v, head_major=cache.head_major)
+    else:
+        new_cache = type(cache)(k=new_k, v=new_v)
     return h, new_cache
 
 

@@ -31,23 +31,41 @@ from mistralrs_tpu.ops.attention import NEG_INF, sdpa
 
 @struct.dataclass
 class PagedKVCache:
-    """k/v: [L, Hkv, P, page_size, D]. Page 0 is reserved as garbage."""
+    """k/v pages. Two physical layouts (static `head_major` flag):
+
+    - token-major [L, P, page, Hkv, D]: fastest scatter/gather at short
+      context (every page row is one token's heads, contiguous);
+    - head-major [L, Hkv, P, page, D]: the layout the Pallas block-table
+      decode kernel streams; selected for long-context configs.
+
+    Page 0 is reserved as garbage."""
 
     k: jax.Array
     v: jax.Array
+    head_major: bool = struct.field(pytree_node=False, default=False)
 
     @classmethod
-    def create(cls, num_layers, num_pages, page_size, kv_heads, head_dim, dtype=jnp.bfloat16):
-        shape = (num_layers, kv_heads, num_pages, page_size, head_dim)
-        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype))
+    def create(cls, num_layers, num_pages, page_size, kv_heads, head_dim,
+               dtype=jnp.bfloat16, head_major: bool = False):
+        if head_major:
+            shape = (num_layers, kv_heads, num_pages, page_size, head_dim)
+        else:
+            shape = (num_layers, num_pages, page_size, kv_heads, head_dim)
+        return cls(k=jnp.zeros(shape, dtype), v=jnp.zeros(shape, dtype),
+                   head_major=head_major)
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[3]
+        return self.k.shape[3] if self.head_major else self.k.shape[2]
 
     @property
     def num_pages(self) -> int:
-        return self.k.shape[2]
+        return self.k.shape[2] if self.head_major else self.k.shape[1]
+
+    @property
+    def page_axis(self) -> int:
+        """Axis of the page index in the full [L, ...] arrays (COW copies)."""
+        return 2 if self.head_major else 1
 
 
 @struct.dataclass
@@ -71,42 +89,66 @@ class PagedAttnMeta:
     # every row), so the chunk's own K/V is the entire context — prefill can
     # run the Pallas flash kernel on it without a paged gather
     first_chunk: bool = struct.field(pytree_node=False, default=False)
+    # static: KV pool layout of the cache slices this step receives
+    head_major: bool = struct.field(pytree_node=False, default=False)
 
 
 def write_paged_kv(
-    cache_k: jax.Array,  # [Hkv, P, page, D] (one layer)
+    cache_k: jax.Array,  # one layer; layout per `head_major`
     cache_v: jax.Array,
     new_k: jax.Array,  # [B, T, Hkv, D]
     new_v: jax.Array,
     slot_mapping: jax.Array,  # [B, T]
+    head_major: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
     """reshape_and_cache: scatter new KV rows into pages (one layer)."""
-    H, P, page, D = cache_k.shape
-    flat_k = cache_k.reshape(H, P * page, D)
-    flat_v = cache_v.reshape(H, P * page, D)
     idx = slot_mapping.reshape(-1)
-    nk = new_k.reshape(-1, H, D).swapaxes(0, 1).astype(cache_k.dtype)  # [H, N, D]
-    nv = new_v.reshape(-1, H, D).swapaxes(0, 1).astype(cache_v.dtype)
-    flat_k = flat_k.at[:, idx].set(nk, mode="drop")
-    flat_v = flat_v.at[:, idx].set(nv, mode="drop")
+    if head_major:
+        H, P, page, D = cache_k.shape
+        flat_k = cache_k.reshape(H, P * page, D)
+        flat_v = cache_v.reshape(H, P * page, D)
+        nk = new_k.reshape(-1, H, D).swapaxes(0, 1).astype(cache_k.dtype)
+        nv = new_v.reshape(-1, H, D).swapaxes(0, 1).astype(cache_v.dtype)
+        flat_k = flat_k.at[:, idx].set(nk, mode="drop")
+        flat_v = flat_v.at[:, idx].set(nv, mode="drop")
+    else:
+        P, page, H, D = cache_k.shape
+        flat_k = cache_k.reshape(P * page, H, D)
+        flat_v = cache_v.reshape(P * page, H, D)
+        nk = new_k.reshape(-1, H, D).astype(cache_k.dtype)
+        nv = new_v.reshape(-1, H, D).astype(cache_v.dtype)
+        flat_k = flat_k.at[idx].set(nk, mode="drop")
+        flat_v = flat_v.at[idx].set(nv, mode="drop")
     return flat_k.reshape(cache_k.shape), flat_v.reshape(cache_v.shape)
 
 
 def gather_paged_kv(
-    cache_k: jax.Array,  # [Hkv, P, page, D] (one layer)
+    cache_k: jax.Array,  # one layer; layout per `head_major`
     cache_v: jax.Array,
     block_tables: jax.Array,  # [B, MAX_PAGES]
+    head_major: bool = False,
 ) -> tuple[jax.Array, jax.Array]:
-    """Gather each row's context, HEAD-MAJOR: [Hkv, B, MAX_PAGES*page, D]
-    (reshape-only from the pool layout; attention consumes it via
-    sdpa_head_major so no transposed copy is ever materialized)."""
+    """Gather each row's context (reshape-only from the pool layout, no
+    transposed copies):
+
+    - head-major pools -> [Hkv, B, S, D] (consumed by sdpa_head_major)
+    - token-major pools -> [B, S, Hkv, D] (consumed by sdpa)
+    """
     B, MP = block_tables.shape
-    H, P, page, D = cache_k.shape
-    k = jnp.take(cache_k, block_tables.reshape(-1), axis=1)  # [H, B*MP, page, D]
-    v = jnp.take(cache_v, block_tables.reshape(-1), axis=1)
+    if head_major:
+        H, P, page, D = cache_k.shape
+        k = jnp.take(cache_k, block_tables.reshape(-1), axis=1)
+        v = jnp.take(cache_v, block_tables.reshape(-1), axis=1)
+        return (
+            k.reshape(H, B, MP * page, D),
+            v.reshape(H, B, MP * page, D),
+        )
+    P, page, H, D = cache_k.shape
+    k = jnp.take(cache_k, block_tables.reshape(-1), axis=0)
+    v = jnp.take(cache_v, block_tables.reshape(-1), axis=0)
     return (
-        k.reshape(H, B, MP * page, D),
-        v.reshape(H, B, MP * page, D),
+        k.reshape(B, MP * page, H, D),
+        v.reshape(B, MP * page, H, D),
     )
 
 
@@ -127,11 +169,12 @@ def paged_attention_reference(
     positions in order because pages in a row's block table are its logical
     blocks in sequence order.
     """
-    from mistralrs_tpu.ops.attention import sdpa_head_major
+    from mistralrs_tpu.ops.attention import sdpa, sdpa_head_major
 
     B, T = q.shape[0], q.shape[1]
-    k, v = gather_paged_kv(cache_k, cache_v, meta.block_tables)
-    S = k.shape[2]
+    hm = getattr(meta, "head_major", False)
+    k, v = gather_paged_kv(cache_k, cache_v, meta.block_tables, head_major=hm)
+    S = k.shape[2] if hm else k.shape[1]
     q_off = meta.kv_lens - T  # first query token's absolute position
     q_ids = jnp.arange(T)[None, :] + q_off[:, None]  # [B, T]
     kv_ids = jnp.arange(S)[None, :]
@@ -140,7 +183,8 @@ def paged_attention_reference(
     if sliding_window is not None:
         keep &= kv_ids[:, None, :] > q_ids[:, :, None] - sliding_window
     bias = jnp.where(keep, 0.0, NEG_INF)[:, None]  # [B, 1, T, S]
-    return sdpa_head_major(
+    attn = sdpa_head_major if hm else sdpa
+    return attn(
         q, k.astype(q.dtype), v.astype(q.dtype),
         scale=scale, mask=bias, logits_softcap=logits_softcap,
     )
@@ -208,7 +252,9 @@ def flash_prefill_continuation(
     )
 
     B, T, Hq, D = q.shape
-    Hkv, P, page, _ = cache_k.shape
+    hm = getattr(meta, "head_major", False)
+    Hkv = cache_k.shape[0] if hm else cache_k.shape[2]
+    page = cache_k.shape[2] if hm else cache_k.shape[1]
     MP = meta.block_tables.shape[1]
     S = MP * page
 
@@ -221,12 +267,18 @@ def flash_prefill_continuation(
         jnp.take_along_axis(meta.block_tables, jnp.clip(src, 0, MP - 1), axis=1),
         0,
     )
-    k, v = gather_paged_kv(cache_k, cache_v, tables)  # [Hkv, B, S, D]
+    k, v = gather_paged_kv(cache_k, cache_v, tables, head_major=hm)
     rep = Hq // Hkv
-    kf = jnp.repeat(k, rep, axis=0) if rep > 1 else k
-    vf = jnp.repeat(v, rep, axis=0) if rep > 1 else v
-    kf = kf.transpose(1, 0, 2, 3)  # [B, Hq, S, D]
-    vf = vf.transpose(1, 0, 2, 3)
+    if hm:  # [Hkv, B, S, D]
+        kf = jnp.repeat(k, rep, axis=0) if rep > 1 else k
+        vf = jnp.repeat(v, rep, axis=0) if rep > 1 else v
+        kf = kf.transpose(1, 0, 2, 3)  # [B, Hq, S, D]
+        vf = vf.transpose(1, 0, 2, 3)
+    else:  # [B, S, Hkv, D]
+        kf = jnp.repeat(k, rep, axis=2) if rep > 1 else k
+        vf = jnp.repeat(v, rep, axis=2) if rep > 1 else v
+        kf = kf.transpose(0, 2, 1, 3)  # [B, Hq, S, D]
+        vf = vf.transpose(0, 2, 1, 3)
 
     # kv col f holds position p = f - (S - used*page); real iff 0 <= p < kv_len
     base = S - used_pages * page  # [B]
@@ -255,3 +307,22 @@ def flash_prefill_continuation(
     # gather the real rows back out: [B, Hq, T, D]
     outT = jax.vmap(lambda o, r: o[:, r])(out, rows)
     return outT.transpose(0, 2, 1, 3).astype(q.dtype)  # [B, T, Hq, D]
+
+
+def copy_pages(cache: PagedKVCache, src, dst) -> PagedKVCache:
+    """COW page copies, layout-aware (ref cache_engine.rs copy :205)."""
+    import jax.numpy as _jnp
+
+    src = _jnp.asarray(src, _jnp.int32)
+    dst = _jnp.asarray(dst, _jnp.int32)
+    if cache.head_major:
+        k = cache.k.at[:, :, dst].set(cache.k[:, :, src])
+        v = cache.v.at[:, :, dst].set(cache.v[:, :, src])
+    else:
+        k = cache.k.at[:, dst].set(cache.k[:, src])
+        v = cache.v.at[:, dst].set(cache.v[:, src])
+    return dataclasses_replace_cache(cache, k, v)
+
+
+def dataclasses_replace_cache(cache: PagedKVCache, k, v) -> PagedKVCache:
+    return PagedKVCache(k=k, v=v, head_major=cache.head_major)

@@ -130,11 +130,16 @@ def shard_params(params: DecoderParams, cfg: ModelConfig, mesh: Mesh) -> Decoder
     )
 
 
-def cache_spec() -> P:
-    """KV pages [L, Hkv, P, page, D]: shard the KV-head axis over tp."""
-    return P(None, "tp", None, None, None)
+def cache_spec(head_major: bool = True) -> P:
+    """KV pages: shard the KV-head axis over tp (axis 1 head-major
+    [L, Hkv, P, page, D]; axis 3 token-major [L, P, page, Hkv, D])."""
+    if head_major:
+        return P(None, "tp", None, None, None)
+    return P(None, None, None, "tp", None)
 
 
 def shard_cache(cache, mesh: Mesh):
-    ns = NamedSharding(mesh, cache_spec())
-    return type(cache)(k=jax.device_put(cache.k, ns), v=jax.device_put(cache.v, ns))
+    ns = NamedSharding(mesh, cache_spec(getattr(cache, "head_major", True)))
+    return type(cache)(k=jax.device_put(cache.k, ns),
+                       v=jax.device_put(cache.v, ns),
+                       head_major=getattr(cache, "head_major", True))

@@ -58,6 +58,7 @@ class PipelineConfig:
     # applied only when unsharded (fused concat axes don't align with TP
     # head sharding)
     fuse_projections: bool = True
+    kv_head_major: bool | None = None  # None = auto by max_model_len
 
 
 class TextPipeline:
@@ -92,8 +93,16 @@ class TextPipeline:
             from mistralrs_tpu.quant.fuse import fuse_decoder_params
 
             params = fuse_decoder_params(params)
+        # KV pool layout: token-major scatters/gathers fastest at short
+        # context; head-major is what the Pallas block-table decode kernel
+        # streams (only engaged at span >= 4096, see _use_paged_decode_kernel)
+        self.head_major = (
+            pc.kv_head_major if pc.kv_head_major is not None
+            else pc.max_model_len >= 4096
+        )
         cache = PagedKVCache.create(
-            cfg.num_layers, pc.num_pages, pc.page_size, cfg.num_kv_heads, cfg.head_dim, pc.dtype
+            cfg.num_layers, pc.num_pages, pc.page_size, cfg.num_kv_heads,
+            cfg.head_dim, pc.dtype, head_major=self.head_major,
         )
         if mesh is not None:
             from mistralrs_tpu.parallel.mesh import shard_cache, shard_params
@@ -109,6 +118,7 @@ class TextPipeline:
     # ------------------------------------------------------------- jit steps
     def _build_step_fn(self):
         cfg, rope = self.cfg, self.rope
+        hm = self.head_major
 
         @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(9,))
         def step(params, cache, ids, positions, slot_mapping, block_tables,
@@ -120,6 +130,7 @@ class TextPipeline:
                 kv_lens=kv_lens,
                 active=active,
                 first_chunk=first_chunk,
+                head_major=hm,
             )
             h, cache = decoder_forward(params, cfg, rope, ids, cache, meta)
             B = ids.shape[0]
@@ -156,6 +167,7 @@ class TextPipeline:
         cfg, rope = self.cfg, self.rope
         ps = self.pc.page_size
         T = self.pc.decode_steps
+        hm = self.head_major
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def multistep(params, cache, ids, kv_lens, block_tables, active):
@@ -171,6 +183,7 @@ class TextPipeline:
                     block_tables=block_tables,
                     kv_lens=kvl + 1,
                     active=active,
+                    head_major=hm,
                 )
                 h, cache = decoder_forward(params, cfg, rope, ids[:, None], cache, meta)
                 logits = compute_logits(params, cfg, h[:, 0])  # [B, V]
@@ -217,6 +230,7 @@ class TextPipeline:
         draft tokens plus the bonus position in one MXU-friendly batched
         call (ref speculative.rs :419-487)."""
         cfg, rope = self.cfg, self.rope
+        hm = self.head_major
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def verify(params, cache, ids, positions, slot_mapping, block_tables, kv_lens, active):
@@ -226,6 +240,7 @@ class TextPipeline:
                 block_tables=block_tables,
                 kv_lens=kv_lens,
                 active=active,
+                head_major=hm,
             )
             h, cache = decoder_forward(params, cfg, rope, ids, cache, meta)
             logits = compute_logits(params, cfg, h)  # [B, W, V] f32
@@ -293,12 +308,11 @@ class TextPipeline:
 
     def apply_copies(self, ops: list[tuple[int, int]]) -> None:
         """COW page copies (ref cache_engine.rs copy :205)."""
-        cache = self.cache
-        src = jnp.asarray([s for s, _ in ops], jnp.int32)
-        dst = jnp.asarray([d for _, d in ops], jnp.int32)
-        k = cache.k.at[:, :, dst].set(cache.k[:, :, src])
-        v = cache.v.at[:, :, dst].set(cache.v[:, :, src])
-        self.cache = type(cache)(k=k, v=v)
+        from mistralrs_tpu.ops.paged_attention import copy_pages
+
+        self.cache = copy_pages(
+            self.cache, [s for s, _ in ops], [d for _, d in ops]
+        )
 
     def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active,
              last_idx, first_chunk: bool = False, temps=None):

@@ -38,6 +38,7 @@ class VisionPipeline(TextPipeline):
 
     def _build_embed_step_fn(self):
         cfg, rope, img_id = self.cfg, self.rope, self.image_token_id
+        hm = self.head_major
 
         @functools.partial(jax.jit, donate_argnums=(1,))
         def step(params, cache, ids, feats, feat_idx, positions, slot_mapping,
@@ -45,6 +46,7 @@ class VisionPipeline(TextPipeline):
             meta = PagedAttnMeta(
                 positions=positions, slot_mapping=slot_mapping,
                 block_tables=block_tables, kv_lens=kv_lens, active=active,
+                head_major=hm,
             )
             h = jnp.take(params.embed, ids, axis=0)  # [B, T, E]
             if cfg.embed_scale != 1.0:

@@ -144,3 +144,31 @@ def test_paged_sliding_window_matches_dense():
     )
     h_p, _ = decoder_forward(params, cfg, rope, jnp.asarray(ids), pcache, pmeta)
     np.testing.assert_allclose(np.asarray(h_p), np.asarray(h_d), rtol=1e-5, atol=1e-5)
+
+
+def test_head_major_layout_matches_token_major():
+    """Both physical KV pool layouts must generate identical tokens: the
+    engine picks token-major at short context (fastest scatter/gather) and
+    head-major at >=4096 span (what the Pallas decode kernel streams)."""
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    cfg = _tiny_cfg()
+    params = _rand_params(cfg)
+    rope = make_rope(cfg)
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(0, cfg.vocab_size, size=13).tolist()
+
+    def run(head_major):
+        pc = PipelineConfig(page_size=4, num_pages=64, max_seqs=2,
+                            max_model_len=64, prefill_buckets=(8, 16),
+                            dtype=jnp.float32, decode_steps=2,
+                            kv_head_major=head_major)
+        pipe = TextPipeline(cfg, params, rope, pc)
+        assert pipe.cache.head_major is head_major
+        eng = Engine(pipe, eos_token_ids=set())
+        toks, _ = eng.generate(list(prompt), SamplingParams(max_len=10))
+        return toks
+
+    assert run(True) == run(False)
