@@ -59,17 +59,13 @@ class EngineHandle:
             if self.engine.has_work:
                 try:
                     self.engine.step()
-                except Exception as e:  # ref handle_pipeline_forward_error!:
-                    # fail affected seqs, keep serving
-                    from mistralrs_tpu.engine.sequence import SequenceState
-
-                    for s in list(self.engine.scheduler.running):
-                        s.state = SequenceState.ERROR
-                        s.error = str(e)
-                        stream = getattr(s, "stream", None)
-                        if stream:
-                            stream(s, "", "error")
-                    self.engine.scheduler.running.clear()
+                except Exception as e:
+                    # last-resort guard for non-forward errors (scheduler/host
+                    # bugs); forward errors are handled inside Engine.step
+                    # (ref handle_pipeline_forward_error!). Route through
+                    # _fail_batch + _finish_done so KV pages are freed.
+                    self.engine._fail_batch(list(self.engine.scheduler.running), e)
+                    self.engine._finish_done()
             else:
                 # idle: block briefly for the next request
                 try:

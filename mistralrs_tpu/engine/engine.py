@@ -177,15 +177,21 @@ class Engine:
         if out.copy_ops:
             self._execute_copies(out.copy_ops)
         n_prefill = n_decode = 0
-        if out.prefill:
-            for seq in out.prefill:
-                before = seq.prefill_done_tokens
-                self._prefill_one(seq)
-                n_prefill += seq.prefill_done_tokens - before
-        elif out.decode:
-            before = sum(len(s.tokens) for s in out.decode)
-            self._decode_batch(out.decode)
-            n_decode = sum(len(s.tokens) for s in out.decode) - before
+        try:
+            if out.prefill:
+                for seq in out.prefill:
+                    before = seq.prefill_done_tokens
+                    self._prefill_one(seq)
+                    n_prefill += seq.prefill_done_tokens - before
+            elif out.decode:
+                before = sum(len(s.tokens) for s in out.decode)
+                self._decode_batch(out.decode)
+                n_decode = sum(len(s.tokens) for s in out.decode) - before
+        except Exception as e:  # noqa: BLE001
+            # ref handle_pipeline_forward_error! (pipeline/macros.rs, used at
+            # engine/mod.rs:157-164): a forward error terminates the seqs in
+            # this batch with an error response and the loop keeps serving
+            self._fail_batch(list(out.prefill) + list(out.decode), e)
         self._finish_done()
         if self.throughput_logging and (n_prefill or n_decode):
             dt = max(time.monotonic() - t0, 1e-9)
@@ -193,6 +199,19 @@ class Engine:
                 "prompt_tok_s": n_prefill / dt if n_prefill else 0.0,
                 "completion_tok_s": n_decode / dt if n_decode else 0.0,
             }
+
+    def _fail_batch(self, seqs: list[Sequence], err: Exception) -> None:
+        import logging
+
+        logging.getLogger(__name__).error("pipeline step failed: %r", err)
+        for seq in seqs:
+            if seq.is_finished():
+                continue
+            seq.finish_error = f"{type(err).__name__}: {err}"
+            seq.finish(StopReason.ERROR)
+            stream = getattr(seq, "stream", None)
+            if stream:
+                stream(seq, "", StopReason.ERROR.value)
 
     def _cancel_all(self) -> None:
         from mistralrs_tpu.engine.sequence import StopReason

@@ -18,7 +18,7 @@ import dataclasses
 from collections import deque
 
 from mistralrs_tpu.engine.block_manager import AllocStatus, BlockManager
-from mistralrs_tpu.engine.sequence import Sequence, SequenceState
+from mistralrs_tpu.engine.sequence import Sequence, SequenceState, StopReason
 
 
 @dataclasses.dataclass
@@ -153,7 +153,8 @@ class Scheduler:
         for s in done:
             # retain the finished sequence's full pages as a cached prefix
             # (ref sampling.rs finish path -> prefix_cacher.add_sequence :58)
-            if self.prefix_cacher is not None:
+            if self.prefix_cacher is not None and s.stop_reason is not StopReason.ERROR:
+                # errored seqs may hold partially-written KV pages
                 self.prefix_cacher.insert(s.tokens, s.block_table, s.kv_len)
             self.bm.free_sequence(s)
             self.running.remove(s)

@@ -32,6 +32,7 @@ class StopReason(enum.Enum):
     STOP_STRING = "stop"  # matched stop string
     LENGTH = "length"  # hit max_len / model limit
     CANCELED = "canceled"
+    ERROR = "error"  # pipeline forward error (ref handle_pipeline_forward_error!)
 
 
 @dataclasses.dataclass
@@ -74,6 +75,7 @@ class Sequence:
         self.return_logprobs = return_logprobs
         self.state = SequenceState.WAITING
         self.stop_reason: StopReason | None = None
+        self.finish_error: str | None = None  # error detail when stop=ERROR
         self.group = group
         self.recognizer = recognizer  # grammar recognizer state (aici port)
         self.suffix_prompt_tokens = suffix_prompt_tokens or []
@@ -169,10 +171,14 @@ class Sequence:
         return text
 
     def output(self) -> SequenceOutput:
+        reason = self.stop_reason.value if self.stop_reason else "stop"
+        text = self.final_text()
+        if self.finish_error and reason == "error":
+            text = text or f"[error] {self.finish_error}"
         return SequenceOutput(
-            text=self.final_text(),
+            text=text,
             tokens=self.generated_tokens,
-            finish_reason=self.stop_reason.value if self.stop_reason else "stop",
+            finish_reason=reason,
             logprobs=self.logprobs if self.return_logprobs else None,
         )
 

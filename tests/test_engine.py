@@ -401,3 +401,41 @@ def test_engine_stress_mixed_workload():
         want, _ = iso.generate(list(prompt), SamplingParams(
             max_len=len(g.seqs[0].generated_tokens)))
         assert g.seqs[0].generated_tokens == want[:len(g.seqs[0].generated_tokens)]
+
+
+def test_forward_error_fails_batch_and_engine_survives():
+    """Forward errors terminate the affected seqs with finish_reason=error and
+    the loop keeps serving (ref handle_pipeline_forward_error! macro used at
+    engine/mod.rs:157-164); errored seqs must release their KV pages and must
+    not be inserted into the prefix cache."""
+    from mistralrs_tpu.engine.sequence import StopReason
+
+    eng = make_engine()
+    pipe = eng.pipeline
+    free_before = eng.scheduler.bm.num_free
+
+    orig = pipe.run_decode
+    calls = {"n": 0}
+
+    def flaky(seqs, greedy=False):
+        calls["n"] += 1
+        if calls["n"] == 1:
+            raise RuntimeError("injected forward failure")
+        return orig(seqs, greedy)
+
+    pipe.run_decode = flaky
+    g = eng.add_request(GenerationRequest([10, 11], SamplingParams(max_len=8)))
+    steps = 0
+    while not g.all_done():
+        eng.step()
+        steps += 1
+        assert steps < 50
+    seq = g.seqs[0]
+    assert seq.stop_reason is StopReason.ERROR
+    assert seq.output().finish_reason == "error"
+    assert "injected forward failure" in (seq.finish_error or "")
+    # pages released, engine healthy for the next request
+    assert eng.scheduler.bm.num_free == free_before
+    pipe.run_decode = orig
+    toks, _ = eng.generate([20, 21], SamplingParams(max_len=4))
+    assert toks == [22, 23, 24, 25]
