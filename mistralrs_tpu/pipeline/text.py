@@ -206,14 +206,15 @@ class TextPipeline:
         B = self.pc.max_seqs
         T = self.pc.decode_steps
         n = len(seqs)
+        width = self._table_width(seqs, T)
         ids = np.zeros((B,), np.int32)
         kv_lens = np.zeros((B,), np.int32)
-        block_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        block_tables = np.zeros((B, width), np.int32)
         active = np.zeros((B,), np.float32)
         for i, seq in enumerate(seqs):
             ids[i] = seq.tokens[-1]
             kv_lens[i] = seq.kv_len
-            block_tables[i] = self._tables_row(seq)
+            block_tables[i] = self._tables_row(seq, width)
             active[i] = 1.0
         toks, vals, self.cache = self._multistep_fn(
             self.params, self.cache,
@@ -335,11 +336,29 @@ class TextPipeline:
         return logits
 
     # ------------------------------------------------------------- helpers
-    def _tables_row(self, seq: Sequence) -> np.ndarray:
-        row = np.zeros(self.max_pages_per_seq, np.int32)
-        bt = seq.block_table[: self.max_pages_per_seq]
+    def _tables_row(self, seq: Sequence, width: int | None = None) -> np.ndarray:
+        width = width or self.max_pages_per_seq
+        row = np.zeros(width, np.int32)
+        bt = seq.block_table[:width]
         row[: len(bt)] = bt
         return row
+
+    def _table_width(self, seqs: list[Sequence], lookahead: int) -> int:
+        """Page-bucketed block-table width covering every row's context span
+        plus `lookahead` tokens about to be written.
+
+        Decode attention streams the whole static table span per row (gather
+        path) — padding the tables to max_model_len makes batched decode
+        KV-bandwidth-bound on padding (e.g. 16 rows x 2048-token span = 4.3GB
+        of mostly-dead gather per step at 7B shapes, vs the 3.9GB weight
+        stream). Power-of-two page buckets keep the set of compiled step-fn
+        variants small while the gather only touches the live span."""
+        need_tok = max(s.kv_len for s in seqs) + lookahead
+        need = -(-need_tok // self.pc.page_size)
+        w = 4
+        while w < need:
+            w *= 2
+        return min(w, self.max_pages_per_seq)
 
     def _slot(self, seq: Sequence, pos: int) -> int:
         page = seq.block_table[pos // self.pc.page_size]
@@ -357,10 +376,11 @@ class TextPipeline:
         mode = mode or ("greedy" if greedy else "full")
         B = self.pc.max_seqs
         assert len(seqs) <= B
+        width = self._table_width(seqs, 1)
         ids = np.zeros((B, 1), np.int32)
         positions = np.zeros((B, 1), np.int32)
         slot_mapping = np.zeros((B, 1), np.int32)  # page-0 garbage for padding
-        block_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        block_tables = np.zeros((B, width), np.int32)
         kv_lens = np.ones((B,), np.int32)  # 1 for padding rows: avoids NaN rows
         active = np.zeros((B,), np.float32)
         temps = np.ones((B,), np.float32)
@@ -369,7 +389,7 @@ class TextPipeline:
             ids[i, 0] = seq.tokens[-1]
             positions[i, 0] = pos
             slot_mapping[i, 0] = self._slot(seq, pos)
-            block_tables[i] = self._tables_row(seq)
+            block_tables[i] = self._tables_row(seq, width)
             kv_lens[i] = pos + 1
             active[i] = 1.0
             if seq.sampling.temperature is not None:
