@@ -270,10 +270,11 @@ class TextPipeline:
         n = len(rows)
         assert n <= B
         W = width
+        tw = self._width_for_tokens(max(start for _, start, _ in rows) + W)
         ids = np.zeros((B, W), np.int32)
         positions = np.zeros((B, W), np.int32)
         slot_mapping = np.zeros((B, W), np.int32)  # page-0 garbage for padding
-        block_tables = np.zeros((B, self.max_pages_per_seq), np.int32)
+        block_tables = np.zeros((B, tw), np.int32)
         kv_lens = np.ones((B,), np.int32)
         active = np.zeros((B,), np.float32)
         last_idx = np.zeros((B,), np.int32)
@@ -286,7 +287,7 @@ class TextPipeline:
             for j in range(m):
                 pos = start + j
                 slot_mapping[i, j] = table_row[pos // ps] * ps + pos % ps
-            block_tables[i, : len(table_row)] = table_row[: self.max_pages_per_seq]
+            block_tables[i, : min(len(table_row), tw)] = table_row[:tw]
             # padded-width trick (see run_prefill_chunk): q_offset = kv_lens - W
             kv_lens[i] = start + W
             active[i] = 1.0
@@ -353,7 +354,9 @@ class TextPipeline:
         of mostly-dead gather per step at 7B shapes, vs the 3.9GB weight
         stream). Power-of-two page buckets keep the set of compiled step-fn
         variants small while the gather only touches the live span."""
-        need_tok = max(s.kv_len for s in seqs) + lookahead
+        return self._width_for_tokens(max(s.kv_len for s in seqs) + lookahead)
+
+    def _width_for_tokens(self, need_tok: int) -> int:
         need = -(-need_tok // self.pc.page_size)
         w = 4
         while w < need:
@@ -434,7 +437,7 @@ class TextPipeline:
         slot_mapping = np.zeros((1, T), np.int32)
         for j in range(n):
             slot_mapping[0, j] = self._slot(seq, start + j)
-        block_tables = self._tables_row(seq)[None]
+        block_tables = self._tables_row(seq, self._width_for_tokens(start + T))[None]
         # The decoder derives q_offset as kv_lens - T; with the chunk padded
         # from n to T, pass start + T so real queries get q_pos = start + j.
         # Causal masking keeps them within the valid kv range regardless.
