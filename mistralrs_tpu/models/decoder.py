@@ -54,6 +54,20 @@ def _use_flash_prefill(cfg: ModelConfig, T: int, meta) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_ring_prefill(cfg: ModelConfig, T: int, meta) -> bool:
+    """Sequence-parallel first-chunk prefill: the chunk's token dim is
+    sharded over `meta.ring_axis` and attention runs as blockwise ring
+    attention (parallel/ring_attention.py) — the >1-chip long-context path
+    (SURVEY §2.4 SP row; no reference equivalent)."""
+    if meta.ring_axis is None or not meta.first_chunk:
+        return False
+    if cfg.attn_logit_softcap is not None:
+        return False
+    if cfg.sliding_window is not None and cfg.sliding_window < T:
+        return False
+    return True
+
+
 def _use_flash_continuation(cfg: ModelConfig, T: int, meta, span: int) -> bool:
     """Continuation-chunk flash eligibility: right-aligned flash over the
     full static span (ops/paged_attention.flash_prefill_continuation)."""
@@ -193,6 +207,24 @@ def _attention(
         cache_k, cache_v = write_paged_kv(
             cache_k, cache_v, k, v, meta.slot_mapping, head_major=hm
         )
+        if _use_ring_prefill(cfg, T, meta):
+            from mistralrs_tpu.parallel.ring_attention import ring_attention
+
+            mesh_shape = dict(
+                zip(meta.ring_mesh.axis_names, meta.ring_mesh.devices.shape)
+            )
+            batch_ok = B % mesh_shape.get("dp", 1) == 0
+            heads_ok = Hkv % mesh_shape.get("tp", 1) == 0
+            out = ring_attention(
+                q, k, v, meta.ring_mesh, axis=meta.ring_axis, scale=scale,
+                causal=True,
+                batch_axis="dp" if batch_ok and "dp" in mesh_shape else None,
+                head_axis="tp" if heads_ok and "tp" in mesh_shape else None,
+            )
+            # zero padding rows (they attended garbage) via active mask
+            out = out * meta.active[:, None, None, None].astype(out.dtype)
+            out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
+            return out, cache_k, cache_v
         if _use_flash_prefill(cfg, T, meta):
             # first prefill chunk: context == the chunk itself; run the
             # Pallas flash kernel, skipping the paged gather and the

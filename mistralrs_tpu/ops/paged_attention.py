@@ -22,6 +22,8 @@ Pallas TPU kernel (ops/paged_attention_kernel.py) is tested against.
 
 from __future__ import annotations
 
+from typing import Any
+
 import jax
 import jax.numpy as jnp
 from flax import struct
@@ -91,6 +93,11 @@ class PagedAttnMeta:
     first_chunk: bool = struct.field(pytree_node=False, default=False)
     # static: KV pool layout of the cache slices this step receives
     head_major: bool = struct.field(pytree_node=False, default=False)
+    # static: sequence-parallel first-chunk prefill — name of the mesh axis
+    # the chunk's token dim is sharded over (ring attention), plus the mesh
+    # itself (hashable; needed to build the shard_map inside the jitted step)
+    ring_axis: str | None = struct.field(pytree_node=False, default=None)
+    ring_mesh: Any = struct.field(pytree_node=False, default=None)
 
 
 def write_paged_kv(

@@ -17,17 +17,22 @@ def make_mesh(
     devices: list[jax.Device] | None = None,
     *,
     dp: int = 1,
+    sp: int = 1,
     tp: int | None = None,
 ) -> Mesh:
-    """Build a ("dp", "tp") mesh. tp defaults to all devices / dp."""
+    """Build a ("dp", "sp", "tp") mesh. tp defaults to all devices / (dp*sp).
+
+    sp is the sequence-parallel (ring attention) axis: weights are replicated
+    over it and long-prefill activations are sequence-sharded; dp/tp carry
+    the usual data/tensor parallelism."""
     devices = devices if devices is not None else jax.devices()
     n = len(devices)
     if tp is None:
-        assert n % dp == 0
-        tp = n // dp
-    assert dp * tp == n, (dp, tp, n)
-    arr = np.asarray(devices).reshape(dp, tp)
-    return Mesh(arr, ("dp", "tp"))
+        assert n % (dp * sp) == 0
+        tp = n // (dp * sp)
+    assert dp * sp * tp == n, (dp, sp, tp, n)
+    arr = np.asarray(devices).reshape(dp, sp, tp)
+    return Mesh(arr, ("dp", "sp", "tp"))
 
 
 def _lin_spec(kind: str, col_parallel: bool, stacked: bool, expert: bool = False) -> dict[str, Any]:

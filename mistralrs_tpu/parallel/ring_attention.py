@@ -84,28 +84,37 @@ def ring_attention(
     axis: str = "tp",
     scale: float | None = None,
     causal: bool = True,
+    batch_axis: str | None = None,
+    head_axis: str | None = None,
 ) -> jax.Array:
     """Exact attention with Q/K/V sharded along the sequence dimension.
 
-    Returns [B, T, Hq, D] with the same sequence sharding."""
-    B, T, Hq, D = q.shape
-    Hkv = k.shape[2]
+    batch_axis / head_axis name mesh axes the batch / head dims are already
+    sharded over (DP / TP riding along with SP); the ring only rotates KV
+    over `axis`. Returns [B, T, Hq, D] with the same shardings.
+    """
+    T, D = q.shape[1], q.shape[3]
     scale = scale if scale is not None else D**-0.5
     n = mesh.shape[axis]
     assert T % n == 0, (T, n)
     Tl = T // n
-    G = Hq // Hkv
 
     def local(ql, kl, vl):
+        Bl, _, Hql, _ = ql.shape
+        Hkvl = kl.shape[2]
+        G = Hql // Hkvl
         idx = jax.lax.axis_index(axis)
         q_start = idx * Tl
         kv_start = idx * Tl
         # mark the fresh accumulators as axis-varying so the fori_loop carry
-        # types match the ppermute-produced outputs (shard_map vma rules)
-        m = jax.lax.pcast(jnp.full((B, Hkv, G, Tl), NEG_INF, jnp.float32),
-                          (axis,), to="varying")
-        l = jax.lax.pcast(jnp.zeros((B, Hkv, G, Tl), jnp.float32),
-                          (axis,), to="varying")
+        # types match the loop-body outputs, which vary over every sharded
+        # axis (ring ppermute over `axis`; values differ per batch/head
+        # shard too) — shard_map vma rules
+        vary = tuple(a for a in (axis, batch_axis, head_axis) if a)
+        m = jax.lax.pcast(jnp.full((Bl, Hkvl, G, Tl), NEG_INF, jnp.float32),
+                          vary, to="varying")
+        l = jax.lax.pcast(jnp.zeros((Bl, Hkvl, G, Tl), jnp.float32),
+                          vary, to="varying")
         acc = jnp.zeros_like(ql)  # derived from ql: already axis-varying
         carry = (ql, kl, vl, m, l, acc, q_start, kv_start)
         carry = jax.lax.fori_loop(
@@ -115,10 +124,10 @@ def ring_attention(
             carry,
         )
         _, _, _, m, l, acc, _, _ = carry
-        norm = l.transpose(0, 3, 1, 2).reshape(B, Tl, Hq)[..., None]
+        norm = l.transpose(0, 3, 1, 2).reshape(Bl, Tl, Hql)[..., None]
         return (acc / jnp.maximum(norm, 1e-20).astype(acc.dtype))
 
-    spec = P(None, axis, None, None)
+    spec = P(batch_axis, axis, head_axis, None)
     fn = jax.shard_map(
         local, mesh=mesh,
         in_specs=(spec, spec, spec),

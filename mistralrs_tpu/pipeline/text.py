@@ -119,10 +119,19 @@ class TextPipeline:
     def _build_step_fn(self):
         cfg, rope = self.cfg, self.rope
         hm = self.head_major
+        mesh = self.mesh
+        sp = (
+            mesh.shape["sp"]
+            if mesh is not None and "sp" in mesh.axis_names
+            else 1
+        )
 
         @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(9,))
         def step(params, cache, ids, positions, slot_mapping, block_tables,
                  kv_lens, active, last_idx, first_chunk=False, temps=None):
+            # sequence-parallel first-chunk prefill: ring attention over the
+            # mesh's sp axis when the chunk splits evenly across it
+            ring = first_chunk and sp > 1 and ids.shape[1] % sp == 0
             meta = PagedAttnMeta(
                 positions=positions,
                 slot_mapping=slot_mapping,
@@ -131,6 +140,8 @@ class TextPipeline:
                 active=active,
                 first_chunk=first_chunk,
                 head_major=hm,
+                ring_axis="sp" if ring else None,
+                ring_mesh=mesh if ring else None,
             )
             h, cache = decoder_forward(params, cfg, rope, ids, cache, meta)
             B = ids.shape[0]

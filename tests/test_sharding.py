@@ -42,7 +42,9 @@ def _pipe(cfg, params, mesh=None):
 
 def test_mesh_shapes():
     mesh = make_mesh(dp=2)
-    assert mesh.shape == {"dp": 2, "tp": 4}
+    assert mesh.shape == {"dp": 2, "sp": 1, "tp": 4}
+    mesh = make_mesh(dp=2, sp=2)
+    assert mesh.shape == {"dp": 2, "sp": 2, "tp": 2}
 
 
 def test_param_specs_structure_matches():
@@ -89,6 +91,28 @@ def test_sharded_mixtral_expert_parallel():
     with torch.no_grad():
         want = model.generate(torch.tensor([prompt]), max_new_tokens=5, do_sample=False)[0, 7:].tolist()
     assert got == want
+
+
+def test_sequence_parallel_prefill_matches():
+    """Engine generation under a dp×sp×tp mesh: the first prefill chunk runs
+    ring attention sequence-sharded over sp (decoder _use_ring_prefill);
+    greedy tokens must match the unsharded engine and HF."""
+    model, cfg, params = _tiny_llama()
+    mesh = make_mesh(dp=2, sp=2, tp=2)
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(3, 120, size=11).tolist()
+
+    eng_ref = Engine(_pipe(cfg, params), eos_token_ids=set())
+    want, _ = eng_ref.generate(prompt, SamplingParams(max_len=6))
+
+    eng_sp = Engine(_pipe(cfg, params, mesh), eos_token_ids=set())
+    got, _ = eng_sp.generate(prompt, SamplingParams(max_len=6))
+    assert got == want
+
+    with torch.no_grad():
+        hf = model.generate(torch.tensor([prompt]), max_new_tokens=6,
+                            do_sample=False)[0, 11:].tolist()
+    assert got == hf
 
 
 def test_ring_attention_matches_dense():
