@@ -17,3 +17,4 @@ Scheme (megatron-style, adapted to the stacked-layer layout):
 """
 
 from mistralrs_tpu.parallel.mesh import make_mesh, shard_params, shard_cache, param_specs
+from mistralrs_tpu.parallel.pipeline_parallel import make_pp_mesh, pp_decoder_forward

@@ -140,3 +140,68 @@ def test_ring_attention_matches_dense():
     got = np.asarray(ring_attention(q, k, v, mesh, causal=False))
     want = np.asarray(sdpa(q, k, v, scale=D**-0.5, mask=None))
     np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_pipeline_parallel_matches_dense():
+    """Stage-sharded pp_decoder_forward (shard_map + ppermute microbatch
+    pipeline) == single-device decoder_forward: prefill then a decode step,
+    hidden states and KV pools identical."""
+    from mistralrs_tpu.models.decoder import decoder_forward
+    from mistralrs_tpu.ops.paged_attention import PagedAttnMeta, PagedKVCache
+    from mistralrs_tpu.parallel.pipeline_parallel import make_pp_mesh, pp_decoder_forward
+
+    torch.manual_seed(33)
+    hf = tf.LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=96,
+        max_position_embeddings=64,
+    )
+    model = tf.LlamaForCausalLM(hf).eval().float()
+    cfg = config_from_hf(json.loads(hf.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    rope = make_rope(cfg, 64)
+    mesh = make_pp_mesh(jax.devices()[:4])
+
+    B, T, page = 4, 8, 4
+    rng = np.random.default_rng(11)
+    ids = jnp.asarray(rng.integers(3, 90, size=(B, T)), jnp.int32)
+    # page 0 reserved; each row gets 3 distinct pages (room for T + decode)
+    tables = np.arange(1, 1 + B * 3, dtype=np.int32).reshape(B, 3)
+    positions = np.tile(np.arange(T, dtype=np.int32), (B, 1))
+    slots = tables[:, positions[0] // page] * page + positions % page
+
+    def fresh():
+        return PagedKVCache.create(cfg.num_layers, 16, page, cfg.num_kv_heads,
+                                   cfg.head_dim, jnp.float32)
+
+    meta = PagedAttnMeta(
+        positions=jnp.asarray(positions), slot_mapping=jnp.asarray(slots),
+        block_tables=jnp.asarray(tables), kv_lens=jnp.full((B,), T, jnp.int32),
+        active=jnp.ones((B,), jnp.float32),
+    )
+    want_h, want_cache = decoder_forward(params, cfg, rope, ids, fresh(), meta)
+    got_h, got_cache = pp_decoder_forward(params, cfg, rope, ids, fresh(), meta, mesh)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=2e-5, atol=2e-5)
+    # page 0 is the reserved scratch page (idle pipeline ticks park their
+    # garbage writes there) — live pages must match exactly
+    np.testing.assert_allclose(np.asarray(got_cache.k)[:, 1:],
+                               np.asarray(want_cache.k)[:, 1:],
+                               rtol=2e-5, atol=2e-5)
+
+    # one decode step on top of the prefilled caches
+    ids_d = jnp.asarray(rng.integers(3, 90, size=(B, 1)), jnp.int32)
+    pos_d = np.full((B, 1), T, np.int32)
+    slots_d = tables[:, [T // page]] * page + T % page
+    meta_d = PagedAttnMeta(
+        positions=jnp.asarray(pos_d), slot_mapping=jnp.asarray(slots_d),
+        block_tables=jnp.asarray(tables),
+        kv_lens=jnp.full((B,), T + 1, jnp.int32),
+        active=jnp.ones((B,), jnp.float32),
+    )
+    want_h, _ = decoder_forward(params, cfg, rope, ids_d, want_cache, meta_d)
+    got_h, _ = pp_decoder_forward(params, cfg, rope, ids_d, got_cache, meta_d,
+                                  mesh, microbatches=2)
+    np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
+                               rtol=2e-5, atol=2e-5)
