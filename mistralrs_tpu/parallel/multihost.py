@@ -5,10 +5,10 @@ replacement is single-controller JAX — every host runs the same jitted step
 over a global mesh, host 0 owns the engine/scheduler and feeds per-step
 batch arrays via `multihost_utils` broadcast, and only host 0 serves HTTP.
 
-This module provides the initialization + broadcast glue. It cannot be
-exercised in this environment (one host, one chip); the sharding itself is
-validated on the virtual CPU mesh (tests/test_sharding.py, __graft_entry__
-dryrun_multichip).
+This module provides the initialization + broadcast glue. It is exercised
+for real by tests/test_multihost.py: two OS processes form a
+jax.distributed CPU cluster and run the full engine with a TP mesh spanning
+both processes (host-0 request broadcast, greedy parity vs HF on each host).
 """
 
 from __future__ import annotations
