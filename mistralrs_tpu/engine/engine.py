@@ -286,17 +286,20 @@ class Engine:
                         break
                     self._postprocess_token(seq, lp)
             return
+        T = self.decode_steps
+        multi_ok = (
+            T > 1
+            and getattr(self.pipeline, "supports_multistep", False)
+            and all(self._multi_ok(s, T) for s in seqs)
+        )
         if all(self._greedy_ok(s) for s in seqs):
-            T = self.decode_steps
-            if (
-                T > 1
-                and getattr(self.pipeline, "supports_multistep", False)
-                and all(self._multi_ok(s, T) for s in seqs)
-            ):
+            if multi_ok:
                 self._decode_multi(seqs, T)
                 return
             pack = self.pipeline.run_decode(seqs, greedy=True)
             self._emit_greedy(seqs, pack)
+        elif multi_ok and all(self._multi_sampled_ok(s) for s in seqs):
+            self._decode_multi(seqs, T, sampled=True)
         elif self._topk_batch_ok(seqs):
             self._decode_topk(seqs)
         else:
@@ -345,20 +348,60 @@ class Engine:
         phys = self.pipeline.max_pages_per_seq * self.pipeline.pc.page_size
         return seq.kv_len + T <= phys and len(seq.block_table) * self.pipeline.pc.page_size >= seq.kv_len + T
 
-    def _decode_multi(self, seqs: list[Sequence], T: int) -> None:
-        """Greedy multi-token decode: one dispatch emits up to T tokens per
+    def _multi_sampled_ok(self, seq: Sequence) -> bool:
+        """Eligible for the on-device sampled multistep loop: temperature +
+        top-k/top-p/min-p only (no penalties/bias/processors — those need
+        host context), no logprob request, no grammar, and an explicit top_k
+        that fits inside the device pack (makes device truncation exact)."""
+        from mistralrs_tpu.pipeline.text import TOPK_PACK
+
+        if self._greedy_ok(seq):
+            return True  # rides along as (temp=1, k=1)
+        p = seq.sampling
+        return (
+            p.temperature is not None
+            and p.frequency_penalty is None
+            and p.presence_penalty is None
+            and not p.logits_bias
+            and not p.logits_processors
+            and not seq.return_logprobs
+            and seq.recognizer is None
+            and p.top_k is not None
+            and 0 < p.top_k <= TOPK_PACK
+        )
+
+    def _decode_multi(self, seqs: list[Sequence], T: int, sampled: bool = False) -> None:
+        """Multi-token decode: one dispatch emits up to T tokens per
         sequence; overshoot past stop conditions is discarded with a kv_len
-        counter rewind (same trick as speculative rollback)."""
+        counter rewind (same trick as speculative rollback). With
+        sampled=True the sampling (temp/top-k/top-p/min-p + the draw) runs
+        on device (pipeline multistep sampled=True); greedy rows ride along
+        and keep reporting the raw argmax logit."""
         from mistralrs_tpu.engine.sampler import Logprobs
 
-        pack = self.pipeline.run_decode_multi(seqs)  # [2, T, n]
+        if sampled:
+            sampling = (
+                [s.sampling.temperature if not self._greedy_ok(s) else 1.0
+                 for s in seqs],
+                [s.sampling.top_k if not self._greedy_ok(s) else 1 for s in seqs],
+                [(s.sampling.top_p if s.sampling.top_p is not None else 1.0)
+                 if not self._greedy_ok(s) else 1.0 for s in seqs],
+                [(s.sampling.min_p if s.sampling.min_p is not None else 0.0)
+                 if not self._greedy_ok(s) else 0.0 for s in seqs],
+                int(self.rng.integers(2**31)),
+            )
+        else:
+            sampling = None
+        pack = self.pipeline.run_decode_multi(seqs, sampling)  # [3, T, n]
         for i, seq in enumerate(seqs):
+            val_row = 1 if (not sampled or self._greedy_ok(seq)) else 2
             start_kv = seq.kv_len - T
             taken = 0
             for t in range(T):
                 if seq.is_finished():
                     break
-                lp = Logprobs(token=int(pack[0, t, i]), logprob=float(pack[1, t, i]))
+                lp = Logprobs(token=int(pack[0, t, i]),
+                              logprob=float(pack[val_row, t, i]))
                 self._postprocess_token(seq, lp)
                 taken += 1
             seq.kv_len = start_kv + taken

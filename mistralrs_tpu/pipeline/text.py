@@ -168,23 +168,32 @@ class TextPipeline:
         return step
 
     def _build_multistep_fn(self):
-        """On-device greedy decode loop: `decode_steps` tokens per dispatch.
+        """On-device decode loop: `decode_steps` tokens per dispatch.
 
-        The argmax feeds straight back as the next input inside a lax.scan —
-        no host round-trip per token. Slot mappings derive from the block
-        tables on device; the scheduler reserves `decode_steps` lookahead
-        slots, and the engine discards overshoot past stop conditions
-        (ref: removes the per-step logits->CPU sync, pipeline/mod.rs:308)."""
+        The next token feeds straight back as input inside a lax.scan — no
+        host round-trip per token. Slot mappings derive from the block tables
+        on device; the scheduler reserves `decode_steps` lookahead slots, and
+        the engine discards overshoot past stop conditions
+        (ref: removes the per-step logits->CPU sync, pipeline/mod.rs:308).
+
+        sampled=False: pure argmax feedback (greedy batches).
+        sampled=True: reference-exact device sampling — per-row temperature,
+        top-k (k <= TOPK_PACK, exact because the truncation set lives inside
+        the pack), top-p cut (cumsum-before >= p), min-p, then a Gumbel draw
+        over the kept unnormalized probs (== multinomial over kept/total);
+        greedy rows ride along as (temp=1, k=1). Probabilities use the
+        full-vocab softmax normalizer, so they match engine/sampler.Sampler
+        exactly; only the RNG stream differs (jax PRNG vs numpy)."""
         cfg, rope = self.cfg, self.rope
         ps = self.pc.page_size
         T = self.pc.decode_steps
         hm = self.head_major
 
-        @functools.partial(jax.jit, donate_argnums=(1,))
-        def multistep(params, cache, ids, kv_lens, block_tables, active):
-            # ids [B], kv_lens [B] (= position of the token being fed)
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(7,))
+        def multistep(params, cache, ids, kv_lens, block_tables, active,
+                      sample_args, sampled=False):
             def body(carry, _):
-                ids, kvl, cache = carry
+                ids, kvl, cache, key = carry
                 pos = kvl[:, None]  # [B, 1]
                 page = jnp.take_along_axis(block_tables, pos // ps, axis=1)
                 slot = page * ps + pos % ps
@@ -198,20 +207,60 @@ class TextPipeline:
                 )
                 h, cache = decoder_forward(params, cfg, rope, ids[:, None], cache, meta)
                 logits = compute_logits(params, cfg, h[:, 0])  # [B, V]
-                nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                chosen = jnp.take_along_axis(logits, nxt[:, None], axis=-1)[:, 0]
-                return (nxt, kvl + 1, cache), (nxt, chosen)
-            (_, _, cache), (toks, vals) = jax.lax.scan(
-                body, (ids, kv_lens, cache), None, length=T
+                if not sampled:
+                    nxt = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    chosen = jnp.take_along_axis(logits, nxt[:, None], axis=-1)[:, 0]
+                    return (nxt, kvl + 1, cache, key), (nxt, chosen, chosen)
+                temps, kk, pp, minp = sample_args
+                y = logits / temps[:, None]
+                tv, ti = jax.lax.top_k(y, TOPK_PACK)  # [B, K] desc
+                m = jnp.max(y, axis=-1, keepdims=True)
+                z = jnp.sum(jnp.exp(y - m), axis=-1, keepdims=True)
+                probs = jnp.exp(tv - m) / z  # exact (full-vocab normalizer)
+                j = jnp.arange(TOPK_PACK)[None]
+                keep = j < kk[:, None]  # top-k
+                kept = jnp.where(keep, probs, 0.0)
+                cums = jnp.cumsum(kept, axis=-1)
+                topp_on = (pp[:, None] > 0.0) & (pp[:, None] < 1.0)
+                keep &= jnp.where(topp_on, (cums - kept) < pp[:, None], True)
+                kept = jnp.where(keep, probs, 0.0)
+                # min-p nests inside the top-p branch (ref sampler.rs order);
+                # row 0 is always kept, so kept[:, :1] is the max prob
+                minp_on = topp_on & (minp[:, None] > 0.0) & (minp[:, None] < 1.0)
+                keep &= jnp.where(minp_on, kept > kept[:, :1] * minp[:, None], True)
+                kept = jnp.where(keep, probs, 0.0)
+                key, sub = jax.random.split(key)
+                u = jax.random.uniform(sub, tv.shape)
+                g = -jnp.log(-jnp.log(u + 1e-20) + 1e-20)
+                zz = jnp.where(keep, jnp.log(jnp.maximum(kept, 1e-45)) + g, -jnp.inf)
+                idx = jnp.argmax(zz, axis=-1)
+                nxt = jnp.take_along_axis(ti, idx[:, None], axis=1)[:, 0].astype(jnp.int32)
+                chosen = jnp.take_along_axis(kept, idx[:, None], axis=1)[:, 0]
+                total = jnp.sum(kept, axis=-1)
+                # ref sample_multinomial: log10 of the unnormalized kept prob
+                lp10 = jnp.where(total > 0.0,
+                                 jnp.log10(jnp.maximum(chosen, 1e-45)), 0.0)
+                raw = jnp.take_along_axis(logits, nxt[:, None], axis=1)[:, 0]
+                return (nxt, kvl + 1, cache, key), (nxt, raw, lp10)
+
+            key0 = jax.random.PRNGKey(sample_args[4] if sampled else 0)
+            if sampled:
+                sample_args = tuple(sample_args[:4])
+            (_, _, cache, _), (toks, raws, lps) = jax.lax.scan(
+                body, (ids, kv_lens, cache, key0), None, length=T
             )
-            return toks, vals, cache  # [T, B], [T, B]
+            return toks, raws, lps, cache  # each [T, B]
 
         return multistep
 
-    def run_decode_multi(self, seqs: list[Sequence]) -> np.ndarray:
-        """Greedy multi-token decode: returns pack [2, T, n] (token ids,
-        logit values). Advances each seq's kv_len by decode_steps; the caller
-        rewinds via kv_len when it consumes fewer (stop conditions)."""
+    def run_decode_multi(self, seqs: list[Sequence], sampling=None) -> np.ndarray:
+        """Multi-token decode: returns pack [3, T, n] = (token ids, raw logit
+        of the token, log10 unnormalized kept prob — meaningful only with
+        `sampling`). Advances each seq's kv_len by decode_steps; the caller
+        rewinds via kv_len when it consumes fewer (stop conditions).
+
+        sampling: None for pure-greedy batches, else
+        (temps [n], top_ks [n], top_ps [n], min_ps [n], seed)."""
         if self._multistep_fn is None:
             self._multistep_fn = self._build_multistep_fn()
         B = self.pc.max_seqs
@@ -227,14 +276,28 @@ class TextPipeline:
             kv_lens[i] = seq.kv_len
             block_tables[i] = self._tables_row(seq, width)
             active[i] = 1.0
-        toks, vals, self.cache = self._multistep_fn(
+        if sampling is None:
+            sample_args = None
+        else:
+            temps, kks, pps, minps, seed = sampling
+            pad = lambda a, fill: np.concatenate(  # noqa: E731
+                [np.asarray(a), np.full(B - n, fill, np.asarray(a).dtype)])
+            sample_args = (
+                jnp.asarray(pad(np.asarray(temps, np.float32), 1.0)),
+                jnp.asarray(pad(np.asarray(kks, np.int32), 1)),
+                jnp.asarray(pad(np.asarray(pps, np.float32), 1.0)),
+                jnp.asarray(pad(np.asarray(minps, np.float32), 0.0)),
+                jnp.asarray(seed, jnp.uint32),
+            )
+        toks, raws, lps, self.cache = self._multistep_fn(
             self.params, self.cache,
             jnp.asarray(ids), jnp.asarray(kv_lens), jnp.asarray(block_tables),
-            jnp.asarray(active),
+            jnp.asarray(active), sample_args, sampling is not None,
         )
         for seq in seqs:
             seq.kv_len += T
-        return np.stack([np.asarray(toks, np.float32), np.asarray(vals)])[:, :, :n]
+        return np.stack([np.asarray(toks, np.float32), np.asarray(raws),
+                         np.asarray(lps)])[:, :, :n]
 
     def _build_verify_fn(self):
         """Like the step fn but returns logits at *every* fed position —

@@ -439,3 +439,54 @@ def test_forward_error_fails_batch_and_engine_survives():
     pipe.run_decode = orig
     toks, _ = eng.generate([20, 21], SamplingParams(max_len=4))
     assert toks == [22, 23, 24, 25]
+
+
+def test_multistep_sampled_low_temp_matches_greedy():
+    """Device-sampled multistep (temp ~0 through the sampled kernel path,
+    wide top-k) must reproduce the greedy sequence; top_k=1 likewise."""
+    rng = np.random.default_rng(23)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    want, _ = _real_engine(8).generate(prompt, SamplingParams(max_len=12))
+    # temperature tiny but above the argmax threshold -> sampled path
+    got, _ = _real_engine(8).generate(
+        prompt, SamplingParams(temperature=1e-3, top_k=50, max_len=12))
+    assert got == want
+    got, _ = _real_engine(8).generate(
+        prompt, SamplingParams(temperature=1.5, top_k=1, max_len=12))
+    assert got == want
+
+
+def test_multistep_sampled_stays_inside_topk_set():
+    """Every device-sampled token must come from the top-k of that step's
+    true distribution (verified by teacher-forcing the sampled sequence
+    through run_span all_positions on a fresh pipeline)."""
+    rng = np.random.default_rng(29)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    eng = _real_engine(8)
+    eng2 = _real_engine(8)  # fresh weights (same seed) for teacher forcing
+    K = 2
+    toks, _ = eng.generate(
+        prompt, SamplingParams(temperature=1.3, top_k=K, max_len=10))
+    assert len(toks) == 10
+    # teacher-force prompt+toks through run_span on hand-allocated pages
+    # (page 0 is reserved); logits at position j predict token j+1
+    full = prompt + toks
+    pipe = eng2.pipeline
+    npages = -(-len(full) // pipe.pc.page_size)
+    table = np.arange(1, 1 + npages, dtype=np.int32)
+    rows = [(full, 0, table)]
+    logits = pipe.run_span(rows, len(full), all_positions=True)[0]  # [W, V]
+    for j in range(len(prompt) - 1, len(full) - 1):
+        top = np.argsort(-logits[j], kind="stable")[:K].tolist()
+        assert full[j + 1] in top, (j, full[j + 1], top)
+
+
+def test_multistep_sampled_deterministic_and_varying():
+    rng = np.random.default_rng(31)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    sp = SamplingParams(temperature=1.5, top_k=40, top_p=0.95, max_len=12)
+    a, _ = _real_engine(8).generate(prompt, sp)
+    b, _ = _real_engine(8).generate(prompt, sp)
+    assert a == b  # engine seed fixed -> deterministic
+    greedy, _ = _real_engine(8).generate(prompt, SamplingParams(max_len=12))
+    assert a != greedy  # hot sampling actually samples
