@@ -129,21 +129,10 @@ def _decode_rate(eng, groups):
     return (sum(s.num_generated for s in seqs) - start) / dt
 
 
-def _bench_engine(cfg, params, rope, *, max_seqs, n_requests, max_len, reps):
-    import jax.numpy as jnp  # noqa: F401
-
-    from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+def _measure(eng, prompt, *, n_requests, max_len, reps):
+    from mistralrs_tpu.engine.engine import GenerationRequest
     from mistralrs_tpu.engine.sampler import SamplingParams
-    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
 
-    pc = PipelineConfig(
-        page_size=16, num_pages=512, max_seqs=max_seqs, max_model_len=2048,
-        prefill_buckets=(64,), decode_steps=16,
-    )
-    eng = Engine(TextPipeline(cfg, params, rope, pc), eos_token_ids=set())
-    prompt = list(np.random.default_rng(1).integers(1, 30000, size=64))
-    # warmup: compiles prefill + decode
-    eng.generate(prompt, SamplingParams(max_len=8))
     rates = []
     for _ in range(reps):  # median (this host's timing drifts ~±10%)
         groups = [
@@ -156,21 +145,33 @@ def _bench_engine(cfg, params, rope, *, max_seqs, n_requests, max_len, reps):
 
 
 def main():
-    import gc
+    import jax.numpy as jnp  # noqa: F401
 
-    import jax.numpy as jnp
-
+    from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+    from mistralrs_tpu.engine.sampler import SamplingParams
     from mistralrs_tpu.models.loader import make_rope
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
 
     cfg, params = _build_7b_q4k(jnp.bfloat16)
     rope = make_rope(cfg, 2048)
-
-    single = _bench_engine(cfg, params, rope, max_seqs=1, n_requests=1,
-                           max_len=64, reps=3)
-    gc.collect()
     batch = 16  # reference default --max-seqs (main.rs:66-68)
-    serving = _bench_engine(cfg, params, rope, max_seqs=batch,
-                            n_requests=batch, max_len=48, reps=3)
+    # ONE engine serves both measurements (the serving config a user runs;
+    # fewer compiled variants keeps bench wall-time inside the driver budget)
+    pc = PipelineConfig(
+        page_size=16, num_pages=512, max_seqs=batch, max_model_len=2048,
+        prefill_buckets=(64,), decode_steps=16,
+    )
+    eng = Engine(TextPipeline(cfg, params, rope, pc), eos_token_ids=set())
+    prompt = list(np.random.default_rng(1).integers(1, 30000, size=64))
+    # warmup: compiles single prefill + multistep decode, then batched prefill
+    eng.generate(prompt, SamplingParams(max_len=8))
+    warm = [eng.add_request(GenerationRequest(list(prompt), SamplingParams(max_len=4)))
+            for _ in range(2)]
+    while not all(g.all_done() for g in warm):
+        eng.step()
+
+    single = _measure(eng, prompt, n_requests=1, max_len=64, reps=3)
+    serving = _measure(eng, prompt, n_requests=batch, max_len=48, reps=3)
 
     baseline = 131.0  # reference A100 mistral-7b Q4_K_M tg T/s (README.md:192)
     print(json.dumps({

@@ -81,9 +81,14 @@ class Engine:
         self.decode_steps = 1 if self.is_speculative else max(
             1, getattr(pc, "decode_steps", 1)
         )
+        batched_prefill_ok = getattr(pipeline, "supports_batched_prefill", False)
         self.scheduler = Scheduler(
             self.block_manager,
             max_seqs=pc.max_seqs,
+            prefill_batch=(
+                min(getattr(pc, "prefill_batch", 1), pc.max_seqs)
+                if batched_prefill_ok else 1
+            ),
             prefix_cacher=self.prefix_cacher,
             lookahead=(pipeline.gamma + 1) if self.is_speculative else self.decode_steps,
         )
@@ -179,10 +184,14 @@ class Engine:
         n_prefill = n_decode = 0
         try:
             if out.prefill:
-                for seq in out.prefill:
-                    before = seq.prefill_done_tokens
-                    self._prefill_one(seq)
-                    n_prefill += seq.prefill_done_tokens - before
+                before = sum(s.prefill_done_tokens for s in out.prefill)
+                if (len(out.prefill) > 1
+                        and getattr(self.pipeline, "supports_batched_prefill", False)):
+                    self._prefill_batch(out.prefill)
+                else:
+                    for seq in out.prefill:
+                        self._prefill_one(seq)
+                n_prefill = sum(s.prefill_done_tokens for s in out.prefill) - before
             elif out.decode:
                 before = sum(len(s.tokens) for s in out.decode)
                 self._decode_batch(out.decode)
@@ -275,6 +284,32 @@ class Engine:
                 self._emit_greedy([seq], out[:, None] if out.ndim == 1 else out)
             else:
                 self._sample_and_emit([seq], out[None])
+
+    def _prefill_batch(self, seqs: list[Sequence]) -> None:
+        """Batched chunked prefill: one forward serves every scheduled
+        prefilling sequence (amortizes the weight stream across prompts;
+        ref: prompt batches in default_scheduler + make_prompt_chunk)."""
+        items = []
+        for seq in seqs:
+            target = len(seq.tokens)
+            start = seq.prefill_done_tokens
+            m = min(target - start, self.prefill_chunk)
+            items.append((seq, seq.tokens[start : start + m]))
+        self.pipeline.run_prefill_chunks(items)
+        pack = None
+        for i, (seq, _chunk) in enumerate(items):
+            if seq.prefill_done_tokens < len(seq.tokens):
+                continue  # more chunks to go
+            if seq.prompt_timestamp is None:
+                seq.prompt_timestamp = time.monotonic()
+            seq.state = SequenceState.RUNNING_COMPLETION
+            if self._greedy_ok(seq):
+                if pack is None:
+                    pack = np.asarray(self.pipeline.last_greedy_pack)
+                self._emit_greedy([seq], pack[:, i : i + 1])
+            else:
+                logits = self.pipeline.fetch_full_logits_row(i)
+                self._sample_and_emit([seq], logits[None])
 
     def _decode_batch(self, seqs: list[Sequence]) -> None:
         if self.is_speculative:

@@ -142,6 +142,7 @@ class XLoraPipeline(TextPipeline):
     """Dual-pass X-LoRA pipeline: pass 1 (scaling_pass_value scalings, own KV
     cache) -> classifier -> pass 2 (real scalings, main KV cache). Both paged
     caches share the block table / page-id space."""
+    supports_batched_prefill = False  # per-seq prefill state
 
     supports_multistep = False  # dual-pass step fn; multi-token loop n/a
     supports_topk_pack = False  # custom step fn without the top-K outputs

@@ -88,6 +88,14 @@ def _use_flash_continuation(cfg: ModelConfig, T: int, meta, span: int) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_blockwise_continuation(cfg: ModelConfig, T: int, meta, span: int) -> bool:
+    """Long-span continuation chunks: blockwise online-softmax attention
+    (ops/paged_attention.blockwise_prefill_continuation) — O(T * kv_block)
+    memory where the dense gather path would materialize [B, Hq, T, span]
+    scores. Engaged where the right-aligned flash trick bows out (> 4k)."""
+    return T > 1 and not meta.first_chunk and span > 4096
+
+
 def _use_paged_decode_kernel(cfg: ModelConfig, T: int, window_ok: bool, span: int = 0) -> bool:
     """Fused Pallas block-table decode kernel eligibility (static): single
     query token, TPU backend, and no sliding-window layer could clip context
@@ -184,6 +192,7 @@ def _attention(
     meta: AttnMeta,
     bias: jax.Array,
     lora_sc=None,
+    use_win=None,  # traced per-layer sliding-window flag (gemma2 alternation)
 ) -> tuple[jax.Array, jax.Array, jax.Array]:
     B, T, _ = x.shape
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
@@ -271,6 +280,24 @@ def _attention(
             out = out * meta.active[:, None, None, None].astype(out.dtype)
             out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
             return out, cache_k, cache_v
+        if _use_blockwise_continuation(cfg, T, meta, span):
+            from mistralrs_tpu.ops.paged_attention import blockwise_prefill_continuation
+
+            out = blockwise_prefill_continuation(
+                q, cache_k, cache_v, meta, scale=scale,
+                sliding_window=(
+                    cfg.sliding_window
+                    if cfg.sliding_window is not None
+                    and cfg.sliding_window_pattern != "none"
+                    and not window_ok  # span within window => length mask only
+                    else None
+                ),
+                window_gate=use_win,
+                logits_softcap=cfg.attn_logit_softcap,
+            )
+            out = out * meta.active[:, None, None, None].astype(out.dtype)
+            out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
+            return out, cache_k, cache_v
         ctx_k, ctx_v = gather_paged_kv(
             cache_k, cache_v, meta.block_tables, head_major=hm
         )
@@ -315,7 +342,7 @@ def _anymoe_mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None)
     return jnp.einsum("nbth,btn->bth", d, w)
 
 
-def _block(cfg, p, h, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc=None):
+def _block(cfg, p, h, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc=None, use_win=None):
     if "anymoe" in p["mlp"]:
         mlp_fn = _anymoe_mlp
     else:
@@ -323,14 +350,16 @@ def _block(cfg, p, h, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc=None):
     if cfg.block_style == "parallel":  # phi2
         x = _norm(cfg, p["input_norm"], h)
         attn_out, ck, cv = _attention(
-            cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc
+            cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc,
+            use_win,
         )
         h = h + attn_out + mlp_fn(cfg, p["mlp"], x, lora_sc)
         return h, ck, cv
     if cfg.block_style == "sandwich":  # gemma2
         x = _norm(cfg, p["input_norm"], h)
         attn_out, ck, cv = _attention(
-            cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc
+            cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc,
+            use_win,
         )
         h = h + _norm(cfg, p["post_attn_norm"], attn_out)
         x = _norm(cfg, p["pre_mlp_norm"], h)
@@ -339,7 +368,8 @@ def _block(cfg, p, h, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc=None):
     # prenorm (default)
     x = _norm(cfg, p["input_norm"], h)
     attn_out, ck, cv = _attention(
-        cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc
+        cfg, p["attn"], x, cos, sin, rot_dim, ck, cv, meta, bias, lora_sc,
+        use_win,
     )
     h = h + attn_out
     h = h + mlp_fn(cfg, p["mlp"], _norm(cfg, p["post_attn_norm"], h), lora_sc)
@@ -405,7 +435,8 @@ def decoder_forward(
             layer_params, ck, cv, use_win, sc = xs
         bias = jnp.where(use_win, bias_win, bias_full)
         h, ck, cv = _block(
-            cfg, layer_params, h, cos, sin, rope.rot_dim, ck, cv, meta, bias, sc
+            cfg, layer_params, h, cos, sin, rope.rot_dim, ck, cv, meta, bias,
+            sc, use_win,
         )
         return h, (ck, cv)
 

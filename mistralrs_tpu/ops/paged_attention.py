@@ -316,6 +316,85 @@ def flash_prefill_continuation(
     return outT.transpose(0, 2, 1, 3).astype(q.dtype)  # [B, T, Hq, D]
 
 
+def blockwise_prefill_continuation(
+    q: jax.Array,  # [B, T, Hq, D] chunk queries (positions start..start+T)
+    cache_k: jax.Array,  # one layer; layout per meta.head_major
+    cache_v: jax.Array,
+    meta: PagedAttnMeta,
+    *,
+    scale: float,
+    sliding_window: int | None = None,
+    window_gate: jax.Array | None = None,  # traced per-layer window on/off
+    logits_softcap: float | None = None,
+    kv_block: int = 1024,
+) -> jax.Array:
+    """Blockwise (flash-style) continuation-chunk attention for LONG spans.
+
+    The dense gather path materializes [B, Hq, T, S] scores — at 32k span
+    that is gigabytes per layer; the right-aligned flash trick pads queries
+    to the span (quadratic waste past ~4k). This op scans the span in
+    `kv_block`-sized key blocks with an online-softmax combine, so peak
+    memory is O(T * kv_block) regardless of context length (the 32k-prefill
+    answer flagged in PERF.md; same recurrence as parallel/ring_attention.py
+    but sequential over the local paged pool instead of over a mesh axis).
+    """
+    B, T, Hq, D = q.shape
+    hm = getattr(meta, "head_major", False)
+    page = cache_k.shape[2] if hm else cache_k.shape[1]
+    Hkv = cache_k.shape[0] if hm else cache_k.shape[2]
+    G = Hq // Hkv
+    MP = meta.block_tables.shape[1]
+    ppb = max(kv_block // page, 1)
+    nb = -(-MP // ppb)
+    pad_mp = nb * ppb
+    tables = meta.block_tables
+    if pad_mp != MP:
+        tables = jnp.pad(tables, ((0, 0), (0, pad_mp - MP)))
+    blk = ppb * page
+    q_ids = (meta.kv_lens - T)[:, None] + jnp.arange(T)[None]  # [B, T]
+    qg = (q.astype(jnp.float32) * scale).reshape(B, T, Hkv, G, D)
+
+    def body(carry, b):
+        m, l, acc = carry
+        tb = jax.lax.dynamic_slice_in_dim(tables, b * ppb, ppb, axis=1)
+        k, v = gather_paged_kv(cache_k, cache_v, tb, head_major=hm)
+        if hm:  # [Hkv, B, blk, D] -> [B, blk, Hkv, D]
+            k = k.transpose(1, 2, 0, 3)
+            v = v.transpose(1, 2, 0, 3)
+        s = jnp.einsum("bthgd,bshd->bhgts", qg, k.astype(jnp.float32))
+        if logits_softcap is not None:
+            s = jnp.tanh(s / logits_softcap) * logits_softcap
+        kv_ids = b * blk + jnp.arange(blk)  # [blk]
+        keep = kv_ids[None, None, :] <= q_ids[:, :, None]  # [B, T, blk]
+        keep &= kv_ids[None, None, :] < meta.kv_lens[:, None, None]
+        if sliding_window is not None:
+            wkeep = kv_ids[None, None, :] > q_ids[:, :, None] - sliding_window
+            if window_gate is not None:  # per-layer alternation (gemma2)
+                wkeep = wkeep | jnp.logical_not(window_gate)
+            keep &= wkeep
+        s = jnp.where(keep[:, None, None], s, NEG_INF)  # [B, Hkv, G, T, blk]
+        bm = jnp.max(s, axis=-1)
+        p = jnp.where(s > NEG_INF / 2, jnp.exp(s - bm[..., None]), 0.0)
+        bl = jnp.sum(p, axis=-1)
+        bo = jnp.einsum("bhgts,bshd->bthgd", p, v.astype(jnp.float32))
+        new_m = jnp.maximum(m, bm)
+        alpha = jnp.exp(m - new_m)
+        beta = jnp.exp(bm - new_m)
+        l = l * alpha + bl * beta
+        a5 = alpha.transpose(0, 3, 1, 2).reshape(B, T, Hkv, G)[..., None]
+        b5 = beta.transpose(0, 3, 1, 2).reshape(B, T, Hkv, G)[..., None]
+        acc = acc * a5 + bo * b5
+        return (new_m, l, acc), None
+
+    m0 = jnp.full((B, Hkv, G, T), NEG_INF, jnp.float32)
+    l0 = jnp.zeros((B, Hkv, G, T), jnp.float32)
+    acc0 = jnp.zeros((B, T, Hkv, G, D), jnp.float32)
+    (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(nb))
+    norm = l.transpose(0, 3, 1, 2).reshape(B, T, Hq)[..., None]
+    out = acc.reshape(B, T, Hq, D) / jnp.maximum(norm, 1e-20)
+    return out.astype(q.dtype)
+
+
 def copy_pages(cache: PagedKVCache, src, dst) -> PagedKVCache:
     """COW page copies, layout-aware (ref cache_engine.rs copy :205)."""
     import jax.numpy as _jnp

@@ -108,7 +108,7 @@ def pp_decoder_forward(
                 bias = jnp.where(use_win, bias_w, bias_f)
                 h, ck, cv = _block(
                     cfg, layer_params, h, c, s, rope.rot_dim, ck, cv,
-                    mmeta, bias,
+                    mmeta, bias, None, use_win,
                 )
                 return h, (ck, cv)
 

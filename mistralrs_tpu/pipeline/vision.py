@@ -26,6 +26,7 @@ from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline, _next_buck
 class VisionPipeline(TextPipeline):
     """TextPipeline + vision tower. `vision_encode(seq)` is model-specific
     (llava / llava-next / idefics2 subclasses or a callback)."""
+    supports_batched_prefill = False  # per-seq prefill state
 
     def __init__(self, cfg, params, rope, pc: PipelineConfig, *,
                  image_token_id: int, encode_images, mesh=None):

@@ -31,6 +31,8 @@ def build_parser() -> argparse.ArgumentParser:
                         "(SURVEY §5: the TPU answer to the reference's tracing)")
     p.add_argument("--tp", type=int, default=None, help="tensor-parallel degree")
     p.add_argument("--dp", type=int, default=1, help="data-parallel degree")
+    p.add_argument("--sp", type=int, default=1,
+                   help="sequence-parallel degree (ring-attention prefill)")
 
     sub = p.add_subparsers(dest="which", required=True)
     plain = sub.add_parser("plain", help="safetensors model directory")
@@ -69,10 +71,10 @@ def main(argv=None):
         ) or (args.prefill_chunk,),
     )
     mesh = None
-    if args.tp or args.dp > 1:
+    if args.tp or args.dp > 1 or args.sp > 1:
         from mistralrs_tpu.parallel.mesh import make_mesh
 
-        mesh = make_mesh(dp=args.dp, tp=args.tp)
+        mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp)
 
     from mistralrs_tpu.api import Runner
 

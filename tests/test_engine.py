@@ -490,3 +490,87 @@ def test_multistep_sampled_deterministic_and_varying():
     assert a == b  # engine seed fixed -> deterministic
     greedy, _ = _real_engine(8).generate(prompt, SamplingParams(max_len=12))
     assert a != greedy  # hot sampling actually samples
+
+
+def test_batched_prefill_matches_sequential():
+    """Two requests admitted together prefill in ONE batched forward
+    (run_prefill_chunks) and produce exactly the single-request outputs."""
+    rng = np.random.default_rng(41)
+    p1 = rng.integers(3, 120, size=7).tolist()
+    p2 = rng.integers(3, 120, size=5).tolist()
+
+    want1, _ = _real_engine(4).generate(p1, SamplingParams(max_len=6))
+    want2, _ = _real_engine(4).generate(p2, SamplingParams(max_len=6))
+
+    eng = _real_engine(4)
+    calls = {"batched": 0, "single": 0}
+    orig_b = eng.pipeline.run_prefill_chunks
+    orig_s = eng.pipeline.run_prefill_chunk
+    eng.pipeline.run_prefill_chunks = lambda items: (
+        calls.__setitem__("batched", calls["batched"] + 1) or orig_b(items))
+    eng.pipeline.run_prefill_chunk = lambda *a, **k: (
+        calls.__setitem__("single", calls["single"] + 1) or orig_s(*a, **k))
+    g1 = eng.add_request(GenerationRequest(list(p1), SamplingParams(max_len=6)))
+    g2 = eng.add_request(GenerationRequest(list(p2), SamplingParams(max_len=6)))
+    while not (g1.all_done() and g2.all_done()):
+        eng.step()
+    assert calls["batched"] >= 1 and calls["single"] == 0, calls
+    assert g1.seqs[0].generated_tokens == want1
+    assert g2.seqs[0].generated_tokens == want2
+
+
+def test_long_context_prefill_blockwise_matches_dense():
+    """A >4k-span prompt routes continuation chunks through the blockwise
+    online-softmax path (decoder _use_blockwise_continuation); greedy output
+    must equal the dense gather path (forced by disabling the gate)."""
+    import json
+
+    import jax.numpy as jnp
+    import torch
+    import transformers as tf
+
+    import mistralrs_tpu.models.decoder as dec
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(47)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=8192, rope_theta=500000.0,
+    )
+    model = tf.LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    rope = make_rope(cfg)
+
+    def build():
+        pipe = TextPipeline(
+            cfg, params, rope,
+            PipelineConfig(page_size=16, num_pages=320, max_seqs=1,
+                           max_model_len=8192, prefill_buckets=(512,),
+                           dtype=jnp.float32),
+        )
+        return Engine(pipe, eos_token_ids=set())
+
+    prompt = np.random.default_rng(51).integers(3, 120, size=4400).tolist()
+
+    used = {"blockwise": 0}
+    orig = dec._use_blockwise_continuation
+
+    def counting(cfg_, T, meta, span):
+        r = orig(cfg_, T, meta, span)
+        used["blockwise"] += bool(r)
+        return r
+
+    dec._use_blockwise_continuation = counting
+    try:
+        got, _ = build().generate(prompt, SamplingParams(max_len=4))
+        assert used["blockwise"] > 0, "blockwise path never engaged"
+        dec._use_blockwise_continuation = lambda *a: False
+        want, _ = build().generate(prompt, SamplingParams(max_len=4))
+    finally:
+        dec._use_blockwise_continuation = orig
+    assert got == want

@@ -172,3 +172,55 @@ def test_head_major_layout_matches_token_major():
         return toks
 
     assert run(True) == run(False)
+
+
+def test_blockwise_continuation_matches_reference():
+    """blockwise_prefill_continuation (online-softmax scan over KV blocks)
+    == gather+dense paged_attention_reference, at a span that on the real
+    path would engage it (>4k), incl. sliding-window / softcap / window-gate
+    variants and both pool layouts."""
+    from mistralrs_tpu.ops.paged_attention import (
+        blockwise_prefill_continuation,
+        paged_attention_reference,
+        write_paged_kv,
+    )
+
+    B, T, Hq, Hkv, D, page = 2, 8, 4, 2, 16, 4
+    MP = 1088  # span 4352 > 4096
+    rng = np.random.default_rng(3)
+    for hm in (False, True):
+        num_pages = 64
+        shape = ((1, Hkv, num_pages, page, D) if hm
+                 else (1, num_pages, page, Hkv, D))
+        ck = jnp.asarray(rng.standard_normal(shape[1:]), jnp.float32)
+        cv = jnp.asarray(rng.standard_normal(shape[1:]), jnp.float32)
+        # each row's logical blocks cycle through the small pool (the op only
+        # reads pages the mask keeps, so repeated pages are fine)
+        tables = np.stack([
+            (np.arange(MP) % (num_pages - 1)) + 1 for _ in range(B)
+        ]).astype(np.int32)
+        kv_lens = np.asarray([150, 37], np.int32)  # includes the chunk
+        q = jnp.asarray(rng.standard_normal((B, T, Hq, D)), jnp.float32)
+        meta = PagedAttnMeta(
+            positions=jnp.asarray(kv_lens[:, None] - T + np.arange(T)[None]),
+            slot_mapping=jnp.zeros((B, T), jnp.int32),
+            block_tables=jnp.asarray(tables),
+            kv_lens=jnp.asarray(kv_lens),
+            active=jnp.ones((B,), jnp.float32),
+            head_major=hm,
+        )
+        scale = D**-0.5
+        for win, cap, gate in [(None, None, None), (64, None, None),
+                               (None, 30.0, None),
+                               (64, None, jnp.asarray(True)),
+                               (64, None, jnp.asarray(False))]:
+            # reference path masks by the same rules
+            eff_win = win if gate is None or bool(gate) else None
+            want = np.asarray(paged_attention_reference(
+                q, ck, cv, meta, scale=scale, sliding_window=eff_win,
+                logits_softcap=cap))
+            got = np.asarray(blockwise_prefill_continuation(
+                q, ck, cv, meta, scale=scale, sliding_window=win,
+                window_gate=gate, logits_softcap=cap, kv_block=256))
+            np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5,
+                                       err_msg=f"hm={hm} win={win} cap={cap}")
