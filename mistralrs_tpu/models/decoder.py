@@ -75,8 +75,8 @@ def _use_flash_continuation(cfg: ModelConfig, T: int, meta, span: int) -> bool:
         return False
     # the right-aligned trick pads q to the full span: S^2/2 flash FLOPs vs
     # the dense path's T*S score bytes. Breakeven ~ S = 11*T; beyond 4k span
-    # the quadratic padding loses (block-sparse splash masks are the 32k+
-    # answer, future work)
+    # the quadratic padding loses and the blockwise online-softmax path
+    # takes over (_use_blockwise_continuation)
     if span % 128 or span > 4096:
         return False
     if cfg.attn_logit_softcap is not None:
