@@ -81,13 +81,13 @@ class Engine:
         self.decode_steps = 1 if self.is_speculative else max(
             1, getattr(pc, "decode_steps", 1)
         )
-        batched_prefill_ok = getattr(pipeline, "supports_batched_prefill", False)
+        self.batched_prefill_ok = getattr(pipeline, "supports_batched_prefill", False)
         self.scheduler = Scheduler(
             self.block_manager,
             max_seqs=pc.max_seqs,
             prefill_batch=(
                 min(getattr(pc, "prefill_batch", 1), pc.max_seqs)
-                if batched_prefill_ok else 1
+                if self.batched_prefill_ok else 1
             ),
             prefix_cacher=self.prefix_cacher,
             lookahead=(pipeline.gamma + 1) if self.is_speculative else self.decode_steps,
@@ -185,8 +185,7 @@ class Engine:
         try:
             if out.prefill:
                 before = sum(s.prefill_done_tokens for s in out.prefill)
-                if (len(out.prefill) > 1
-                        and getattr(self.pipeline, "supports_batched_prefill", False)):
+                if len(out.prefill) > 1 and self.batched_prefill_ok:
                     self._prefill_batch(out.prefill)
                 else:
                     for seq in out.prefill:

@@ -23,6 +23,54 @@ import jax.numpy as jnp
 NEG_INF = float(jnp.finfo(jnp.float32).min)
 
 
+def block_attend(qg, k, v, keep, *, logits_softcap=None):
+    """Partial attention of queries against ONE key/value block, in
+    running-softmax form (the flash/blockwise/ring building block).
+
+    qg: [B, T, Hkv, G, D] pre-scaled queries (GQA group axis folded out of
+    the KV heads); k/v: [B, S, Hkv, D]; keep: boolean mask broadcastable to
+    [B, T, S]. Returns (bm, bl, bo) with bm/bl [B, Hkv, G, T] (block max /
+    exp-sum) and bo [B, T, Hkv, G, D] (unnormalized block output). Fully
+    masked rows yield bm=NEG_INF (finite), bl=0, bo=0 — safe to combine.
+    """
+    s = jnp.einsum("bthgd,bshd->bhgts", qg, k,
+                   preferred_element_type=jnp.float32)
+    if logits_softcap is not None:
+        s = jnp.tanh(s / logits_softcap) * logits_softcap
+    keep = jnp.broadcast_to(keep, s.shape[:1] + s.shape[3:])  # [B, T, S]
+    s = jnp.where(keep[:, None, None], s, NEG_INF)
+    bm = jnp.max(s, axis=-1)  # [B, Hkv, G, T]
+    # rows fully masked: exp(NEG_INF - NEG_INF) = 1 -> zero them explicitly
+    p = jnp.where(s > NEG_INF / 2, jnp.exp(s - bm[..., None]), 0.0)
+    bl = jnp.sum(p, axis=-1)
+    bo = jnp.einsum("bhgts,bshd->bthgd", p, v.astype(jnp.float32))
+    return bm, bl, bo
+
+
+def flash_combine(m, l, acc, bm, bl, bo):
+    """Merge one block's (bm, bl, bo) into the running (m, l, acc)
+    accumulators (online-softmax rescale). m/l/bm/bl: [B, Hkv, G, T];
+    acc/bo: [B, T, Hkv, G, D]. NEG_INF is finite, so never-attended rows
+    combine as identity."""
+    new_m = jnp.maximum(m, bm)
+    alpha = jnp.exp(m - new_m)
+    beta = jnp.exp(bm - new_m)
+    l = l * alpha + bl * beta
+
+    def expand(x):  # [B, Hkv, G, T] -> [B, T, Hkv, G, 1]
+        return x.transpose(0, 3, 1, 2)[..., None]
+
+    acc = acc * expand(alpha).astype(acc.dtype) + bo * expand(beta).astype(acc.dtype)
+    return new_m, l, acc
+
+
+def finalize_flash(l, acc):
+    """acc [B, T, Hkv, G, D] / l [B, Hkv, G, T] -> [B, T, Hkv*G, D]."""
+    B, T, Hkv, G, D = acc.shape
+    norm = l.transpose(0, 3, 1, 2).reshape(B, T, Hkv * G)[..., None]
+    return acc.reshape(B, T, Hkv * G, D) / jnp.maximum(norm, 1e-20).astype(acc.dtype)
+
+
 def causal_mask_bias(
     q_len: int,
     kv_len: int,

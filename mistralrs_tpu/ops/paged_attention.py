@@ -338,6 +338,8 @@ def blockwise_prefill_continuation(
     answer flagged in PERF.md; same recurrence as parallel/ring_attention.py
     but sequential over the local paged pool instead of over a mesh axis).
     """
+    from mistralrs_tpu.ops.attention import block_attend, finalize_flash, flash_combine
+
     B, T, Hq, D = q.shape
     hm = getattr(meta, "head_major", False)
     page = cache_k.shape[2] if hm else cache_k.shape[1]
@@ -355,15 +357,11 @@ def blockwise_prefill_continuation(
     qg = (q.astype(jnp.float32) * scale).reshape(B, T, Hkv, G, D)
 
     def body(carry, b):
-        m, l, acc = carry
         tb = jax.lax.dynamic_slice_in_dim(tables, b * ppb, ppb, axis=1)
         k, v = gather_paged_kv(cache_k, cache_v, tb, head_major=hm)
         if hm:  # [Hkv, B, blk, D] -> [B, blk, Hkv, D]
             k = k.transpose(1, 2, 0, 3)
             v = v.transpose(1, 2, 0, 3)
-        s = jnp.einsum("bthgd,bshd->bhgts", qg, k.astype(jnp.float32))
-        if logits_softcap is not None:
-            s = jnp.tanh(s / logits_softcap) * logits_softcap
         kv_ids = b * blk + jnp.arange(blk)  # [blk]
         keep = kv_ids[None, None, :] <= q_ids[:, :, None]  # [B, T, blk]
         keep &= kv_ids[None, None, :] < meta.kv_lens[:, None, None]
@@ -372,27 +370,15 @@ def blockwise_prefill_continuation(
             if window_gate is not None:  # per-layer alternation (gemma2)
                 wkeep = wkeep | jnp.logical_not(window_gate)
             keep &= wkeep
-        s = jnp.where(keep[:, None, None], s, NEG_INF)  # [B, Hkv, G, T, blk]
-        bm = jnp.max(s, axis=-1)
-        p = jnp.where(s > NEG_INF / 2, jnp.exp(s - bm[..., None]), 0.0)
-        bl = jnp.sum(p, axis=-1)
-        bo = jnp.einsum("bhgts,bshd->bthgd", p, v.astype(jnp.float32))
-        new_m = jnp.maximum(m, bm)
-        alpha = jnp.exp(m - new_m)
-        beta = jnp.exp(bm - new_m)
-        l = l * alpha + bl * beta
-        a5 = alpha.transpose(0, 3, 1, 2).reshape(B, T, Hkv, G)[..., None]
-        b5 = beta.transpose(0, 3, 1, 2).reshape(B, T, Hkv, G)[..., None]
-        acc = acc * a5 + bo * b5
-        return (new_m, l, acc), None
+        blkstats = block_attend(qg, k.astype(jnp.float32), v, keep,
+                                logits_softcap=logits_softcap)
+        return flash_combine(*carry, *blkstats), None
 
     m0 = jnp.full((B, Hkv, G, T), NEG_INF, jnp.float32)
     l0 = jnp.zeros((B, Hkv, G, T), jnp.float32)
     acc0 = jnp.zeros((B, T, Hkv, G, D), jnp.float32)
     (m, l, acc), _ = jax.lax.scan(body, (m0, l0, acc0), jnp.arange(nb))
-    norm = l.transpose(0, 3, 1, 2).reshape(B, T, Hq)[..., None]
-    out = acc.reshape(B, T, Hq, D) / jnp.maximum(norm, 1e-20)
-    return out.astype(q.dtype)
+    return finalize_flash(l, acc).astype(q.dtype)
 
 
 def copy_pages(cache: PagedKVCache, src, dst) -> PagedKVCache:

@@ -20,8 +20,6 @@ deliberately keeps the pp mesh single-axis (no tp mixing inside a stage).
 
 from __future__ import annotations
 
-import functools
-
 import jax
 import jax.numpy as jnp
 import numpy as np

@@ -359,15 +359,12 @@ class TextPipeline:
         kv_lens = np.ones((B,), np.int32)
         active = np.zeros((B,), np.float32)
         last_idx = np.zeros((B,), np.int32)
-        ps = self.pc.page_size
         for i, (toks, start, table_row) in enumerate(rows):
             m = len(toks)
             assert 0 < m <= W
             ids[i, :m] = toks
             positions[i, :m] = np.arange(start, start + m)
-            for j in range(m):
-                pos = start + j
-                slot_mapping[i, j] = table_row[pos // ps] * ps + pos % ps
+            slot_mapping[i, :m] = self._slots(table_row, start, m)
             block_tables[i, : min(len(table_row), tw)] = table_row[:tw]
             # padded-width trick (see run_prefill_chunk): q_offset = kv_lens - W
             kv_lens[i] = start + W
@@ -448,6 +445,15 @@ class TextPipeline:
         page = seq.block_table[pos // self.pc.page_size]
         return page * self.pc.page_size + pos % self.pc.page_size
 
+    def _slots(self, table, start: int, m: int) -> np.ndarray:
+        """Vectorized flat slots for positions start..start+m over a block
+        table (list or array) — the per-token Python loop is measurable on
+        this 1-core host at batch x 512-token chunks."""
+        ps = self.pc.page_size
+        pos = np.arange(start, start + m)
+        table = np.asarray(table, np.int32)
+        return table[pos // ps] * ps + pos % ps
+
     # ------------------------------------------------------------- decode
     def run_decode(self, seqs: list[Sequence], greedy: bool = False,
                    mode: str | None = None) -> np.ndarray:
@@ -516,8 +522,7 @@ class TextPipeline:
         positions = np.zeros((1, T), np.int32)
         positions[0, :n] = np.arange(start, start + n)
         slot_mapping = np.zeros((1, T), np.int32)
-        for j in range(n):
-            slot_mapping[0, j] = self._slot(seq, start + j)
+        slot_mapping[0, :n] = self._slots(seq.block_table, start, n)
         block_tables = self._tables_row(seq, self._width_for_tokens(start + T))[None]
         # The decoder derives q_offset as kv_lens - T; with the chunk padded
         # from n to T, pass start + T so real queries get q_pos = start + j.
@@ -560,15 +565,12 @@ class TextPipeline:
         kv_lens = np.ones((B,), np.int32)
         active = np.zeros((B,), np.float32)
         last_idx = np.zeros((B,), np.int32)
-        ps = self.pc.page_size
         for i, (seq, chunk) in enumerate(items):
             start = seq.prefill_done_tokens
             m = len(chunk)
             ids[i, :m] = chunk
             positions[i, :m] = np.arange(start, start + m)
-            for j in range(m):
-                pos = start + j
-                slot_mapping[i, j] = self._slot(seq, pos)
+            slot_mapping[i, :m] = self._slots(seq.block_table, start, m)
             block_tables[i] = self._tables_row(seq, width)
             # padded-width trick (see run_prefill_chunk)
             kv_lens[i] = start + T
