@@ -109,9 +109,11 @@ class BlockManager:
         return cow
 
     def fork(self, parent: Sequence, child: Sequence) -> None:
-        """Share parent's pages with child (prefix cache / beam fork)."""
+        """Share parent's pages with child (prefix cache / beam fork);
+        window-released placeholder entries are copied but not referenced."""
         child.block_table = list(parent.block_table)
-        for p in child.block_table:
+        child.released_pages = parent.released_pages
+        for p in child.block_table[parent.released_pages:]:
             self.refcount[p] = self.refcount.get(p, 0) + 1
 
     def share_prefix(self, seq: Sequence, pages: list[int]) -> None:
@@ -121,7 +123,7 @@ class BlockManager:
             self.refcount[p] = self.refcount.get(p, 0) + 1
 
     def free_sequence(self, seq: Sequence) -> None:
-        for p in seq.block_table:
+        for p in seq.block_table[seq.released_pages:]:
             rc = self.refcount.get(p, 0) - 1
             if rc <= 0:
                 self.refcount.pop(p, None)
@@ -129,6 +131,17 @@ class BlockManager:
             else:
                 self.refcount[p] = rc
         seq.block_table = []
+        seq.released_pages = 0
+
+    def release_prefix(self, seq: Sequence, n: int) -> None:
+        """Early-release whole pages strictly behind a sliding window:
+        frees block_table[released, n) while keeping the entries as
+        positional placeholders (never gathered — the decode paths slice
+        tables from the window base). The paged equivalent of the
+        reference's sliding-window KV truncation (cache_manager.rs:101-154)."""
+        n = min(n, len(seq.block_table))
+        self.unref_pages(seq.block_table[seq.released_pages : n])
+        seq.released_pages = max(seq.released_pages, n)
 
     def ref_pages(self, pages: list[int]) -> None:
         """Take an ownership reference on pages (prefix cache retention)."""
@@ -216,6 +229,10 @@ class NativeBlockManager:
     def fork(self, parent: Sequence, child: Sequence) -> None:
         self._lib.bm_share_prefix(self._h, child.id, self._arr(parent.block_table),
                                   len(parent.block_table))
+        if parent.released_pages:
+            # window-released placeholders must not hold references
+            self._lib.bm_release_prefix(self._h, child.id, parent.released_pages)
+            child.released_pages = parent.released_pages
         self._sync_table(child)
 
     def share_prefix(self, seq: Sequence, pages: list[int]) -> None:
@@ -225,6 +242,11 @@ class NativeBlockManager:
     def free_sequence(self, seq: Sequence) -> None:
         self._lib.bm_free_seq(self._h, seq.id)
         seq.block_table = []
+        seq.released_pages = 0
+
+    def release_prefix(self, seq: Sequence, n: int) -> None:
+        self._lib.bm_release_prefix(self._h, seq.id, n)
+        seq.released_pages = max(seq.released_pages, min(n, len(seq.block_table)))
 
     def ref_pages(self, pages: list[int]) -> None:
         if pages:

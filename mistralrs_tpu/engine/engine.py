@@ -195,6 +195,7 @@ class Engine:
                 before = sum(len(s.tokens) for s in out.decode)
                 self._decode_batch(out.decode)
                 n_decode = sum(len(s.tokens) for s in out.decode) - before
+                self._release_window_pages(out.decode)
         except Exception as e:  # noqa: BLE001
             # ref handle_pipeline_forward_error! (pipeline/macros.rs, used at
             # engine/mod.rs:157-164): a forward error terminates the seqs in
@@ -207,6 +208,20 @@ class Engine:
                 "prompt_tok_s": n_prefill / dt if n_prefill else 0.0,
                 "completion_tok_s": n_decode / dt if n_decode else 0.0,
             }
+
+    def _release_window_pages(self, seqs: list[Sequence]) -> None:
+        """For all-layers-sliding-window models, hand whole pages strictly
+        behind the window back to the pool (decode slices tables from the
+        window base, so they are never read again) — the paged equivalent of
+        the reference's sliding-window KV truncation (cache_manager.rs
+        :101-154). Frees real capacity for long-running streams."""
+        base_fn = getattr(self.pipeline, "_window_base_pages", None)
+        if base_fn is None or not hasattr(self.block_manager, "release_prefix"):
+            return
+        for seq in seqs:
+            base = base_fn(seq.kv_len)
+            if base > seq.released_pages:
+                self.block_manager.release_prefix(seq, base)
 
     def _fail_batch(self, seqs: list[Sequence], err: Exception) -> None:
         import logging

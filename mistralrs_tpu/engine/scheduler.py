@@ -153,8 +153,11 @@ class Scheduler:
         for s in done:
             # retain the finished sequence's full pages as a cached prefix
             # (ref sampling.rs finish path -> prefix_cacher.add_sequence :58)
-            if self.prefix_cacher is not None and s.stop_reason is not StopReason.ERROR:
-                # errored seqs may hold partially-written KV pages
+            if (self.prefix_cacher is not None
+                    and s.stop_reason is not StopReason.ERROR
+                    and s.released_pages == 0):
+                # errored seqs may hold partially-written KV pages; window-
+                # released seqs have freed part of their prefix
                 self.prefix_cacher.insert(s.tokens, s.block_table, s.kv_len)
             self.bm.free_sequence(s)
             self.running.remove(s)

@@ -76,6 +76,9 @@ class Sequence:
         self.state = SequenceState.WAITING
         self.stop_reason: StopReason | None = None
         self.finish_error: str | None = None  # error detail when stop=ERROR
+        # whole pages handed back early (sliding-window release); entries
+        # [0, released_pages) of block_table are stale placeholders
+        self.released_pages = 0
         self.group = group
         self.recognizer = recognizer  # grammar recognizer state (aici port)
         self.suffix_prompt_tokens = suffix_prompt_tokens or []

@@ -47,6 +47,7 @@ def runtime_lib() -> "ctypes.CDLL | None":
             "bm_can_append": ([p, i64, i32, i32], i32),
             "bm_append_slots": ([p, i64, i32, i32], i64),
             "bm_free_seq": ([p, i64], None),
+            "bm_release_prefix": ([p, i64, i32], None),
             "bm_table_len": ([p, i64], i32),
             "bm_get_table": ([p, i64, i32p], None),
             "bm_share_prefix": ([p, i64, i32p, i32], None),

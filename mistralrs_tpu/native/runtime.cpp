@@ -18,6 +18,10 @@ namespace {
 
 struct SeqState {
   std::vector<int32_t> table;
+  // pages [0, released) were handed back early (sliding-window release);
+  // their table entries stay as positional placeholders and must not be
+  // freed again when the sequence ends
+  int32_t released = 0;
 };
 
 struct BlockManager {
@@ -138,8 +142,25 @@ void bm_free_seq(void* h, int64_t seq) {
   auto* bm = static_cast<BlockManager*>(h);
   auto it = bm->seqs.find(seq);
   if (it == bm->seqs.end()) return;
-  for (int32_t p : it->second.table) bm->release(p);
+  auto& st = it->second;
+  for (size_t i = st.released; i < st.table.size(); ++i)
+    bm->release(st.table[i]);
   bm->seqs.erase(it);
+}
+
+// Early-release whole pages strictly behind a sliding window: frees
+// table[released, n) while keeping the entries as positional placeholders
+// (the paged equivalent of the reference's sliding-window KV truncation,
+// cache_manager.rs:101-154).
+void bm_release_prefix(void* h, int64_t seq, int32_t n) {
+  auto* bm = static_cast<BlockManager*>(h);
+  auto it = bm->seqs.find(seq);
+  if (it == bm->seqs.end()) return;
+  auto& st = it->second;
+  if (n > static_cast<int32_t>(st.table.size()))
+    n = static_cast<int32_t>(st.table.size());
+  for (int32_t i = st.released; i < n; ++i) bm->release(st.table[i]);
+  if (n > st.released) st.released = n;
 }
 
 int32_t bm_table_len(void* h, int64_t seq) {

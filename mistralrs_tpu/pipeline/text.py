@@ -196,16 +196,20 @@ class TextPipeline:
         T = self.pc.decode_steps
         hm = self.head_major
 
-        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(7,))
+        @functools.partial(jax.jit, donate_argnums=(1,), static_argnums=(8,))
         def multistep(params, cache, ids, kv_lens, block_tables, active,
-                      sample_args, sampled=False):
+                      pos_off, sample_args, sampled=False):
+            # kv_lens/tables may be window-relative (sliced from the window
+            # base); pos_off restores absolute positions for rope. Slot
+            # page-index arithmetic is base-invariant: (kvl+off)//ps - base
+            # == kvl//ps since off = base*ps.
             def body(carry, _):
                 ids, kvl, cache, key = carry
-                pos = kvl[:, None]  # [B, 1]
+                pos = kvl[:, None]  # [B, 1] window-relative
                 page = jnp.take_along_axis(block_tables, pos // ps, axis=1)
                 slot = page * ps + pos % ps
                 meta = PagedAttnMeta(
-                    positions=pos,
+                    positions=pos + pos_off[:, None],
                     slot_mapping=slot,
                     block_tables=block_tables,
                     kv_lens=kvl + 1,
@@ -273,15 +277,21 @@ class TextPipeline:
         B = self.pc.max_seqs
         T = self.pc.decode_steps
         n = len(seqs)
-        width = self._table_width(seqs, T)
+        ps = self.pc.page_size
+        bases = [self._window_base_pages(s.kv_len) for s in seqs]
+        width = self._table_width(seqs, T, bases)
         ids = np.zeros((B,), np.int32)
         kv_lens = np.zeros((B,), np.int32)
+        pos_off = np.zeros((B,), np.int32)
         block_tables = np.zeros((B, width), np.int32)
         active = np.zeros((B,), np.float32)
-        for i, seq in enumerate(seqs):
+        for i, (seq, base) in enumerate(zip(seqs, bases)):
             ids[i] = seq.tokens[-1]
-            kv_lens[i] = seq.kv_len
-            block_tables[i] = self._tables_row(seq, width)
+            # masks/tables run window-relative; rope gets absolute positions
+            # back via pos_off (see _window_base_pages)
+            kv_lens[i] = seq.kv_len - base * ps
+            pos_off[i] = base * ps
+            block_tables[i] = self._tables_row(seq, width, base)
             active[i] = 1.0
         if sampling is None:
             sample_args = None
@@ -299,7 +309,8 @@ class TextPipeline:
         toks, raws, lps, self.cache = self._multistep_fn(
             self.params, self.cache,
             jnp.asarray(ids), jnp.asarray(kv_lens), jnp.asarray(block_tables),
-            jnp.asarray(active), sample_args, sampling is not None,
+            jnp.asarray(active), jnp.asarray(pos_off), sample_args,
+            sampling is not None,
         )
         for seq in seqs:
             seq.kv_len += T
@@ -415,16 +426,32 @@ class TextPipeline:
         return logits
 
     # ------------------------------------------------------------- helpers
-    def _tables_row(self, seq: Sequence, width: int | None = None) -> np.ndarray:
+    def _tables_row(self, seq: Sequence, width: int | None = None,
+                    base: int = 0) -> np.ndarray:
         width = width or self.max_pages_per_seq
         row = np.zeros(width, np.int32)
-        bt = seq.block_table[:width]
+        bt = seq.block_table[base : base + width]
         row[: len(bt)] = bt
         return row
 
-    def _table_width(self, seqs: list[Sequence], lookahead: int) -> int:
+    def _window_base_pages(self, kv_len: int) -> int:
+        """Whole pages strictly behind the sliding window: attention can
+        skip them entirely when EVERY layer is windowed (pattern "all" —
+        mistral/phi3 style). The decode paths pass the table sliced from
+        this base with *virtual* kv_lens (absolute rope positions ride in
+        `positions`), so long-context decode never gathers dead history —
+        the paged equivalent of the reference's sliding-window KV truncation
+        (cache_manager.rs:101-154)."""
+        w = self.cfg.sliding_window
+        if w is None or self.cfg.sliding_window_pattern != "all":
+            return 0
+        return max(0, kv_len - w) // self.pc.page_size
+
+    def _table_width(self, seqs: list[Sequence], lookahead: int,
+                     bases: list[int] | None = None) -> int:
         """Page-bucketed block-table width covering every row's context span
-        plus `lookahead` tokens about to be written.
+        plus `lookahead` tokens about to be written (minus each row's
+        behind-the-window base when `bases` is given).
 
         Decode attention streams the whole static table span per row (gather
         path) — padding the tables to max_model_len makes batched decode
@@ -432,7 +459,11 @@ class TextPipeline:
         of mostly-dead gather per step at 7B shapes, vs the 3.9GB weight
         stream). Power-of-two page buckets keep the set of compiled step-fn
         variants small while the gather only touches the live span."""
-        return self._width_for_tokens(max(s.kv_len for s in seqs) + lookahead)
+        bases = bases or [0] * len(seqs)
+        ps = self.pc.page_size
+        return self._width_for_tokens(max(
+            s.kv_len + lookahead - b * ps for s, b in zip(seqs, bases)
+        ))
 
     def _width_for_tokens(self, need_tok: int) -> int:
         need = -(-need_tok // self.pc.page_size)
@@ -466,7 +497,9 @@ class TextPipeline:
         mode = mode or ("greedy" if greedy else "full")
         B = self.pc.max_seqs
         assert len(seqs) <= B
-        width = self._table_width(seqs, 1)
+        ps = self.pc.page_size
+        bases = [self._window_base_pages(s.kv_len) for s in seqs]
+        width = self._table_width(seqs, 1, bases)
         ids = np.zeros((B, 1), np.int32)
         positions = np.zeros((B, 1), np.int32)
         slot_mapping = np.zeros((B, 1), np.int32)  # page-0 garbage for padding
@@ -474,13 +507,14 @@ class TextPipeline:
         kv_lens = np.ones((B,), np.int32)  # 1 for padding rows: avoids NaN rows
         active = np.zeros((B,), np.float32)
         temps = np.ones((B,), np.float32)
-        for i, seq in enumerate(seqs):
+        for i, (seq, base) in enumerate(zip(seqs, bases)):
             pos = seq.kv_len
             ids[i, 0] = seq.tokens[-1]
-            positions[i, 0] = pos
+            positions[i, 0] = pos  # absolute (rope)
             slot_mapping[i, 0] = self._slot(seq, pos)
-            block_tables[i] = self._tables_row(seq, width)
-            kv_lens[i] = pos + 1
+            block_tables[i] = self._tables_row(seq, width, base)
+            # masks run on window-relative ids (see _window_base_pages)
+            kv_lens[i] = pos + 1 - base * ps
             active[i] = 1.0
             if seq.sampling.temperature is not None:
                 temps[i] = seq.sampling.temperature

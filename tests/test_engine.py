@@ -574,3 +574,118 @@ def test_long_context_prefill_blockwise_matches_dense():
     finally:
         dec._use_blockwise_continuation = orig
     assert got == want
+
+
+def test_windowed_decode_slicing_matches_full_table():
+    """Sliding-window models decode with the block table sliced to the
+    window span (TextPipeline._window_base_pages); greedy output past the
+    window boundary must match the full-table path (base forced to 0)."""
+    import json
+
+    import jax.numpy as jnp
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(61)
+    hf_cfg = tf.MistralConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=512, sliding_window=24,
+    )
+    model = tf.MistralForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    assert cfg.sliding_window == 24 and cfg.sliding_window_pattern == "all"
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    rope = make_rope(cfg)
+
+    def build(windowed):
+        pipe = TextPipeline(
+            cfg, params, rope,
+            PipelineConfig(page_size=4, num_pages=64, max_seqs=2,
+                           max_model_len=256, prefill_buckets=(16,),
+                           dtype=jnp.float32, decode_steps=4),
+        )
+        if not windowed:
+            pipe._window_base_pages = lambda kv_len: 0
+        return Engine(pipe, eos_token_ids=set())
+
+    prompt = np.random.default_rng(67).integers(3, 120, size=30).tolist()
+    # 40 generated tokens: kv_len crosses several window bases
+    sp = SamplingParams(max_len=40)
+    want, _ = build(False).generate(prompt, sp)
+    got, _ = build(True).generate(prompt, sp)
+    assert got == want
+    # sampled multistep path through the sliced tables too
+    sp2 = SamplingParams(temperature=1.2, top_k=8, max_len=40)
+    want2, _ = build(False).generate(prompt, sp2)
+    got2, _ = build(True).generate(prompt, sp2)
+    assert got2 == want2
+
+
+def test_window_release_reclaims_pages_and_stays_correct():
+    """Pages strictly behind the sliding window return to the pool while the
+    sequence is still decoding (block_manager.release_prefix), concurrent
+    sequences reuse them, and outputs still match the no-release path."""
+    import json
+
+    import jax.numpy as jnp
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(71)
+    hf_cfg = tf.MistralConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=512, sliding_window=16,
+    )
+    model = tf.MistralForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    rope = make_rope(cfg)
+
+    def build(release):
+        pipe = TextPipeline(
+            cfg, params, rope,
+            PipelineConfig(page_size=4, num_pages=48, max_seqs=2,
+                           max_model_len=256, prefill_buckets=(16,),
+                           dtype=jnp.float32, decode_steps=4),
+        )
+        eng = Engine(pipe, eos_token_ids=set(), prefix_cache=False)
+        if not release:
+            eng._release_window_pages = lambda seqs: None
+        return eng
+
+    rng = np.random.default_rng(73)
+    p1 = rng.integers(3, 120, size=20).tolist()
+    p2 = rng.integers(3, 120, size=12).tolist()
+
+    ref = build(False)
+    w1, _ = ref.generate(p1, SamplingParams(max_len=60))
+    w2, _ = ref.generate(p2, SamplingParams(max_len=40))
+
+    eng = build(True)
+    g1 = eng.add_request(GenerationRequest(list(p1), SamplingParams(max_len=60)))
+    g2 = eng.add_request(GenerationRequest(list(p2), SamplingParams(max_len=40)))
+    min_free_seen = eng.block_manager.num_free
+    released_seen = 0
+    while eng.has_work:
+        eng.step()
+        min_free_seen = min(min_free_seen, eng.block_manager.num_free)
+        released_seen = max(released_seen,
+                            max((s.released_pages for s in (g1.seqs + g2.seqs)),
+                                default=0))
+    assert released_seen > 0, "no pages were window-released"
+    assert g1.seqs[0].generated_tokens == w1
+    assert g2.seqs[0].generated_tokens == w2
+    # all pages back after finish (no leak, no double-free)
+    assert eng.block_manager.num_free == 47  # num_pages - reserved page 0
