@@ -557,11 +557,18 @@ class TextPipeline:
         positions[0, :n] = np.arange(start, start + n)
         slot_mapping = np.zeros((1, T), np.int32)
         slot_mapping[0, :n] = self._slots(seq.block_table, start, n)
-        block_tables = self._tables_row(seq, self._width_for_tokens(start + T))[None]
+        # window models: slice the table from the window base of the chunk's
+        # OLDEST query (start); masks are shift-invariant, rope rides on the
+        # absolute `positions` (see _window_base_pages)
+        base = self._window_base_pages(start)
+        block_tables = self._tables_row(
+            seq, self._width_for_tokens(start + T - base * self.pc.page_size),
+            base,
+        )[None]
         # The decoder derives q_offset as kv_lens - T; with the chunk padded
         # from n to T, pass start + T so real queries get q_pos = start + j.
         # Causal masking keeps them within the valid kv range regardless.
-        kv_lens = np.asarray([start + T], np.int32)
+        kv_lens = np.asarray([start + T - base * self.pc.page_size], np.int32)
         active = np.ones((1,), np.float32)
         last_idx = np.asarray([n - 1], np.int32)
         logits = self._run(ids, positions, slot_mapping, block_tables, kv_lens,
@@ -589,9 +596,11 @@ class TextPipeline:
         assert 0 < n <= B
         T = _next_bucket(max(len(c) for _, c in items), self.pc.prefill_buckets)
         first = all(s.prefill_done_tokens == 0 for s, _ in items)
-        width = self._width_for_tokens(
-            max(s.prefill_done_tokens + T for s, _ in items)
-        )
+        ps = self.pc.page_size
+        bases = [self._window_base_pages(s.prefill_done_tokens) for s, _ in items]
+        width = self._width_for_tokens(max(
+            s.prefill_done_tokens + T - b * ps for (s, _), b in zip(items, bases)
+        ))
         ids = np.zeros((B, T), np.int32)
         positions = np.zeros((B, T), np.int32)
         slot_mapping = np.zeros((B, T), np.int32)  # page-0 garbage for padding
@@ -599,15 +608,16 @@ class TextPipeline:
         kv_lens = np.ones((B,), np.int32)
         active = np.zeros((B,), np.float32)
         last_idx = np.zeros((B,), np.int32)
-        for i, (seq, chunk) in enumerate(items):
+        for i, ((seq, chunk), base) in enumerate(zip(items, bases)):
             start = seq.prefill_done_tokens
             m = len(chunk)
             ids[i, :m] = chunk
             positions[i, :m] = np.arange(start, start + m)
             slot_mapping[i, :m] = self._slots(seq.block_table, start, m)
-            block_tables[i] = self._tables_row(seq, width)
-            # padded-width trick (see run_prefill_chunk)
-            kv_lens[i] = start + T
+            block_tables[i] = self._tables_row(seq, width, base)
+            # padded-width trick (see run_prefill_chunk); kv_lens/tables are
+            # window-relative for window models (see _window_base_pages)
+            kv_lens[i] = start + T - base * ps
             active[i] = 1.0
             last_idx[i] = m - 1
         self._run(ids, positions, slot_mapping, block_tables, kv_lens,

@@ -614,7 +614,9 @@ def test_windowed_decode_slicing_matches_full_table():
             pipe._window_base_pages = lambda kv_len: 0
         return Engine(pipe, eos_token_ids=set())
 
-    prompt = np.random.default_rng(67).integers(3, 120, size=30).tolist()
+    # 70-token prompt: continuation chunks start past the window, so the
+    # PREFILL table slicing engages too (base > 0 at start >= 40)
+    prompt = np.random.default_rng(67).integers(3, 120, size=70).tolist()
     # 40 generated tokens: kv_len crosses several window bases
     sp = SamplingParams(max_len=40)
     want, _ = build(False).generate(prompt, sp)
