@@ -691,3 +691,60 @@ def test_window_release_reclaims_pages_and_stays_correct():
     assert g2.seqs[0].generated_tokens == w2
     # all pages back after finish (no leak, no double-free)
     assert eng.block_manager.num_free == 47  # num_pages - reserved page 0
+
+
+def test_window_release_survives_preemption():
+    """Preempt-by-recompute on sequences that already window-released pages:
+    free_sequence must skip the released prefix (no double-free), recompute
+    restarts cleanly, and outputs still match an uncontended run."""
+    import json
+
+    import jax.numpy as jnp
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(79)
+    hf_cfg = tf.MistralConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=512, sliding_window=16,
+    )
+    model = tf.MistralForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    rope = make_rope(cfg)
+
+    def build(num_pages):
+        pipe = TextPipeline(
+            cfg, params, rope,
+            PipelineConfig(page_size=4, num_pages=num_pages, max_seqs=3,
+                           max_model_len=256, prefill_buckets=(16,),
+                           dtype=jnp.float32, decode_steps=4),
+        )
+        return Engine(pipe, eos_token_ids=set(), prefix_cache=False)
+
+    rng = np.random.default_rng(83)
+    prompts = [rng.integers(3, 120, size=n).tolist() for n in (20, 16, 12)]
+    lens = (40, 30, 24)
+
+    roomy = build(96)
+    want = [roomy.generate(list(p), SamplingParams(max_len=n))[0]
+            for p, n in zip(prompts, lens)]
+
+    # 17 usable pages: 3 seqs x (5+ pages prompt + growth) forces preemption
+    eng = build(18)
+    groups = [eng.add_request(GenerationRequest(list(p), SamplingParams(max_len=n)))
+              for p, n in zip(prompts, lens)]
+    steps = 0
+    while eng.has_work:
+        eng.step()
+        steps += 1
+        assert steps < 2000, "wedged"
+    for g, w in zip(groups, want):
+        assert g.seqs[0].generated_tokens == w
+    assert eng.block_manager.num_free == 17  # all pages back
