@@ -123,13 +123,7 @@ class BlockManager:
             self.refcount[p] = self.refcount.get(p, 0) + 1
 
     def free_sequence(self, seq: Sequence) -> None:
-        for p in seq.block_table[seq.released_pages:]:
-            rc = self.refcount.get(p, 0) - 1
-            if rc <= 0:
-                self.refcount.pop(p, None)
-                self.free_pages.append(p)
-            else:
-                self.refcount[p] = rc
+        self.unref_pages(seq.block_table[seq.released_pages:])
         seq.block_table = []
         seq.released_pages = 0
 
@@ -227,12 +221,12 @@ class NativeBlockManager:
         return (int(packed >> 32), int(packed & 0xFFFFFFFF))
 
     def fork(self, parent: Sequence, child: Sequence) -> None:
-        self._lib.bm_share_prefix(self._h, child.id, self._arr(parent.block_table),
-                                  len(parent.block_table))
-        if parent.released_pages:
-            # window-released placeholders must not hold references
-            self._lib.bm_release_prefix(self._h, child.id, parent.released_pages)
-            child.released_pages = parent.released_pages
+        # window-released placeholder entries must never be referenced (their
+        # pages may already be back in the free list)
+        self._lib.bm_share_prefix_released(
+            self._h, child.id, self._arr(parent.block_table),
+            len(parent.block_table), parent.released_pages)
+        child.released_pages = parent.released_pages
         self._sync_table(child)
 
     def share_prefix(self, seq: Sequence, pages: list[int]) -> None:

@@ -45,6 +45,9 @@ class Scheduler:
         self.lookahead = lookahead
         self.waiting: deque[Sequence] = deque()
         self.running: list[Sequence] = []
+        # fairness: alternate prompt and completion batches when both are
+        # runnable (ref runs one of each per loop pass, engine/mod.rs)
+        self._decode_turn = False
 
     # ------------------------------------------------------------- intake
     def add_seq(self, seq: Sequence) -> None:
@@ -69,14 +72,25 @@ class Scheduler:
         preempted: list[Sequence] = []
         copy_ops: list[tuple[int, int]] = []
 
-        # 1. mid-prefill sequences continue first (they hold pages already)
+        # 1. mid-prefill sequences continue first (they hold pages already) —
+        # but alternate with decode when both are runnable, so live streams
+        # keep emitting tokens during a long multi-chunk prefill (the
+        # reference runs one completion batch AND one prompt batch per loop
+        # pass, engine/mod.rs:145-155 + :310)
         prefilling = [s for s in self.running if s.state == SequenceState.RUNNING_PREFILL]
-        if prefilling:
+        decodable = any(
+            s.state == SequenceState.RUNNING_COMPLETION and not s.is_finished()
+            for s in self.running
+        )
+        decode_turn = self._decode_turn and decodable
+        if prefilling and not decode_turn:
+            self._decode_turn = True
             return SchedulerOutput(prefilling[: self.prefill_batch], [], [], [])
 
         # 2. admit waiting sequences (prompt priority, FCFS; ref :72-107)
         admitted: list[Sequence] = []
-        while self.waiting and len(self.running) + len(admitted) < self.max_seqs:
+        while (not decode_turn and self.waiting
+               and len(self.running) + len(admitted) < self.max_seqs):
             seq = self.waiting[0]
             # prefix-cache hit: attach shared pages, skip their prefill
             # (ref engine/mod.rs:562 -> prefix_cacher.rs:163)
@@ -93,8 +107,11 @@ class Scheduler:
                     status = self.bm.can_allocate(seq)
             if status == AllocStatus.IMPOSSIBLE:
                 self.waiting.popleft()
-                seq.finish_error = "prompt longer than KV pool"  # engine reports
-                seq.state = SequenceState.ERROR
+                seq.finish_error = "prompt longer than KV pool"
+                seq.finish(StopReason.ERROR)  # finish_reason="error" + stream
+                stream = getattr(seq, "stream", None)
+                if stream:
+                    stream(seq, "", StopReason.ERROR.value)
                 continue
             if status == AllocStatus.LATER:
                 break
@@ -106,12 +123,20 @@ class Scheduler:
                 break
         if admitted:
             self.running.extend(admitted)
+            self._decode_turn = True
             return SchedulerOutput(admitted[: self.prefill_batch], [], [], [])
+        self._decode_turn = False
 
-        # 3. decode step: ensure every running seq can take one more token,
-        #    preempting latest-arrived on pressure (ref :135-165, :292)
+        # 3. decode step: ensure every decoding seq can take one more token,
+        #    preempting latest-arrived on pressure (ref :135-165, :292).
+        #    Mid-prefill seqs are NOT decodable (they take the prompt turn of
+        #    the prompt/completion alternation above).
         self.running.sort(key=lambda s: s.timestamp)
-        live = [s for s in self.running if not s.is_finished()]
+        candidates = [s for s in self.running if not s.is_finished()]
+        live = [
+            s for s in candidates
+            if s.state == SequenceState.RUNNING_COMPLETION
+        ]
         scheduled: list[Sequence] = []
         for seq in live:
             if seq in preempted:
@@ -119,10 +144,17 @@ class Scheduler:
             while not self.bm.can_append_token(seq, self.lookahead):
                 if self.prefix_cacher is not None and self.prefix_cacher.evict(1):
                     continue
+                # victim: latest-arrived decoding seq first; mid-prefill seqs
+                # only as a last resort (preempting one every page boundary
+                # would re-run its prefill chunks from scratch each cycle)
                 victim = None
-                for cand in reversed(live):
-                    if cand is not seq and cand not in preempted and cand not in scheduled:
-                        victim = cand
+                for pool in (live, candidates):
+                    for cand in reversed(pool):
+                        if (cand is not seq and cand not in preempted
+                                and cand not in scheduled):
+                            victim = cand
+                            break
+                    if victim is not None:
                         break
                 if victim is None:
                     victim = seq

@@ -51,6 +51,7 @@ def runtime_lib() -> "ctypes.CDLL | None":
             "bm_table_len": ([p, i64], i32),
             "bm_get_table": ([p, i64, i32p], None),
             "bm_share_prefix": ([p, i64, i32p, i32], None),
+            "bm_share_prefix_released": ([p, i64, i32p, i32, i32], None),
             "bm_ref_pages": ([p, i32p, i32], None),
             "bm_unref_pages": ([p, i32p, i32], None),
             "bm_refcount": ([p, i32], i32),

@@ -185,6 +185,19 @@ void bm_share_prefix(void* h, int64_t seq, const int32_t* pages, int32_t n) {
   for (int32_t i = 0; i < n; ++i) bm->refcount[pages[i]] += 1;
 }
 
+// share_prefix for a fork whose parent window-released its first `released`
+// pages: those entries are positional placeholders and must NOT be
+// referenced (their pages may already be back in the free list).
+void bm_share_prefix_released(void* h, int64_t seq, const int32_t* pages,
+                              int32_t n, int32_t released) {
+  auto* bm = static_cast<BlockManager*>(h);
+  auto& st = bm->seqs[seq];
+  st.table.assign(pages, pages + n);
+  if (released > n) released = n;
+  st.released = released;
+  for (int32_t i = released; i < n; ++i) bm->refcount[pages[i]] += 1;
+}
+
 void bm_ref_pages(void* h, const int32_t* pages, int32_t n) {
   auto* bm = static_cast<BlockManager*>(h);
   for (int32_t i = 0; i < n; ++i) bm->refcount[pages[i]] += 1;

@@ -678,15 +678,20 @@ def test_window_release_reclaims_pages_and_stays_correct():
     eng = build(True)
     g1 = eng.add_request(GenerationRequest(list(p1), SamplingParams(max_len=60)))
     g2 = eng.add_request(GenerationRequest(list(p2), SamplingParams(max_len=40)))
-    min_free_seen = eng.block_manager.num_free
     released_seen = 0
+    recovered_mid_run = False
+    prev_free = eng.block_manager.num_free
     while eng.has_work:
         eng.step()
-        min_free_seen = min(min_free_seen, eng.block_manager.num_free)
+        free = eng.block_manager.num_free
+        if free > prev_free and not (g1.all_done() or g2.all_done()):
+            recovered_mid_run = True  # released pages returned to the pool
+        prev_free = free
         released_seen = max(released_seen,
                             max((s.released_pages for s in (g1.seqs + g2.seqs)),
                                 default=0))
     assert released_seen > 0, "no pages were window-released"
+    assert recovered_mid_run, "released pages never became reusable mid-run"
     assert g1.seqs[0].generated_tokens == w1
     assert g2.seqs[0].generated_tokens == w2
     # all pages back after finish (no leak, no double-free)
@@ -748,3 +753,30 @@ def test_window_release_survives_preemption():
     for g, w in zip(groups, want):
         assert g.seqs[0].generated_tokens == w
     assert eng.block_manager.num_free == 17  # all pages back
+
+
+def test_decode_interleaves_with_long_prefill():
+    """A live decode stream keeps emitting tokens while another request's
+    long prompt prefills chunk by chunk (scheduler alternates prompt and
+    completion batches — ref runs one of each per loop pass)."""
+    eng = make_engine(FakePC(max_seqs=4, num_pages=32, max_model_len=64))
+    g1 = eng.add_request(GenerationRequest([1], SamplingParams(max_len=10)))
+    # let g1 reach decode
+    for _ in range(3):
+        eng.step()
+    assert len(g1.seqs[0].generated_tokens) >= 1
+    # long prompt: 40 tokens -> chunks of 16 + 16 + 8
+    g2 = eng.add_request(GenerationRequest(list(range(40)), SamplingParams(max_len=2)))
+    timeline = []
+    while eng.has_work:
+        before_dec = len(g1.seqs[0].generated_tokens)
+        before_pre = g2.seqs[0].prefill_done_tokens
+        eng.step()
+        if len(g1.seqs[0].generated_tokens) > before_dec:
+            timeline.append("d")
+        if g2.seqs[0].prefill_done_tokens > before_pre:
+            timeline.append("p")
+    s = "".join(timeline)
+    # decode tokens appear BETWEEN prefill chunks, not only after them all
+    assert "pd" in s and "dp" in s, s
+    assert g1.seqs[0].generated_tokens == [2, 3, 4, 5, 6, 7, 8, 9, 10, 11]
