@@ -106,9 +106,13 @@ class Runner:
 
         from mistralrs_tpu.models.loader import load_hf_model
         from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+        from mistralrs_tpu.utils.hub import resolve_model_path
         from mistralrs_tpu.utils.tokenizer import TokenizerWrapper
 
         dtype = dtype or jnp.bfloat16
+        # HF model ids download via the hub; local dirs pass through
+        # (ref get_paths! / load_model_from_hf, utils/hub.py)
+        model_path = resolve_model_path(model_path)
         cfg, params, rope = load_hf_model(model_path, dtype=dtype, isq=isq, topology=topology)
         self.tokenizer = TokenizerWrapper.from_hf_dir(model_path)
         pc = pipeline_config or PipelineConfig()
