@@ -317,22 +317,37 @@ class _Parser:
                 self.take()
                 break
             first = False
+            lo = None
             if c == "\\":
                 self.take()
-                bs |= self._class_escape(self.take())
-                continue
-            self.take()
-            lo_b = c.encode("utf-8")
-            if len(lo_b) != 1:
-                raise ValueError("non-ASCII char in class")
-            lo = lo_b[0]
+                esc = self._class_escape(self.take())
+                marked = np.flatnonzero(esc)
+                if len(marked) != 1:
+                    # multi-char class escape (\d, \w, ...): no range allowed
+                    bs |= esc
+                    continue
+                lo = int(marked[0])  # single-byte escape: range endpoint ok
+            else:
+                self.take()
+                lo_b = c.encode("utf-8")
+                if len(lo_b) != 1:
+                    raise ValueError("non-ASCII char in class")
+                lo = lo_b[0]
             if self.peek() == "-" and self.i + 1 < len(self.p) and self.p[self.i + 1] != "]":
                 self.take()
                 hi_c = self.take()
-                hi_b = hi_c.encode("utf-8")
-                if len(hi_b) != 1:
-                    raise ValueError("non-ASCII range in class")
-                bs[lo : hi_b[0] + 1] = True
+                if hi_c == "\\":
+                    esc = self._class_escape(self.take())
+                    marked = np.flatnonzero(esc)
+                    if len(marked) != 1:
+                        raise ValueError("class-escape range endpoint must be a single byte")
+                    hi = int(marked[0])
+                else:
+                    hi_b = hi_c.encode("utf-8")
+                    if len(hi_b) != 1:
+                        raise ValueError("non-ASCII range in class")
+                    hi = hi_b[0]
+                bs[lo : hi + 1] = True
             else:
                 bs[lo] = True
         return ~bs if negate else bs

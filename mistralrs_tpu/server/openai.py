@@ -138,16 +138,36 @@ class OpenAIServer:
     # ------------------------------------------------------------- chat
     @staticmethod
     def _parse_constraint(body):
-        """Map request `grammar: {type, value}` to a Constraint (ref
-        chat_completion.rs:153-338 grammar mapping)."""
+        """Map request `grammar: {type, value}` (ref chat_completion.rs
+        :153-338) or OpenAI `response_format` (json_object / json_schema —
+        compiled onto the same CFG engine, grammar/json_schema.py) to a
+        Constraint."""
+        from mistralrs_tpu.grammar.recognizer import Constraint
+
+        rf = body.get("response_format")
+        if rf and rf.get("type") in ("json_object", "json_schema"):
+            from mistralrs_tpu.grammar.json_schema import schema_to_yacc
+
+            if rf["type"] == "json_object":
+                return Constraint("yacc", schema_to_yacc({}))
+            js = rf.get("json_schema", {})
+            schema = js.get("schema", js)  # OpenAI nests under .schema
+            return Constraint("yacc", schema_to_yacc(schema))
         g = body.get("grammar")
         if not g:
             return None
-        from mistralrs_tpu.grammar.recognizer import Constraint
-
         kind = g.get("type")
+        if kind == "json_schema":
+            from mistralrs_tpu.grammar.json_schema import schema_to_yacc
+
+            import json as _json
+
+            val = g.get("value", "{}")
+            schema = _json.loads(val) if isinstance(val, str) else val
+            return Constraint("yacc", schema_to_yacc(schema))
         if kind not in ("regex", "yacc"):
-            raise ValueError(f"grammar type must be regex|yacc, got {kind!r}")
+            raise ValueError(
+                f"grammar type must be regex|yacc|json_schema, got {kind!r}")
         return Constraint(kind, g.get("value", ""))
 
     @staticmethod
