@@ -62,6 +62,11 @@ class ModelConfig:
     # MoE (mixtral)
     num_experts: int = 0
     num_experts_per_tok: int = 0
+    # MoE dispatch: grouped dropless GEMMs via lax.ragged_dot (exact; set by
+    # the pipeline for unsharded runs) vs dense every-expert einsum (used
+    # under expert-parallel sharding, where ragged grouping would fight the
+    # expert-axis partitioning)
+    moe_grouped: bool = False
 
     def __post_init__(self):
         assert self.num_heads % self.num_kv_heads == 0

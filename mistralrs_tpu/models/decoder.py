@@ -159,10 +159,15 @@ def _mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) -> jax
 def _moe_mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) -> jax.Array:
     """Mixtral sparse MoE (ref models/mixtral.rs SparseMoeBlock).
 
-    Round-1 formulation: dense dispatch — every expert runs on every token and
-    results are combined with the (renormalized) top-k router weights. Correct
-    and simple; the ragged all-to-all dispatch lands with expert parallelism.
+    Two exact formulations selected by cfg.moe_grouped:
+    - grouped (default unsharded): sort (token, k) pairs by expert and run
+      per-expert GEMMs with lax.ragged_dot — only top-k pairs are computed
+      (the TPU grouped-GEMM answer to the CUDA scatter kernels).
+    - dense: every expert computes every token, combined by a [N, E] weight
+      matrix — keeps a clean expert-axis sharding under EP meshes.
     """
+    if cfg.moe_grouped:
+        return _moe_mlp_grouped(cfg, p, x)
     B, T, H = x.shape
     xt = x.reshape(B * T, H)
     router_logits = linear(p["router"], xt).astype(jnp.float32)  # [N, E]
@@ -321,6 +326,36 @@ def _attention(
     )
     out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
     return out, cache_k, cache_v
+
+
+def _moe_mlp_grouped(cfg: ModelConfig, p: dict[str, Any], x: jax.Array) -> jax.Array:
+    """Grouped dropless MoE dispatch: [N*K] (token, expert) pairs sorted by
+    expert feed lax.ragged_dot per-expert GEMMs; outputs scatter-add back
+    weighted by the renormalized router probs. Bit-compatible with the dense
+    path (same per-pair math)."""
+    B, T, H = x.shape
+    N = B * T
+    E, K = cfg.num_experts, cfg.num_experts_per_tok
+    xt = x.reshape(N, H)
+    router_logits = linear(p["router"], xt).astype(jnp.float32)  # [N, E]
+    topw, topi = jax.lax.top_k(router_logits, K)
+    topw = jax.nn.softmax(topw, axis=-1)  # normalize over selected (mixtral)
+    eid = topi.reshape(-1)  # [N*K]
+    order = jnp.argsort(eid, stable=True)
+    tok_idx = jnp.arange(N * K) // K
+    tok_sorted = tok_idx[order]
+    gathered = jnp.take(xt, tok_sorted, axis=0)  # [N*K, H]
+    group_sizes = jnp.bincount(eid, length=E).astype(jnp.int32)
+    act = L.ACTIVATIONS[cfg.act]
+    wg = p["experts"]["gate"].data["w"].astype(xt.dtype)  # [E, H, I]
+    wu = p["experts"]["up"].data["w"].astype(xt.dtype)
+    wd = p["experts"]["down"].data["w"].astype(xt.dtype)  # [E, I, H]
+    g = jax.lax.ragged_dot(gathered, wg, group_sizes)
+    u = jax.lax.ragged_dot(gathered, wu, group_sizes)
+    d = jax.lax.ragged_dot(act(g) * u, wd, group_sizes)  # [N*K, H]
+    w_pair = topw.reshape(-1)[order].astype(d.dtype)  # sorted pair weights
+    out = jnp.zeros((N, H), d.dtype).at[tok_sorted].add(d * w_pair[:, None])
+    return out.reshape(B, T, H).astype(x.dtype)
 
 
 def _anymoe_mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) -> jax.Array:

@@ -93,6 +93,12 @@ class TextPipeline:
                 dtype_bytes=jnp.dtype(pc.dtype).itemsize, max_seqs=pc.max_seqs,
             )
             pc = dataclasses.replace(pc, num_pages=n)
+        if cfg.is_moe and mesh is None and not cfg.moe_grouped:
+            # grouped dropless dispatch off-mesh (decoder._moe_mlp_grouped)
+            import dataclasses as _dc
+
+            cfg = _dc.replace(cfg, moe_grouped=True)
+            self.cfg = cfg
         self.pc = pc
         self.mesh = mesh
         self.max_pages_per_seq = math.ceil(pc.max_model_len / pc.page_size)
