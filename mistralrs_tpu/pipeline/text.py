@@ -94,11 +94,17 @@ class TextPipeline:
             )
             pc = dataclasses.replace(pc, num_pages=n)
         if cfg.is_moe and mesh is None and not cfg.moe_grouped:
-            # grouped dropless dispatch off-mesh (decoder._moe_mlp_grouped)
+            # grouped dropless dispatch off-mesh (decoder._moe_mlp_grouped);
+            # gated to backends where lax.ragged_dot is known to lower (the
+            # axon tunnel toolchain is validated separately by the tpu-marked
+            # tests before flipping it on there)
             import dataclasses as _dc
 
-            cfg = _dc.replace(cfg, moe_grouped=True)
-            self.cfg = cfg
+            import jax as _jax
+
+            if _jax.default_backend() in ("cpu", "tpu"):
+                cfg = _dc.replace(cfg, moe_grouped=True)
+                self.cfg = cfg
         self.pc = pc
         self.mesh = mesh
         self.max_pages_per_seq = math.ceil(pc.max_model_len / pc.page_size)

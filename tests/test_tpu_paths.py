@@ -86,3 +86,56 @@ def test_q4k_kernel_matches_reference_on_chip():
     got = np.asarray(q4k_matmul(lin, jnp.asarray(x, jnp.bfloat16)), np.float32)
     want = np.asarray(_ref_forward(lin, jnp.asarray(x, jnp.bfloat16)), np.float32)
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
+
+
+def test_ragged_dot_moe_on_chip():
+    """lax.ragged_dot lowering on this toolchain + grouped MoE == dense MoE
+    (gates flipping moe_grouped on for the axon backend)."""
+    import dataclasses
+    import json
+
+    import jax
+    import jax.numpy as jnp
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.decoder import decoder_forward
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.ops.paged_attention import PagedAttnMeta, PagedKVCache
+
+    torch.manual_seed(9)
+    hf_cfg = tf.MixtralConfig(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        num_local_experts=4, num_experts_per_tok=2, max_position_embeddings=128,
+    )
+    model = tf.MixtralForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    rope = make_rope(cfg)
+
+    B, T, page = 2, 8, 4
+    ids = jnp.asarray(np.random.default_rng(1).integers(3, 120, size=(B, T)), jnp.int32)
+    tables = np.arange(1, 1 + B * 3, dtype=np.int32).reshape(B, 3)
+    positions = np.tile(np.arange(T, dtype=np.int32), (B, 1))
+    slots = tables[:, positions[0] // page] * page + positions % page
+    meta = PagedAttnMeta(
+        positions=jnp.asarray(positions), slot_mapping=jnp.asarray(slots),
+        block_tables=jnp.asarray(tables), kv_lens=jnp.full((B,), T, jnp.int32),
+        active=jnp.ones((B,), jnp.float32),
+    )
+
+    def run(grouped):
+        c = dataclasses.replace(cfg, moe_grouped=grouped)
+        cache = PagedKVCache.create(c.num_layers, 16, page, c.num_kv_heads,
+                                    c.head_dim, jnp.float32)
+        h, _ = jax.jit(
+            lambda p, cc, i, m: decoder_forward(p, c, rope, i, cc, m)
+        )(params, cache, ids, meta)
+        return np.asarray(h)
+
+    dense = run(False)
+    grouped = run(True)
+    np.testing.assert_allclose(grouped, dense, rtol=2e-4, atol=2e-4)
