@@ -24,7 +24,7 @@ import numpy as np
 
 from mistralrs_tpu.engine.block_manager import make_block_manager
 from mistralrs_tpu.engine.prefix_cache import PrefixCacheManager
-from mistralrs_tpu.engine.sampler import SamplingParams, sample_batch
+from mistralrs_tpu.engine.sampler import SamplingParams
 from mistralrs_tpu.engine.scheduler import Scheduler
 from mistralrs_tpu.engine.sequence import (
     Sequence,
@@ -383,12 +383,12 @@ class Engine:
             else:
                 lp = sample_from_topk(
                     seq.sampler, tv[i], ti[i], float(m[i]), float(z[i]),
-                    self.rng, seq.return_logprobs,
+                    self._seq_rng(seq), seq.return_logprobs,
                 )
                 if lp is None:  # truncation set or draw beyond K: exact fallback
                     lp = seq.sampler.sample(
                         self.pipeline.fetch_full_logits_row(i), seq.tokens,
-                        self.rng, seq.return_logprobs,
+                        self._seq_rng(seq), seq.return_logprobs,
                     )
             self._postprocess_token(seq, lp)
 
@@ -408,7 +408,8 @@ class Engine:
             return True  # rides along as (temp=1, k=1)
         p = seq.sampling
         return (
-            p.temperature is not None
+            p.seed is None  # per-request rng incompatible with the shared key
+            and p.temperature is not None
             and p.frequency_penalty is None
             and p.presence_penalty is None
             and not p.logits_bias
@@ -462,14 +463,20 @@ class Engine:
             lp = Logprobs(token=int(pack[0, i]), logprob=float(pack[1, i]))
             self._postprocess_token(seq, lp)
 
+    def _seq_rng(self, seq: Sequence):
+        # per-request seeded rng (OpenAI seed) or the engine-global one
+        if seq.sampling.seed is None:
+            return self.rng
+        if getattr(seq, '_rng', None) is None:
+            seq._rng = np.random.default_rng(seq.sampling.seed)
+        return seq._rng
+
     def _sample_and_emit(self, seqs: list[Sequence], logits: np.ndarray) -> None:
-        results = sample_batch(
-            [s.sampler for s in seqs],
-            logits,
-            [s.tokens for s in seqs],
-            self.rng,
-            [s.return_logprobs for s in seqs],
-        )
+        results = [
+            s.sampler.sample(logits[i], s.tokens, self._seq_rng(s),
+                             s.return_logprobs)
+            for i, s in enumerate(seqs)
+        ]
         for i, (seq, lp) in enumerate(zip(seqs, results)):
             if seq.recognizer is not None:
                 lp = self._constrain_token(seq, logits[i], lp)

@@ -41,6 +41,9 @@ class SamplingParams:
     logits_bias: dict[int, float] | None = None
     n_choices: int = 1
     logits_processors: list[LogitsProcessor] = dataclasses.field(default_factory=list)
+    # per-request RNG seed (OpenAI `seed`); None = the engine-global stream
+    # (ref engine/mod.rs:37 SEED=0 engine rng)
+    seed: int | None = None
 
     def __post_init__(self):
         # ref Sampler::new: temperature < 1e-7 means argmax

@@ -47,6 +47,7 @@ def _parse_sampling(body: dict[str, Any]) -> SamplingParams:
         max_len=body.get("max_tokens", body.get("max_completion_tokens")),
         logits_bias=logit_bias,
         n_choices=body.get("n", 1),
+        seed=body.get("seed"),
     )
 
 

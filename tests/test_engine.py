@@ -780,3 +780,23 @@ def test_decode_interleaves_with_long_prefill():
     # decode tokens appear BETWEEN prefill chunks, not only after them all
     assert "pd" in s and "dp" in s, s
     assert g1.seqs[0].generated_tokens == [2, 3, 4, 5, 6, 7, 8, 9, 10, 11]
+
+
+def test_per_request_seed_determinism():
+    """OpenAI-style per-request `seed`: same seed -> same sampled tokens
+    within one engine (independent of engine rng history); different seed
+    -> (almost surely) different draw."""
+    eng = _real_engine(1, seed=3)
+    prompt = [9, 8, 7]
+    sp = lambda s: SamplingParams(temperature=2.5, top_k=None, max_len=10, seed=s)  # noqa: E731
+    a = eng.add_request(GenerationRequest(list(prompt), sp(1234)))
+    while not a.all_done():
+        eng.step()
+    # interleave unrelated engine-rng consumption
+    eng.generate([1, 2], SamplingParams(temperature=1.0, max_len=5))
+    b = eng.add_request(GenerationRequest(list(prompt), sp(1234)))
+    c = eng.add_request(GenerationRequest(list(prompt), sp(99)))
+    while not (b.all_done() and c.all_done()):
+        eng.step()
+    assert a.seqs[0].generated_tokens == b.seqs[0].generated_tokens
+    assert a.seqs[0].generated_tokens != c.seqs[0].generated_tokens
