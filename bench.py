@@ -133,7 +133,7 @@ def _measure(eng, prompt, *, n_requests, max_len, reps):
     from mistralrs_tpu.engine.engine import GenerationRequest
     from mistralrs_tpu.engine.sampler import SamplingParams
 
-    rates = []
+    rates, ttfts = [], []
     for _ in range(reps):  # median (this host's timing drifts ~±10%)
         groups = [
             eng.add_request(GenerationRequest(list(prompt),
@@ -141,7 +141,13 @@ def _measure(eng, prompt, *, n_requests, max_len, reps):
             for _ in range(n_requests)
         ]
         rates.append(_decode_rate(eng, groups))
-    return sorted(rates)[len(rates) // 2]
+        # TTFT = arrival -> first sampled token (prompt_timestamp is stamped
+        # at prefill completion, sequence.py)
+        ttfts += [s.prompt_timestamp - s.timestamp
+                  for g in groups for s in g.seqs if s.prompt_timestamp]
+    ttfts.sort()
+    p50 = ttfts[len(ttfts) // 2] if ttfts else 0.0
+    return sorted(rates)[len(rates) // 2], p50
 
 
 def main():
@@ -161,7 +167,10 @@ def main():
         page_size=16, num_pages=512, max_seqs=batch, max_model_len=2048,
         prefill_buckets=(64,), decode_steps=16,
     )
-    eng = Engine(TextPipeline(cfg, params, rope, pc), eos_token_ids=set())
+    # prefix cache off: every request shares one prompt here, and cache-hit
+    # TTFT would misrepresent the prefill path the metric claims to measure
+    eng = Engine(TextPipeline(cfg, params, rope, pc), eos_token_ids=set(),
+                 prefix_cache=False)
     prompt = list(np.random.default_rng(1).integers(1, 30000, size=64))
     # warmup: compiles single prefill + multistep decode, then batched prefill
     eng.generate(prompt, SamplingParams(max_len=8))
@@ -170,8 +179,8 @@ def main():
     while not all(g.all_done() for g in warm):
         eng.step()
 
-    single = _measure(eng, prompt, n_requests=1, max_len=64, reps=3)
-    serving = _measure(eng, prompt, n_requests=batch, max_len=48, reps=3)
+    single, _ = _measure(eng, prompt, n_requests=1, max_len=64, reps=3)
+    serving, ttft_p50 = _measure(eng, prompt, n_requests=batch, max_len=48, reps=3)
 
     baseline = 131.0  # reference A100 mistral-7b Q4_K_M tg T/s (README.md:192)
     print(json.dumps({
@@ -181,6 +190,7 @@ def main():
         "vs_baseline": round(serving / baseline, 3),
         "single_stream_tok_s": round(single, 2),
         "single_stream_vs_baseline": round(single / baseline, 3),
+        "p50_ttft_ms_batch16": round(ttft_p50 * 1000, 1),
     }))
 
 
