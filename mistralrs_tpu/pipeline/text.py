@@ -102,7 +102,9 @@ class TextPipeline:
 
             import jax as _jax
 
-            if _jax.default_backend() in ("cpu", "tpu"):
+            # CPU-verified; flip on for TPU once the tpu-marked
+            # test_ragged_dot_moe_on_chip passes on this toolchain
+            if _jax.default_backend() == "cpu":
                 cfg = _dc.replace(cfg, moe_grouped=True)
                 self.cfg = cfg
         self.pc = pc
