@@ -172,3 +172,63 @@ def test_softcap_changes_scores():
     a = attn_ops.gqa_attention(q, k, v, scale=1.0)
     b = attn_ops.gqa_attention(q, k, v, scale=1.0, logits_softcap=5.0)
     assert not np.allclose(np.asarray(a), np.asarray(b))
+
+
+def test_block_attend_flash_combine_equals_dense():
+    """The shared running-softmax building blocks (ops/attention.block_attend
+    + flash_combine + finalize_flash) reproduce dense masked attention when
+    folding over arbitrary KV blocks — including fully-masked blocks."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mistralrs_tpu.ops.attention import (
+        NEG_INF, block_attend, finalize_flash, flash_combine,
+    )
+
+    rng = np.random.default_rng(5)
+    B, T, Hkv, G, D, S = 2, 4, 2, 3, 8, 24
+    q = rng.standard_normal((B, T, Hkv * G, D)).astype(np.float32)
+    k = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+    v = rng.standard_normal((B, S, Hkv, D)).astype(np.float32)
+    keep = rng.random((B, T, S)) < 0.6
+    keep[:, :, 8:16] = False  # one block fully masked
+    keep[:, :, 0] = True  # no fully-masked rows (dense ref would NaN)
+    scale = D**-0.5
+    qg = jnp.asarray(q * scale).reshape(B, T, Hkv, G, D)
+
+    m = jnp.full((B, Hkv, G, T), NEG_INF, jnp.float32)
+    l = jnp.zeros((B, Hkv, G, T), jnp.float32)
+    acc = jnp.zeros((B, T, Hkv, G, D), jnp.float32)
+    for s0 in range(0, S, 8):
+        stats = block_attend(qg, jnp.asarray(k[:, s0:s0 + 8]),
+                             jnp.asarray(v[:, s0:s0 + 8]),
+                             jnp.asarray(keep[:, :, s0:s0 + 8]))
+        m, l, acc = flash_combine(m, l, acc, *stats)
+    got = np.asarray(finalize_flash(l, acc))  # [B, T, Hq, D]
+
+    # dense reference
+    qr = (q * scale).reshape(B, T, Hkv, G, D)
+    s = np.einsum("bthgd,bshd->bhgts", qr, k)
+    s = np.where(keep[:, None, None], s, -1e30)
+    p = np.exp(s - s.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = np.einsum("bhgts,bshd->bthgd", p, v).reshape(B, T, Hkv * G, D)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+    # softcap variant
+    m = jnp.full((B, Hkv, G, T), NEG_INF, jnp.float32)
+    l = jnp.zeros((B, Hkv, G, T), jnp.float32)
+    acc = jnp.zeros((B, T, Hkv, G, D), jnp.float32)
+    for s0 in range(0, S, 8):
+        stats = block_attend(qg, jnp.asarray(k[:, s0:s0 + 8]),
+                             jnp.asarray(v[:, s0:s0 + 8]),
+                             jnp.asarray(keep[:, :, s0:s0 + 8]),
+                             logits_softcap=5.0)
+        m, l, acc = flash_combine(m, l, acc, *stats)
+    got = np.asarray(finalize_flash(l, acc))
+    sc = np.tanh(np.einsum("bthgd,bshd->bhgts", qr, k) / 5.0) * 5.0
+    sc = np.where(keep[:, None, None], sc, -1e30)
+    p = np.exp(sc - sc.max(-1, keepdims=True))
+    p = p / p.sum(-1, keepdims=True)
+    want = np.einsum("bhgts,bshd->bthgd", p, v).reshape(B, T, Hkv * G, D)
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
