@@ -522,9 +522,12 @@ class Engine:
             if stream:
                 stream(seq, seq.get_delta(), reason.value)
         elif stream:
-            delta = seq.get_delta()
-            if delta:
-                stream(seq, delta, None)
+            # ref sampling.rs:31 STREAMING_RATE_LIMIT=3: emit every 3rd
+            # token (get_delta accumulates the text in between)
+            if len(seq.tokens) % 3 == 0:
+                delta = seq.get_delta()
+                if delta:
+                    stream(seq, delta, None)
 
     def _finish_done(self) -> None:
         self.scheduler.free_finished()
