@@ -66,6 +66,7 @@ class OpenAIServer:
         app.router.add_post("/v1/completions", self.completions)
         app.router.add_post("/re_isq", self.re_isq)
         app.router.add_post("/activate_adapters", self.activate_adapters)
+        app.router.add_get("/metrics", self.metrics)
         app.router.add_get("/docs", self.docs)
         app.router.add_get("/docs/openapi.json", self.openapi)
         return app
@@ -93,6 +94,39 @@ class OpenAIServer:
 
     async def health(self, request: web.Request) -> web.Response:
         return web.Response(text="OK")
+
+    async def metrics(self, request: web.Request) -> web.Response:
+        """Prometheus-style serving metrics (beyond the reference, which
+        exposes none — SURVEY §5 observability row)."""
+        eng = self.runner.handle.engine
+        sched = eng.scheduler
+        bm = eng.block_manager
+        running = len(sched.running)
+        waiting = len(sched.waiting)
+        free = bm.num_free
+        total = bm.num_pages - 1  # page 0 reserved
+        lines = [
+            "# TYPE mistralrs_requests_running gauge",
+            f"mistralrs_requests_running {running}",
+            "# TYPE mistralrs_requests_waiting gauge",
+            f"mistralrs_requests_waiting {waiting}",
+            "# TYPE mistralrs_kv_pages_free gauge",
+            f"mistralrs_kv_pages_free {free}",
+            "# TYPE mistralrs_kv_pages_total gauge",
+            f"mistralrs_kv_pages_total {total}",
+            "# TYPE mistralrs_kv_page_utilization gauge",
+            f"mistralrs_kv_page_utilization {1.0 - free / max(total, 1):.4f}",
+        ]
+        tp = eng.last_throughput or {}
+        if tp:
+            lines += [
+                "# TYPE mistralrs_prompt_tok_per_s gauge",
+                f"mistralrs_prompt_tok_per_s {tp.get('prompt_tok_s', 0.0):.2f}",
+                "# TYPE mistralrs_completion_tok_per_s gauge",
+                f"mistralrs_completion_tok_per_s {tp.get('completion_tok_s', 0.0):.2f}",
+            ]
+        return web.Response(text="\n".join(lines) + "\n",
+                            content_type="text/plain")
 
     async def models(self, request: web.Request) -> web.Response:
         return web.json_response(

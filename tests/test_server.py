@@ -209,3 +209,16 @@ def test_completions_logprobs(client_and_runner):
         assert len(lp["content"][0]["top_logprobs"]) == 2
 
     _run(loop, go())
+
+
+def test_metrics_endpoint(client_and_runner):
+    client, _, loop = client_and_runner
+
+    async def go():
+        r = await client.get("/metrics")
+        assert r.status == 200
+        text = await r.text()
+        assert "mistralrs_kv_pages_free" in text
+        assert "mistralrs_requests_running 0" in text
+
+    _run(loop, go())
