@@ -376,7 +376,11 @@ class TextPipeline:
         n = len(rows)
         assert n <= B
         W = width
-        tw = self._width_for_tokens(max(start for _, start, _ in rows) + W)
+        ps = self.pc.page_size
+        bases = [self._window_base_pages(start) for _, start, _ in rows]
+        tw = self._width_for_tokens(max(
+            start + W - b * ps for (_, start, _), b in zip(rows, bases)
+        ))
         ids = np.zeros((B, W), np.int32)
         positions = np.zeros((B, W), np.int32)
         slot_mapping = np.zeros((B, W), np.int32)  # page-0 garbage for padding
@@ -384,15 +388,17 @@ class TextPipeline:
         kv_lens = np.ones((B,), np.int32)
         active = np.zeros((B,), np.float32)
         last_idx = np.zeros((B,), np.int32)
-        for i, (toks, start, table_row) in enumerate(rows):
+        for i, ((toks, start, table_row), base) in enumerate(zip(rows, bases)):
             m = len(toks)
             assert 0 < m <= W
             ids[i, :m] = toks
             positions[i, :m] = np.arange(start, start + m)
             slot_mapping[i, :m] = self._slots(table_row, start, m)
-            block_tables[i, : min(len(table_row), tw)] = table_row[:tw]
-            # padded-width trick (see run_prefill_chunk): q_offset = kv_lens - W
-            kv_lens[i] = start + W
+            sl = table_row[base : base + tw]
+            block_tables[i, : len(sl)] = sl
+            # padded-width trick (see run_prefill_chunk): q_offset = kv_lens - W;
+            # kv_lens/tables window-relative for window models
+            kv_lens[i] = start + W - base * ps
             active[i] = 1.0
             last_idx[i] = m - 1
         if all_positions:

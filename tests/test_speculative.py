@@ -149,3 +149,36 @@ def test_stochastic_speculative_runs_and_respects_sampling(models):
     )
     assert len(got) == 12
     assert all(0 <= t < 128 for t in got)
+
+
+def test_speculative_sliding_window_past_boundary():
+    """Speculative decoding on a sliding-window (mistral-style) target whose
+    generation runs well past the window: the windowed run_span table
+    slicing must preserve the greedy-identity property."""
+    def tiny_win(seed, layers=2):
+        torch.manual_seed(seed)
+        hf_cfg = tf.MistralConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=layers,
+            num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+            max_position_embeddings=256, sliding_window=16,
+        )
+        model = tf.MistralForCausalLM(hf_cfg).eval().float()
+        cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        params = params_from_source(cfg, TensorSource.from_dict(sd),
+                                    dtype=jnp.float32)
+        return cfg, params
+
+    tcfg, tparams = tiny_win(31)
+    dcfg, dparams = tiny_win(77, layers=1)
+    prompt = np.random.default_rng(41).integers(3, 120, size=20).tolist()
+
+    solo = Engine(_pipe(tcfg, tparams), eos_token_ids=set())
+    want, _ = solo.generate(prompt, SamplingParams(max_len=36))
+
+    eng = Engine(
+        SpeculativePipeline(_pipe(tcfg, tparams), _pipe(dcfg, dparams), gamma=3),
+        eos_token_ids=set(),
+    )
+    got, _ = eng.generate(prompt, SamplingParams(max_len=36))
+    assert got == want
