@@ -328,7 +328,7 @@ class Engine:
     def _decode_batch(self, seqs: list[Sequence]) -> None:
         if self.is_speculative:
             greedy = all(self._greedy_ok(s) for s in seqs)
-            results = self.pipeline.speculative_step(seqs, self.rng, greedy)
+            results = self.pipeline.speculative_step(seqs, self._seq_rng, greedy)
             for seq, lps in zip(seqs, results):
                 for lp in lps:
                     if seq.is_finished():
@@ -464,12 +464,15 @@ class Engine:
             self._postprocess_token(seq, lp)
 
     def _seq_rng(self, seq: Sequence):
-        # per-request seeded rng (OpenAI seed) or the engine-global one
+        # per-request seeded rng (OpenAI seed) or the engine-global one; the
+        # stream is shared across a group's n choices (one seeded stream per
+        # REQUEST, so seeded n>1 still yields distinct choices)
         if seq.sampling.seed is None:
             return self.rng
-        if getattr(seq, '_rng', None) is None:
-            seq._rng = np.random.default_rng(seq.sampling.seed)
-        return seq._rng
+        holder = seq.group if seq.group is not None else seq
+        if getattr(holder, '_rng', None) is None:
+            holder._rng = np.random.default_rng(seq.sampling.seed)
+        return holder._rng
 
     def _sample_and_emit(self, seqs: list[Sequence], logits: np.ndarray) -> None:
         results = [
@@ -504,7 +507,8 @@ class Engine:
 
             seq.finish_error = "grammar dead-end: no token allowed"
             return Logprobs(token=eos, logprob=float("-inf"))
-        lp2 = seq.sampler.sample(biased, seq.tokens, self.rng, seq.return_logprobs)
+        lp2 = seq.sampler.sample(biased, seq.tokens, self._seq_rng(seq),
+                                 seq.return_logprobs)
         if not (lp2.token in self.eos_token_ids and rec.eos_allowed):
             rec.advance(lp2.token)
         return lp2

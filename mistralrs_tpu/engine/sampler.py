@@ -197,21 +197,6 @@ class Sampler:
         return out
 
 
-def sample_batch(
-    samplers: list[Sampler],
-    logits: np.ndarray,  # [B, V]
-    contexts: list[Sequence[int]],
-    rng: np.random.Generator,
-    return_logprobs: list[bool] | None = None,
-) -> list[Logprobs]:
-    """Sample one token per row (ref sampling.rs sample_and_add_toks)."""
-    out = []
-    for i, s in enumerate(samplers):
-        rl = return_logprobs[i] if return_logprobs else False
-        out.append(s.sample(logits[i], contexts[i], rng, rl))
-    return out
-
-
 def topk_eligible(sampler: "Sampler", return_logprobs: bool, k: int) -> bool:
     """Can this sequence sample exactly from the device top-K pack?
     Penalties / bias / custom processors perturb arbitrary logits (need the

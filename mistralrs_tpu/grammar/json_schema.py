@@ -45,7 +45,17 @@ class _Builder:
         self.root = root_schema
         self.rules: dict[str, str] = {}  # name -> " : alts ;"
         self.order: list[str] = []
-        self._ref_names: dict[str, str] = {}
+        self._ref_names: dict[str, str] = {}  # raw $defs name -> unique rule
+
+    def _unique_ref_name(self, raw: str) -> str:
+        if raw not in self._ref_names:
+            base = _sanitize(raw)
+            cand, i = base, 1
+            while cand in self._ref_names.values():
+                i += 1
+                cand = f"{base}_{i}"
+            self._ref_names[raw] = cand
+        return self._ref_names[raw]
 
     def add(self, name: str, alts: list[str]) -> str:
         if name not in self.rules:
@@ -60,7 +70,7 @@ class _Builder:
         defs = self.root.get(m.group(1), {})
         if m.group(2) not in defs:
             raise ValueError(f"$ref target not found: {ref!r}")
-        return _sanitize(m.group(2)), defs[m.group(2)]
+        return self._unique_ref_name(m.group(2)), defs[m.group(2)]
 
     def visit(self, schema: dict, name: str) -> str:
         """Returns the rule name generating this schema."""
@@ -91,7 +101,8 @@ class _Builder:
         if t == "string":
             pattern = schema.get("pattern")
             if pattern:
-                body = pattern.lstrip("^").rstrip("$")
+                body = re.sub(r"^\^", "", pattern)
+                body = re.sub(r"(?<!\\)\$\Z", "", body)
                 rx = '"/\\"' + body.replace('"', '\\"') + '\\"/"'
                 return self.add(name, [rx])
             return self.add(name, [_STRING_RX])
@@ -129,6 +140,8 @@ class _Builder:
         item = self.visit(schema.get("items", {}), f"{name}_item")
         lo = int(schema.get("minItems", 0))
         hi = schema.get("maxItems")
+        if hi is not None and int(hi) > 1024:
+            raise ValueError("maxItems > 1024 unsupported (grammar size)")
         if hi is not None and int(hi) <= _MAX_UNROLL:
             alts = []
             for n in range(lo, int(hi) + 1):
@@ -139,6 +152,19 @@ class _Builder:
             if not alts:
                 raise ValueError("maxItems < minItems")
             return self.add(name, alts)
+        if hi is not None:
+            hi = int(hi)
+            if hi < lo:
+                raise ValueError("maxItems < minItems")
+            # bounded tail: opt_k accepts 0..(hi-k) further ',' item
+            for k in range(hi, lo, -1):
+                tail = f" {name}_opt{k + 1}" if k < hi else ""
+                self.add(f"{name}_opt{k}", ["", f"',' {item}{tail}"])
+            head = " ',' ".join([item] * max(lo, 1))
+            tail = f" {name}_opt{max(lo, 1) + 1}" if max(lo, 1) < hi else ""
+            if lo == 0:
+                return self.add(name, ["'[' ']'", f"'[' {head}{tail} ']'"])
+            return self.add(name, [f"'[' {head}{tail} ']'"])
         lst = self.add(f"{name}_list", [item, f"{name}_list ',' {item}"])
         if lo == 0:
             return self.add(name, ["'[' ']'", f"'[' {lst} ']'"])
@@ -150,9 +176,17 @@ class _Builder:
     def _object(self, schema: dict, name: str) -> str:
         props = list(schema.get("properties", {}).items())
         required = set(schema.get("required", []))
+        # 'required' keys absent from 'properties' make the schema
+        # unsatisfiable by this ordered-properties grammar — fail loudly
+        missing = required - {k for k, _ in props}
+        if missing:
+            raise ValueError(
+                f"required properties not declared in 'properties': {sorted(missing)}")
         if not props:
-            return self._any_value(name) if schema.get(
-                "additionalProperties", True) else self.add(name, ["'{' '}'"])
+            if not schema.get("additionalProperties", True):
+                return self.add(name, ["'{' '}'"])
+            self._any_value(name)  # registers the json_any_obj machinery
+            return self.add(name, ["json_any_obj"])
         items = []
         for i, (key, sub) in enumerate(props):
             v = self.visit(sub, f"{name}_p{i}")

@@ -89,7 +89,7 @@ class SpeculativePipeline:
         return max(0, cap)
 
     def speculative_step(
-        self, seqs: list[Sequence], rng: np.random.Generator, greedy: bool
+        self, seqs: list[Sequence], rng_for, greedy: bool
     ) -> list[list[Logprobs]]:
         """One engine decode step: returns per-seq emitted Logprobs (1 to
         gamma+1 tokens each). Updates kv_len/draft_kv_len; the engine appends
@@ -113,7 +113,7 @@ class SpeculativePipeline:
                 s = seqs[i]
                 rows.append((s.tokens[s.draft_kv_len :], s.draft_kv_len, tables[i]))
             out = self.draft.run_span(rows, wc, greedy=greedy)
-            self._collect_draft(out, seqs, live, proposals, qdists, rng, greedy)
+            self._collect_draft(out, seqs, live, proposals, qdists, rng_for, greedy)
             for i in live:
                 seqs[i].draft_kv_len = len(seqs[i].tokens)
             # remaining gamma-1 proposals: single-token feeds
@@ -127,7 +127,7 @@ class SpeculativePipeline:
                     pos = len(s.tokens) - 1 + k
                     rows.append(([proposals[i][k - 1]], pos, tables[i]))
                 out = self.draft.run_span(rows, 1, greedy=greedy)
-                self._collect_draft(out, seqs, step_live, proposals, qdists, rng, greedy)
+                self._collect_draft(out, seqs, step_live, proposals, qdists, rng_for, greedy)
             for i in live:
                 seqs[i].spec_proposed += len(proposals[i])
 
@@ -156,7 +156,7 @@ class SpeculativePipeline:
                 a = len(emitted) - 1
             else:
                 logits = out[i]  # [g+1, V] f32
-                emitted, a = self._reject_sample(s, logits, proposals[i], qdists[i], gi, rng)
+                emitted, a = self._reject_sample(s, logits, proposals[i], qdists[i], gi, rng_for(s))
             s.spec_accepted += a
             s.kv_len = L + a  # rollback = counter rewind (ref :489-530)
             if gi > 0:
@@ -166,7 +166,7 @@ class SpeculativePipeline:
             results.append(emitted)
         return results
 
-    def _collect_draft(self, out, seqs, idxs, proposals, qdists, rng, greedy) -> None:
+    def _collect_draft(self, out, seqs, idxs, proposals, qdists, rng_for, greedy) -> None:
         """Extract one proposal per live row from a draft run_span output."""
         if greedy:
             for r, i in enumerate(idxs):
@@ -185,7 +185,7 @@ class SpeculativePipeline:
                     proposals[i].append(int(np.argmax(logits)))
                     qdists[i].append(None)
                 else:
-                    tok = int(rng.choice(q.shape[-1], p=q))
+                    tok = int(rng_for(s).choice(q.shape[-1], p=q))
                     proposals[i].append(tok)
                     qdists[i].append(q)
 

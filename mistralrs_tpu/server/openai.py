@@ -184,7 +184,7 @@ class OpenAIServer:
             from mistralrs_tpu.grammar.json_schema import schema_to_yacc
 
             if rf["type"] == "json_object":
-                return Constraint("yacc", schema_to_yacc({}))
+                return Constraint("yacc", schema_to_yacc({"type": "object"}))
             js = rf.get("json_schema", {})
             schema = js.get("schema", js)  # OpenAI nests under .schema
             return Constraint("yacc", schema_to_yacc(schema))

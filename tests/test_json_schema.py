@@ -174,10 +174,44 @@ def test_server_response_format_parsing():
     assert _accepts(g, '{"a": 7}') and not _accepts(g, '{"a": "x"}')
 
     c = OpenAIServer._parse_constraint({"response_format": {"type": "json_object"}})
-    assert _accepts(parse_yacc(c.value), '{"x": [1, true, "s"]}')
+    g2 = parse_yacc(c.value)
+    assert _accepts(g2, '{"x": [1, true, "s"]}')
+    assert not _accepts(g2, "true")  # json_object => an OBJECT, not a scalar
 
     c = OpenAIServer._parse_constraint({
         "grammar": {"type": "json_schema",
                     "value": json.dumps({"type": "boolean"})},
     })
     assert _accepts(parse_yacc(c.value), "true")
+
+
+def test_schema_edge_cases_from_review():
+    # propertyless object => any members, but still an object
+    g = _grammar({"type": "object"})
+    assert _accepts(g, '{"free": [1, 2]}') and _accepts(g, "{}")
+    assert not _accepts(g, "5") and not _accepts(g, "true")
+    # escaped trailing \$ in pattern survives anchor stripping
+    g = _grammar({"type": "string", "pattern": "^price\\$$"})
+    assert _accepts(g, '"price$"')
+    assert not _accepts(g, '"price"')
+    # required key missing from properties -> loud error
+    with pytest.raises(ValueError, match="required properties"):
+        _grammar({"type": "object", "properties": {"a": {"type": "integer"}},
+                  "required": ["a", "b"]})
+    # distinct $defs names that sanitize identically stay distinct
+    g = _grammar({
+        "type": "object",
+        "properties": {"a": {"$ref": "#/$defs/x-y"}, "b": {"$ref": "#/$defs/x_y"}},
+        "required": ["a", "b"],
+        "$defs": {"x-y": {"type": "integer"}, "x_y": {"type": "string"}},
+    })
+    assert _accepts(g, '{"a": 1, "b": "s"}')
+    assert not _accepts(g, '{"a": 1, "b": 2}')
+    # maxItems beyond the unroll cap is enforced, not silently dropped
+    g = _grammar({"type": "array", "items": {"type": "integer"},
+                  "minItems": 1, "maxItems": 70})
+    assert _accepts(g, "[" + ", ".join(["1"] * 70) + "]")
+    assert not _accepts(g, "[" + ", ".join(["1"] * 71) + "]")
+    assert not _accepts(g, "[]")
+    with pytest.raises(ValueError, match="maxItems"):
+        _grammar({"type": "array", "maxItems": 5000})

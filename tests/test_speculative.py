@@ -182,3 +182,17 @@ def test_speculative_sliding_window_past_boundary():
     )
     got, _ = eng.generate(prompt, SamplingParams(max_len=36))
     assert got == want
+
+
+def test_speculative_per_request_seed_determinism(models):
+    """Per-request seeds flow through draft sampling and rejection sampling
+    (rng_for plumbing): same seed -> identical sampled output, independent
+    of prior engine traffic."""
+    prompt = [5, 6, 7, 8]
+    sp = SamplingParams(temperature=1.5, top_k=None, max_len=12, seed=424)
+
+    eng = _spec_engine(models, gamma=2)
+    a, _ = eng.generate(list(prompt), sp)
+    eng.generate([9, 10], SamplingParams(temperature=1.0, max_len=5))  # churn
+    b, _ = eng.generate(list(prompt), sp)
+    assert a == b
