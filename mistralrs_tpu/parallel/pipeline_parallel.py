@@ -183,3 +183,122 @@ def pp_decoder_forward(
     h = _norm(cfg, params.final_norm, h)
     new_cache = type(cache)(k=new_k, v=new_v, head_major=cache.head_major)
     return h, new_cache
+
+
+class PPTextPipeline:
+    """Serving pipeline over a stage-sharded ("pp",) mesh: the same surface
+    the engine drives (run_prefill_chunk(s) / run_decode), with every forward
+    routed through pp_decoder_forward. Decode is single-step (the GPipe tick
+    loop already pipelines microbatches inside one dispatch; an outer
+    multi-token scan would nest scan-of-shard_map for little gain at pp's
+    target regime — very deep models, prefill-heavy work).
+
+    Use TP first (see module docstring); this exists so pipeline parallelism
+    is a deployable serving mode, not only a forward primitive.
+    """
+
+    supports_multistep = False
+    supports_topk_pack = False
+    supports_batched_prefill = True
+    is_speculative = False
+
+    def __init__(self, cfg, params, rope, pc, mesh: Mesh, *,
+                 microbatches: int | None = None):
+        from mistralrs_tpu.pipeline.text import TextPipeline
+
+        assert "pp" in mesh.axis_names, mesh.axis_names
+        # host-side bookkeeping (tables/slots/width bucketing) is shared with
+        # the single-chip pipeline; only the jitted steps differ
+        self._inner = TextPipeline.__new__(TextPipeline)
+        inner = self._inner
+        inner.cfg = cfg
+        inner.rope = rope
+        inner.pc = pc
+        inner.mesh = None
+        import math as _math
+
+        inner.max_pages_per_seq = _math.ceil(pc.max_model_len / pc.page_size)
+        inner.head_major = bool(pc.kv_head_major) if pc.kv_head_major is not None else False
+        self.cfg, self.rope, self.pc = cfg, rope, pc
+        self.mesh = mesh
+        self.microbatches = microbatches
+        self.max_pages_per_seq = inner.max_pages_per_seq
+        self.head_major = inner.head_major
+        lspec = P("pp")
+        # stacked layer leaves + paged KV shard their layer axis over pp;
+        # embed/norm/lm_head replicate
+        gspec = jax.tree.map(
+            lambda _: jax.sharding.NamedSharding(mesh, lspec),
+            params.layer_groups[0],
+        )
+        groups = [jax.device_put(params.layer_groups[0], gspec)]
+        self.params = type(params)(
+            embed=jax.device_put(params.embed, jax.sharding.NamedSharding(mesh, P())),
+            layer_groups=groups,
+            final_norm=jax.tree.map(
+                lambda x: jax.device_put(x, jax.sharding.NamedSharding(mesh, P())),
+                params.final_norm,
+            ),
+            lm_head=jax.tree.map(
+                lambda x: jax.device_put(x, jax.sharding.NamedSharding(mesh, P())),
+                params.lm_head,
+            ),
+            group_sizes=params.group_sizes,
+        )
+        cache = PagedKVCache.create(
+            cfg.num_layers, pc.num_pages, pc.page_size, cfg.num_kv_heads,
+            cfg.head_dim, pc.dtype, head_major=self.head_major,
+        )
+        self.cache = type(cache)(
+            k=jax.device_put(cache.k, jax.sharding.NamedSharding(mesh, lspec)),
+            v=jax.device_put(cache.v, jax.sharding.NamedSharding(mesh, lspec)),
+            head_major=cache.head_major,
+        )
+        self._fwd = jax.jit(self._step, donate_argnums=(1,))
+        self.last_greedy_pack = None
+        self.last_topk_pack = None
+        self.last_logits = None
+
+    def _step(self, params, cache, ids, positions, slot_mapping, block_tables,
+              kv_lens, active, last_idx):
+        from mistralrs_tpu.models.decoder import compute_logits
+
+        meta = PagedAttnMeta(
+            positions=positions, slot_mapping=slot_mapping,
+            block_tables=block_tables, kv_lens=kv_lens, active=active,
+            head_major=self.head_major,
+        )
+        h, cache = pp_decoder_forward(
+            params, self.cfg, self.rope, ids, cache, meta, self.mesh,
+            microbatches=self.microbatches,
+        )
+        B = ids.shape[0]
+        h_last = h[jnp.arange(B), last_idx]
+        logits = compute_logits(params, self.cfg, h_last)
+        top = jnp.argmax(logits, axis=-1)
+        chosen = jnp.take_along_axis(logits, top[:, None], axis=-1)[:, 0]
+        pack = jnp.stack([top.astype(jnp.float32), chosen])
+        return logits, pack, cache
+
+    # engine surface: delegate host bookkeeping to TextPipeline's methods
+    def _run(self, ids, positions, slot_mapping, block_tables, kv_lens, active,
+             last_idx, first_chunk=False, temps=None):
+        logits, pack, self.cache = self._fwd(
+            self.params, self.cache, jnp.asarray(ids), jnp.asarray(positions),
+            jnp.asarray(slot_mapping), jnp.asarray(block_tables),
+            jnp.asarray(kv_lens), jnp.asarray(active), jnp.asarray(last_idx),
+        )
+        self.last_greedy_pack = pack
+        self.last_logits = logits
+        return logits
+
+    def __getattr__(self, name):
+        # host-side helpers (_tables_row/_slots/_table_width/run_decode/
+        # run_prefill_chunk(s)/run_span/fetch_full_logits_row/apply_copies...)
+        inner = object.__getattribute__(self, "_inner")
+        attr = getattr(type(inner), name, None)
+        if callable(attr):
+            import types
+
+            return types.MethodType(attr, self)
+        raise AttributeError(name)

@@ -205,3 +205,46 @@ def test_pipeline_parallel_matches_dense():
                                   mesh, microbatches=2)
     np.testing.assert_allclose(np.asarray(got_h), np.asarray(want_h),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_pp_serving_pipeline_matches_dense_engine():
+    """PPTextPipeline: the engine serving over a ("pp",) stage mesh produces
+    the same greedy tokens as the single-device engine (chunked prefill +
+    decode, batched prefill surface included)."""
+    from mistralrs_tpu.parallel.pipeline_parallel import PPTextPipeline, make_pp_mesh
+
+    torch.manual_seed(91)
+    hf = tf.LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=4,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=96,
+        max_position_embeddings=128,
+    )
+    model = tf.LlamaForCausalLM(hf).eval().float()
+    cfg = config_from_hf(json.loads(hf.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    rope = make_rope(cfg)
+    pc = PipelineConfig(page_size=4, num_pages=64, max_seqs=2, max_model_len=128,
+                        prefill_buckets=(8, 16), dtype=jnp.float32,
+                        fuse_projections=False)
+    rng = np.random.default_rng(5)
+    p1 = rng.integers(3, 90, size=11).tolist()
+    p2 = rng.integers(3, 90, size=6).tolist()
+
+    ref = Engine(TextPipeline(cfg, params, rope, pc), eos_token_ids=set())
+    w1, _ = ref.generate(list(p1), SamplingParams(max_len=6))
+    w2, _ = ref.generate(list(p2), SamplingParams(max_len=5))
+
+    mesh = make_pp_mesh(jax.devices()[:4])
+    eng = Engine(PPTextPipeline(cfg, params, rope, pc, mesh),
+                 eos_token_ids=set())
+    g1 = eng.add_request(GenerationRequest(list(p1), SamplingParams(max_len=6)))
+    g2 = eng.add_request(GenerationRequest(list(p2), SamplingParams(max_len=5)))
+    while eng.has_work:
+        eng.step()
+    assert g1.seqs[0].generated_tokens == w1
+    assert g2.seqs[0].generated_tokens == w2
+    with torch.no_grad():
+        hf1 = model.generate(torch.tensor([p1]), max_new_tokens=6,
+                             do_sample=False)[0, len(p1):].tolist()
+    assert g1.seqs[0].generated_tokens == hf1
