@@ -58,6 +58,7 @@ class Engine:
         eos_token_ids: set[int] = frozenset(),
         detokenizer: Callable[[list[int]], str] | None = None,
         seed: int = 0,
+        preempt_mode: str = "recompute",
         prefix_cache: bool = True,
         prefix_cache_pages: int | None = None,
         grammar_vocab: list[bytes] | None = None,
@@ -91,7 +92,15 @@ class Engine:
             ),
             prefix_cacher=self.prefix_cacher,
             lookahead=(pipeline.gamma + 1) if self.is_speculative else self.decode_steps,
+            preempt_mode=(
+                preempt_mode
+                if getattr(pipeline, "cache", None) is not None
+                and not self.is_speculative
+                else "recompute"
+            ),
         )
+        if self.scheduler.preempt_mode == "swap":
+            self.scheduler.swapper = self._swap_out_seq
         self.eos_token_ids = set(eos_token_ids)
         self.detokenizer = detokenizer
         # ref: engine-global seeded rng (engine/mod.rs:37 SEED=0)
@@ -181,6 +190,8 @@ class Engine:
         out = self.scheduler.schedule()
         if out.copy_ops:
             self._execute_copies(out.copy_ops)
+        for seq in out.swap_in:
+            self._swap_in_seq(seq)
         n_prefill = n_decode = 0
         try:
             if out.prefill:
@@ -208,6 +219,28 @@ class Engine:
                 "prompt_tok_s": n_prefill / dt if n_prefill else 0.0,
                 "completion_tok_s": n_decode / dt if n_decode else 0.0,
             }
+
+    def _swap_out_seq(self, seq: Sequence) -> None:
+        """Swap preemption: copy the seq's live pages to host before the
+        scheduler frees them (ref cache_engine.rs swap_out)."""
+        from mistralrs_tpu.ops.paged_attention import swap_out_pages
+
+        pages = seq.block_table[seq.released_pages :]
+        seq.swap_host = (seq.released_pages,
+                         swap_out_pages(self.pipeline.cache, pages))
+
+    def _swap_in_seq(self, seq: Sequence) -> None:
+        """Restore a re-admitted swapped seq's KV into its fresh pages
+        (ref cache_engine.rs swap_in); runs before this step's batch."""
+        from mistralrs_tpu.ops.paged_attention import swap_in_pages
+
+        released, host = seq.swap_host
+        # the fresh allocation may be larger than the saved span (the
+        # next-token slot had not been appended when the seq was preempted)
+        n_saved = host[0].shape[2 if self.pipeline.cache.head_major else 1]
+        dest = seq.block_table[released : released + n_saved]
+        self.pipeline.cache = swap_in_pages(self.pipeline.cache, host, dest)
+        seq.swap_host = None
 
     def _release_window_pages(self, seqs: list[Sequence]) -> None:
         """For all-layers-sliding-window models, hand whole pages strictly

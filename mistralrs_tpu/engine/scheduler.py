@@ -23,11 +23,16 @@ from mistralrs_tpu.engine.sequence import Sequence, SequenceState, StopReason
 
 @dataclasses.dataclass
 class SchedulerOutput:
-    # at most one is non-empty per step (prompt-priority, like the reference)
+    # at most one of prefill/decode is non-empty per step (prompt-priority,
+    # like the reference)
     prefill: list[Sequence]
     decode: list[Sequence]
     preempted: list[Sequence]
     copy_ops: list[tuple[int, int]]  # COW page copies to execute before step
+    # swap-preempted seqs re-admitted this step: the engine must write their
+    # host KV back into the freshly allocated pages before running the batch
+    # (ref scheduler.rs blocks_to_swap_in + cache_engine swap_in)
+    swap_in: list[Sequence] = dataclasses.field(default_factory=list)
 
     @property
     def is_empty(self) -> bool:
@@ -36,7 +41,8 @@ class SchedulerOutput:
 
 class Scheduler:
     def __init__(self, block_manager: BlockManager, max_seqs: int = 16,
-                 prefill_batch: int = 1, prefix_cacher=None, lookahead: int = 1):
+                 prefill_batch: int = 1, prefix_cacher=None, lookahead: int = 1,
+                 preempt_mode: str = "recompute"):
         self.bm = block_manager
         self.max_seqs = max_seqs
         self.prefill_batch = prefill_batch
@@ -48,6 +54,14 @@ class Scheduler:
         # fairness: alternate prompt and completion batches when both are
         # runnable (ref runs one of each per loop pass, engine/mod.rs)
         self._decode_turn = False
+        # "recompute" (default; what the reference actually runs) or "swap":
+        # offload preempted seqs' KV pages to host and restore on re-admission
+        # (ref scheduler.rs swapped_out queue + cache_engine swap kernels)
+        assert preempt_mode in ("recompute", "swap")
+        self.preempt_mode = preempt_mode
+        self.swapped: deque[Sequence] = deque()
+        # engine-installed callback copying a seq's pages to host (device op)
+        self.swapper = None
 
     # ------------------------------------------------------------- intake
     def add_seq(self, seq: Sequence) -> None:
@@ -58,14 +72,15 @@ class Scheduler:
         if seq in self.running:
             self.running.remove(seq)
             self.bm.free_sequence(seq)
-        try:
-            self.waiting.remove(seq)
-        except ValueError:
-            pass
+        for q in (self.waiting, self.swapped):
+            try:
+                q.remove(seq)
+            except ValueError:
+                pass
 
     @property
     def num_unfinished(self) -> int:
-        return len(self.waiting) + len(self.running)
+        return len(self.waiting) + len(self.running) + len(self.swapped)
 
     # ------------------------------------------------------------- schedule
     def schedule(self) -> SchedulerOutput:
@@ -87,7 +102,21 @@ class Scheduler:
             self._decode_turn = True
             return SchedulerOutput(prefilling[: self.prefill_batch], [], [], [])
 
-        # 2. admit waiting sequences (prompt priority, FCFS; ref :72-107)
+        # 2a. swapped-out sequences re-admit with priority (ref :168-175);
+        # the engine restores their host KV before this step's batch runs
+        swap_in: list[Sequence] = []
+        while (self.swapped and len(self.running) < self.max_seqs
+               and self.bm.can_allocate(self.swapped[0]) == AllocStatus.OK):
+            seq = self.swapped.popleft()
+            released = seq.swap_host[0]
+            self.bm.allocate(seq)
+            if released:
+                self.bm.release_prefix(seq, released)
+            seq.state = SequenceState.RUNNING_COMPLETION
+            self.running.append(seq)
+            swap_in.append(seq)
+
+        # 2b. admit waiting sequences (prompt priority, FCFS; ref :72-107)
         admitted: list[Sequence] = []
         while (not decode_turn and self.waiting
                and len(self.running) + len(admitted) < self.max_seqs):
@@ -124,7 +153,8 @@ class Scheduler:
         if admitted:
             self.running.extend(admitted)
             self._decode_turn = True
-            return SchedulerOutput(admitted[: self.prefill_batch], [], [], [])
+            return SchedulerOutput(admitted[: self.prefill_batch], [], [], [],
+                                   swap_in=swap_in)
         self._decode_turn = False
 
         # 3. decode step: ensure every decoding seq can take one more token,
@@ -168,10 +198,22 @@ class Scheduler:
                 scheduled.append(seq)
         for s in preempted:
             self.running.remove(s)
-        return SchedulerOutput([], scheduled, preempted, copy_ops)
+        return SchedulerOutput([], scheduled, preempted, copy_ops,
+                               swap_in=swap_in)
 
     def _preempt(self, seq: Sequence, preempted: list[Sequence]) -> None:
-        """Preempt by recompute: drop pages, requeue at front (ref :292)."""
+        """Preempt a sequence: swap its KV to host when preempt_mode="swap"
+        (decoding seqs only — mid-prefill work is cheaper to recompute),
+        else drop pages and requeue for recompute (ref :292; the reference
+        also ships the swap path but runs recompute by default)."""
+        if (self.preempt_mode == "swap" and self.swapper is not None
+                and seq.state == SequenceState.RUNNING_COMPLETION):
+            self.swapper(seq)  # device->host copy, stores seq.swap_host
+            self.bm.free_sequence(seq)
+            seq.state = SequenceState.SWAPPED_OUT
+            preempted.append(seq)
+            self.swapped.append(seq)
+            return
         self.bm.free_sequence(seq)
         seq.kv_len = 0
         seq.draft_kv_len = 0

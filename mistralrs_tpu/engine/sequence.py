@@ -79,6 +79,8 @@ class Sequence:
         # whole pages handed back early (sliding-window release); entries
         # [0, released_pages) of block_table are stale placeholders
         self.released_pages = 0
+        # (released_pages_at_swap, (host_k, host_v)) while state == SWAPPED
+        self.swap_host = None
         self.group = group
         self.recognizer = recognizer  # grammar recognizer state (aici port)
         self.suffix_prompt_tokens = suffix_prompt_tokens or []

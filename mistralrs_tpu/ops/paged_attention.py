@@ -398,3 +398,35 @@ def copy_pages(cache: PagedKVCache, src, dst) -> PagedKVCache:
 
 def dataclasses_replace_cache(cache: PagedKVCache, k, v) -> PagedKVCache:
     return PagedKVCache(k=k, v=v, head_major=cache.head_major)
+
+
+def swap_out_pages(cache: PagedKVCache, pages: list[int]) -> tuple:
+    """Copy the named pages' K/V to host memory (ref cache_engine.rs
+    swap_out :191-203 / swap_blocks D2H). Returns (host_k, host_v) with a
+    leading [n_pages] axis in the pool's layout order."""
+    import numpy as _np
+
+    idx = jnp.asarray(pages, jnp.int32)
+    if cache.head_major:  # [L, Hkv, P, page, D]
+        k = cache.k[:, :, idx]
+        v = cache.v[:, :, idx]
+    else:  # [L, P, page, Hkv, D]
+        k = cache.k[:, idx]
+        v = cache.v[:, idx]
+    return _np.asarray(k), _np.asarray(v)
+
+
+def swap_in_pages(cache: PagedKVCache, host_kv: tuple, pages: list[int]) -> PagedKVCache:
+    """Write host K/V (from swap_out_pages) into the named destination pages
+    (ref cache_engine.rs swap_in :177-189 / swap_blocks H2D)."""
+    host_k, host_v = host_kv
+    idx = jnp.asarray(pages, jnp.int32)
+    hk = jnp.asarray(host_k, cache.k.dtype)
+    hv = jnp.asarray(host_v, cache.v.dtype)
+    if cache.head_major:
+        k = cache.k.at[:, :, idx].set(hk)
+        v = cache.v.at[:, :, idx].set(hv)
+    else:
+        k = cache.k.at[:, idx].set(hk)
+        v = cache.v.at[:, idx].set(hv)
+    return dataclasses_replace_cache(cache, k, v)

@@ -800,3 +800,88 @@ def test_per_request_seed_determinism():
         eng.step()
     assert a.seqs[0].generated_tokens == b.seqs[0].generated_tokens
     assert a.seqs[0].generated_tokens != c.seqs[0].generated_tokens
+
+
+def test_swap_preemption_restores_kv_exactly():
+    """preempt_mode="swap": under page pressure a decoding seq's KV pages
+    are offloaded to host and restored on re-admission — outputs identical
+    to an uncontended run, with NO prefill recompute of the swapped seq
+    (ref scheduler.rs swapped_out + cache_engine swap kernels; the
+    reference defaults to recompute, as do we)."""
+    import json
+
+    import jax.numpy as jnp
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.engine.sequence import SequenceState
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(101)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=256,
+    )
+    model = tf.LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    rope = make_rope(cfg)
+
+    def build(num_pages, mode):
+        pipe = TextPipeline(
+            cfg, params, rope,
+            PipelineConfig(page_size=4, num_pages=num_pages, max_seqs=3,
+                           max_model_len=128, prefill_buckets=(16,),
+                           dtype=jnp.float32, decode_steps=1),
+        )
+        return Engine(pipe, eos_token_ids=set(), prefix_cache=False,
+                      preempt_mode=mode)
+
+    rng = np.random.default_rng(103)
+    prompts = [rng.integers(3, 120, size=n).tolist() for n in (16, 14, 12)]
+    lens = (24, 20, 16)
+
+    roomy = build(96, "recompute")
+    want = [roomy.generate(list(p), SamplingParams(max_len=n))[0]
+            for p, n in zip(prompts, lens)]
+
+    eng = build(16, "swap")  # 15 usable pages force preemption
+    prefill_calls = {"n": 0}
+    orig = eng.pipeline.run_prefill_chunk
+    orig_b = eng.pipeline.run_prefill_chunks
+
+    def count(*a, **k):
+        prefill_calls["n"] += 1
+        return orig(*a, **k)
+
+    def count_b(items):
+        prefill_calls["n"] += len(items)
+        return orig_b(items)
+
+    eng.pipeline.run_prefill_chunk = count
+    eng.pipeline.run_prefill_chunks = count_b
+    groups = [eng.add_request(GenerationRequest(list(p), SamplingParams(max_len=n)))
+              for p, n in zip(prompts, lens)]
+    swapped_seen = 0
+    baseline_prefills = None
+    steps = 0
+    while eng.has_work:
+        eng.step()
+        steps += 1
+        assert steps < 2000, "wedged"
+        states = [s.state for g in groups for s in g.seqs]
+        if SequenceState.SWAPPED_OUT in states:
+            swapped_seen += 1
+            if baseline_prefills is None:
+                baseline_prefills = prefill_calls["n"]
+    assert swapped_seen > 0, "no swap preemption happened"
+    # swapped seqs resumed WITHOUT re-prefilling (chunks only grow for
+    # never-swapped admissions, which all completed before the first swap)
+    assert prefill_calls["n"] == baseline_prefills, "swap fell back to recompute"
+    for g, w in zip(groups, want):
+        assert g.seqs[0].generated_tokens == w
+    assert eng.block_manager.num_free == 15
