@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import dataclasses
 import time
+from collections import deque
 from typing import Any, Callable
 
 import numpy as np
@@ -225,7 +226,11 @@ class Engine:
         scheduler frees them (ref cache_engine.rs swap_out)."""
         from mistralrs_tpu.ops.paged_attention import swap_out_pages
 
-        pages = seq.block_table[seq.released_pages :]
+        # save only pages holding data (up to kv_len); lookahead-reserved
+        # pages past it are garbage and may exceed the re-admission table
+        ps = self.pipeline.pc.page_size
+        n_live = -(-seq.kv_len // ps)
+        pages = seq.block_table[seq.released_pages : n_live]
         seq.swap_host = (seq.released_pages,
                          swap_out_pages(self.pipeline.cache, pages))
 
@@ -271,6 +276,11 @@ class Engine:
 
     def _cancel_all(self) -> None:
         from mistralrs_tpu.engine.sequence import StopReason
+
+        for seq in list(getattr(self.scheduler, "swapped", [])):
+            seq.swap_host = None
+            seq.finish(StopReason.CANCELED)
+        getattr(self.scheduler, "swapped", deque()).clear()
 
         for seq in list(self.scheduler.running) + list(self.scheduler.waiting):
             if not seq.is_finished():

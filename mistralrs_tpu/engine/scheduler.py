@@ -105,13 +105,23 @@ class Scheduler:
         # 2a. swapped-out sequences re-admit with priority (ref :168-175);
         # the engine restores their host KV before this step's batch runs
         swap_in: list[Sequence] = []
-        while (self.swapped and len(self.running) < self.max_seqs
-               and self.bm.can_allocate(self.swapped[0]) == AllocStatus.OK):
+        while self.swapped and len(self.running) < self.max_seqs:
+            status = self.bm.can_allocate(self.swapped[0])
+            if status == AllocStatus.IMPOSSIBLE:
+                seq = self.swapped.popleft()
+                seq.finish_error = "swapped sequence no longer fits KV pool"
+                seq.finish(StopReason.ERROR)
+                stream = getattr(seq, "stream", None)
+                if stream:
+                    stream(seq, "", StopReason.ERROR.value)
+                continue
+            if status != AllocStatus.OK:
+                break
             seq = self.swapped.popleft()
-            released = seq.swap_host[0]
+            # full fresh table; any window-released prefix is re-released by
+            # the engine's post-decode hook (stale prefix pages are never
+            # attended thanks to the windowed table slicing)
             self.bm.allocate(seq)
-            if released:
-                self.bm.release_prefix(seq, released)
             seq.state = SequenceState.RUNNING_COMPLETION
             self.running.append(seq)
             swap_in.append(seq)
@@ -162,7 +172,14 @@ class Scheduler:
         #    Mid-prefill seqs are NOT decodable (they take the prompt turn of
         #    the prompt/completion alternation above).
         self.running.sort(key=lambda s: s.timestamp)
-        candidates = [s for s in self.running if not s.is_finished()]
+        # freshly re-admitted swap_in seqs decode from NEXT step (the engine
+        # restores their host KV after this schedule() returns); they are
+        # neither schedulable nor preemption victims right now
+        fresh = set(swap_in)
+        candidates = [
+            s for s in self.running
+            if not s.is_finished() and s not in fresh
+        ]
         live = [
             s for s in candidates
             if s.state == SequenceState.RUNNING_COMPLETION

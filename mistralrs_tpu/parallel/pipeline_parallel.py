@@ -63,7 +63,12 @@ def pp_decoder_forward(
     L = params.num_layers
     assert L % n == 0, (L, n)
     B, T = input_ids.shape
-    M = microbatches if microbatches is not None else min(n, B)
+    if microbatches is not None:
+        M = microbatches
+    else:
+        M = min(n, B)
+        while B % M:  # largest divisor of B that fits the stage count
+            M -= 1
     assert B % M == 0, (B, M)
     Bm = B // M
     S = meta.block_tables.shape[1] * cache.page_size
@@ -204,26 +209,18 @@ class PPTextPipeline:
 
     def __init__(self, cfg, params, rope, pc, mesh: Mesh, *,
                  microbatches: int | None = None):
-        from mistralrs_tpu.pipeline.text import TextPipeline
-
-        assert "pp" in mesh.axis_names, mesh.axis_names
-        # host-side bookkeeping (tables/slots/width bucketing) is shared with
-        # the single-chip pipeline; only the jitted steps differ
-        self._inner = TextPipeline.__new__(TextPipeline)
-        inner = self._inner
-        inner.cfg = cfg
-        inner.rope = rope
-        inner.pc = pc
-        inner.mesh = None
         import math as _math
 
-        inner.max_pages_per_seq = _math.ceil(pc.max_model_len / pc.page_size)
-        inner.head_major = bool(pc.kv_head_major) if pc.kv_head_major is not None else False
+        assert "pp" in mesh.axis_names, mesh.axis_names
+        assert len(params.layer_groups) == 1, \
+            "PP requires one homogeneous layer group (mixed-quant topologies pick TP)"
+        if microbatches is not None:
+            assert pc.max_seqs % microbatches == 0, (pc.max_seqs, microbatches)
         self.cfg, self.rope, self.pc = cfg, rope, pc
         self.mesh = mesh
         self.microbatches = microbatches
-        self.max_pages_per_seq = inner.max_pages_per_seq
-        self.head_major = inner.head_major
+        self.max_pages_per_seq = _math.ceil(pc.max_model_len / pc.page_size)
+        self.head_major = bool(pc.kv_head_major) if pc.kv_head_major is not None else False
         lspec = P("pp")
         # stacked layer leaves + paged KV shard their layer axis over pp;
         # embed/norm/lm_head replicate
@@ -268,11 +265,18 @@ class PPTextPipeline:
             block_tables=block_tables, kv_lens=kv_lens, active=active,
             head_major=self.head_major,
         )
+        B = ids.shape[0]
+        # clamp the microbatch count to the (static) batch of this call and
+        # keep it a divisor of B (single-seq prefill runs at B=1)
+        mb = self.microbatches
+        if mb is not None:
+            mb = max(1, min(mb, B))
+            while B % mb:
+                mb -= 1
         h, cache = pp_decoder_forward(
             params, self.cfg, self.rope, ids, cache, meta, self.mesh,
-            microbatches=self.microbatches,
+            microbatches=mb,
         )
-        B = ids.shape[0]
         h_last = h[jnp.arange(B), last_idx]
         logits = compute_logits(params, self.cfg, h_last)
         top = jnp.argmax(logits, axis=-1)
@@ -293,10 +297,11 @@ class PPTextPipeline:
         return logits
 
     def __getattr__(self, name):
-        # host-side helpers (_tables_row/_slots/_table_width/run_decode/
-        # run_prefill_chunk(s)/run_span/fetch_full_logits_row/apply_copies...)
-        inner = object.__getattribute__(self, "_inner")
-        attr = getattr(type(inner), name, None)
+        # host-side helpers delegate to TextPipeline's methods, bound to
+        # self (they only touch cfg/pc/cache/bookkeeping attrs we carry)
+        from mistralrs_tpu.pipeline.text import TextPipeline
+
+        attr = getattr(TextPipeline, name, None)
         if callable(attr):
             import types
 

@@ -885,3 +885,50 @@ def test_swap_preemption_restores_kv_exactly():
     for g, w in zip(groups, want):
         assert g.seqs[0].generated_tokens == w
     assert eng.block_manager.num_free == 15
+
+
+def test_swap_impossible_readmission_errors_cleanly():
+    """A swapped-out seq that can no longer fit the pool finishes with an
+    error instead of wedging the serve loop (review finding)."""
+    import json
+
+    import jax.numpy as jnp
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(107)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=256,
+    )
+    model = tf.LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    pipe = TextPipeline(
+        cfg, params, make_rope(cfg),
+        PipelineConfig(page_size=4, num_pages=8, max_seqs=2, max_model_len=64,
+                       prefill_buckets=(16,), dtype=jnp.float32, decode_steps=1),
+    )
+    eng = Engine(pipe, eos_token_ids=set(), prefix_cache=False,
+                 preempt_mode="swap")
+    # single seq grows until its next-token page can't be satisfied by the
+    # 7-page pool; with no other victim it self-preempts by swap, and
+    # re-admission is IMPOSSIBLE (needs 8 pages for 29 tokens)
+    g = eng.add_request(GenerationRequest(list(range(3, 17)),
+                                          SamplingParams(max_len=40)))
+    steps = 0
+    while eng.has_work:
+        eng.step()
+        steps += 1
+        assert steps < 300, "engine wedged on impossible swapped seq"
+    s = g.seqs[0]
+    assert s.is_finished()
+    # either it finished within capacity or was error-finished on re-admission
+    if s.stop_reason is not None and s.stop_reason.value == "error":
+        assert "KV pool" in (s.finish_error or "")
