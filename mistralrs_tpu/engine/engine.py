@@ -114,6 +114,10 @@ class Engine:
         # ref engine/mod.rs:39 TERMINATE_ALL_NEXT_STEP: cancel everything at
         # the top of the next scheduling step
         self.terminate_all_next_step = False
+        # per-request cancellation (ref sampling.rs:86-97 dead-receiver
+        # detection cancels a streaming seq); ids added from any thread,
+        # applied at the top of the next step
+        self._cancel_ids: set[str] = set()
         # opt-in per-step throughput log (ref engine/mod.rs:285-298 --throughput)
         self.throughput_logging = False
         self.last_throughput: dict | None = None
@@ -181,7 +185,27 @@ class Engine:
     def has_work(self) -> bool:
         return self.scheduler.num_unfinished > 0
 
+    def cancel_request(self, request_id: str) -> None:
+        """Thread-safe: cancel one request's sequences at the next step
+        (ref dead-receiver detection, sampling.rs:86-97)."""
+        self._cancel_ids.add(request_id)
+
+    def _apply_cancellations(self) -> None:
+        ids, self._cancel_ids = self._cancel_ids, set()
+        for rid in ids:
+            group = self._groups.get(rid)
+            if group is None:
+                continue
+            for seq in group.seqs:
+                if seq.is_finished():
+                    continue
+                self.scheduler.abort(seq)
+                seq.swap_host = None
+                seq.finish(StopReason.CANCELED)
+
     def step(self) -> None:
+        if self._cancel_ids:
+            self._apply_cancellations()
         if self.terminate_all_next_step:
             # ref TERMINATE_ALL_NEXT_STEP honored by both schedulers
             self.terminate_all_next_step = False

@@ -374,9 +374,18 @@ class OpenAIServer:
             try:
                 seq, delta, reason = await asyncio.wait_for(q.get(), timeout=10.0)
             except asyncio.TimeoutError:
-                # SSE keep-alive (ref chat_completion.rs keep-alive interval)
-                await resp.write(b": keep-alive\n\n")
+                # SSE keep-alive (ref chat_completion.rs keep-alive interval);
+                # a failed write = dead receiver -> cancel the generation
+                # (ref sampling.rs:86-97)
+                try:
+                    await resp.write(b": keep-alive\n\n")
+                except (ConnectionResetError, ConnectionError):
+                    self.runner.handle.engine.cancel_request(rid)
+                    return resp
                 continue
+            except asyncio.CancelledError:
+                self.runner.handle.engine.cancel_request(rid)
+                raise
             if reason is not None:
                 finished += 1
             idx = seq.group.seqs.index(seq) if seq.group else 0
@@ -395,7 +404,11 @@ class OpenAIServer:
                 "model": self.model_id,
                 "choices": [choice],
             }
-            await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            try:
+                await resp.write(f"data: {json.dumps(chunk)}\n\n".encode())
+            except (ConnectionResetError, ConnectionError):
+                self.runner.handle.engine.cancel_request(rid)
+                return resp
         await resp.write(b"data: [DONE]\n\n")
         await resp.write_eof()
         return resp

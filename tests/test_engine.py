@@ -932,3 +932,25 @@ def test_swap_impossible_readmission_errors_cleanly():
     # either it finished within capacity or was error-finished on re-admission
     if s.stop_reason is not None and s.stop_reason.value == "error":
         assert "KV pool" in (s.finish_error or "")
+
+
+def test_cancel_request_mid_generation():
+    """cancel_request (dead-receiver parity, sampling.rs:86-97): the
+    request's seqs finish canceled at the next step, pages return to the
+    pool, and other requests keep generating."""
+    eng = make_engine(prefix_cache=False)
+    free0 = eng.block_manager.num_free
+    g1 = eng.add_request(GenerationRequest([1], SamplingParams(max_len=30),
+                                           request_id="r1"))
+    g2 = eng.add_request(GenerationRequest([20], SamplingParams(max_len=5),
+                                           request_id="r2"))
+    for _ in range(4):
+        eng.step()
+    assert not g1.all_done()
+    eng.cancel_request("r1")
+    while eng.has_work:
+        eng.step()
+    assert g1.seqs[0].stop_reason is not None
+    assert g1.seqs[0].output().finish_reason == "canceled"
+    assert g2.seqs[0].generated_tokens == [21, 22, 23, 24, 25]
+    assert eng.block_manager.num_free == free0
