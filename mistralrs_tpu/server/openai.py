@@ -159,7 +159,7 @@ class OpenAIServer:
             return web.json_response({"error": "model has no adapters"}, status=400)
         try:
             await asyncio.to_thread(self.runner.activate_adapters, names)
-        except ValueError as e:
+        except Exception as e:  # adapterless model / unknown adapter name
             return web.json_response({"error": str(e)}, status=400)
         return web.Response(text="ok")
 
@@ -416,7 +416,10 @@ class OpenAIServer:
 
 def run_server(runner, host: str = "0.0.0.0", port: int = 8080, model_id: str = "default"):
     server = OpenAIServer(runner, model_id)
-    web.run_app(server.app(), host=host, port=port)
+    # handler_cancellation: a client disconnect cancels the handler task,
+    # which cancels the generation (dead-receiver parity, sampling.rs:86-97;
+    # aiohttp >= 3.9 no longer cancels handlers by default)
+    web.run_app(server.app(), host=host, port=port, handler_cancellation=True)
 
 
 def _openapi_schema(model_id: str) -> dict:

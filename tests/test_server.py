@@ -50,7 +50,8 @@ def client_and_runner():
     server = OpenAIServer(runner, model_id="fake-model")
 
     loop = asyncio.new_event_loop()
-    client = TestClient(TestServer(server.app(), loop=loop), loop=loop)
+    client = TestClient(TestServer(server.app(), loop=loop,
+                                   handler_cancellation=True), loop=loop)
     loop.run_until_complete(client.start_server())
     yield client, runner, loop
     loop.run_until_complete(client.close())
@@ -222,3 +223,90 @@ def test_metrics_endpoint(client_and_runner):
         assert "mistralrs_requests_running 0" in text
 
     _run(loop, go())
+
+
+def test_aux_routes(client_and_runner):
+    """/re_isq, /activate_adapters, /docs, /docs/openapi.json surface
+    behavior (ref mistralrs-server routes main.rs:246-258)."""
+    client, runner, loop = client_and_runner
+
+    async def go():
+        # fake pipeline has no re_isq / adapters -> clean 400s
+        r = await client.post("/re_isq", json={"ggml_type": "Q4K"})
+        assert r.status == 400
+        r = await client.post("/activate_adapters", json={"adapter_names": ["a"]})
+        assert r.status == 400
+        # wire in fakes -> 200s
+        called = {}
+        runner.handle.engine.pipeline.re_isq = lambda t: called.setdefault("isq", t)
+        runner.activate_adapters = lambda names: called.setdefault("act", names)
+        r = await client.post("/re_isq", json={"ggml_type": "Q4K"})
+        assert r.status == 200 and called["isq"] == "Q4K"
+        r = await client.post("/activate_adapters", json={"adapter_names": ["a"]})
+        assert r.status == 200 and called["act"] == ["a"]
+        r = await client.get("/docs")
+        assert r.status == 200 and "OpenAI-compatible" in await r.text()
+        r = await client.get("/docs/openapi.json")
+        assert r.status == 200 and "openapi" in (await r.json())
+
+    _run(loop, go())
+
+
+def test_streaming_client_disconnect_cancels(client_and_runner):
+    """Dead-receiver parity (sampling.rs:86-97): when writing an SSE chunk
+    to the client fails (receiver gone), the server cancels the generation
+    (write-failure injection; real-socket disconnects additionally cancel
+    the handler task via run_app(handler_cancellation=True))."""
+    import time as _t
+
+    from aiohttp import web as _web
+
+    client, runner, loop = client_and_runner
+    eng = runner.handle.engine
+    # throttle the fake model so generation outlives the failed write
+    orig_decode = eng.pipeline.run_decode
+
+    def slow_decode(*a, **k):
+        _t.sleep(0.05)
+        return orig_decode(*a, **k)
+
+    eng.pipeline.run_decode = slow_decode
+
+    orig_write = _web.StreamResponse.write
+    calls = {"n": 0}
+
+    async def flaky_write(self, data):
+        if b"data:" in bytes(data):
+            calls["n"] += 1
+            if calls["n"] >= 2:
+                raise ConnectionResetError("client vanished")
+        return await orig_write(self, data)
+
+    _web.StreamResponse.write = flaky_write
+    try:
+        async def go():
+            resp = await client.post(
+                "/v1/chat/completions",
+                json={"model": "fake-model",
+                      "messages": [{"role": "user", "content": "hi"}],
+                      "max_tokens": 1000, "stream": True},
+            )
+            await resp.content.read()
+            resp.close()
+
+        _run(loop, go())
+        deadline = _t.time() + 20
+        while _t.time() < deadline:
+            groups = list(eng._groups.values())
+            if groups and all(g.all_done() for g in groups):
+                break
+            if eng.has_work:
+                pass
+            _t.sleep(0.05)
+    finally:
+        _web.StreamResponse.write = orig_write
+        eng.pipeline.run_decode = orig_decode
+    groups = list(eng._groups.values())
+    assert groups and all(g.all_done() for g in groups)
+    reasons = [s.output().finish_reason for g in groups for s in g.seqs]
+    assert "canceled" in reasons, reasons
