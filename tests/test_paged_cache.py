@@ -224,3 +224,33 @@ def test_blockwise_continuation_matches_reference():
                 window_gate=gate, logits_softcap=cap, kv_block=256))
             np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5,
                                        err_msg=f"hm={hm} win={win} cap={cap}")
+
+
+def test_swap_out_in_roundtrip_both_layouts():
+    """swap_out_pages -> host -> swap_in_pages restores page contents
+    exactly, token-major and head-major (ref cache_engine swap_blocks)."""
+    from mistralrs_tpu.ops.paged_attention import (
+        PagedKVCache, swap_in_pages, swap_out_pages,
+    )
+
+    rng = np.random.default_rng(9)
+    for hm in (False, True):
+        cache = PagedKVCache.create(2, 8, 4, 2, 8, jnp.float32, head_major=hm)
+        full_k = rng.standard_normal(cache.k.shape).astype(np.float32)
+        full_v = rng.standard_normal(cache.v.shape).astype(np.float32)
+        cache = type(cache)(k=jnp.asarray(full_k), v=jnp.asarray(full_v),
+                            head_major=hm)
+        pages = [3, 5, 1]
+        host = swap_out_pages(cache, pages)
+        # clobber those pages, then restore into different slots
+        zeros = jnp.zeros_like(cache.k)
+        cache = type(cache)(k=zeros, v=zeros, head_major=hm)
+        dest = [2, 6, 7]
+        cache = swap_in_pages(cache, host, dest)
+        ax = cache.page_axis
+        for src_p, dst_p in zip(pages, dest):
+            got_k = np.take(np.asarray(cache.k), dst_p, axis=ax)
+            want_k = np.take(full_k, src_p, axis=ax)
+            np.testing.assert_array_equal(got_k, want_k)
+            got_v = np.take(np.asarray(cache.v), dst_p, axis=ax)
+            np.testing.assert_array_equal(got_v, np.take(full_v, src_p, axis=ax))
