@@ -46,10 +46,10 @@ def broadcast_step_inputs(tree: Any) -> Any:
     return multihost_utils.broadcast_one_to_all(tree)
 
 
-def make_global_mesh(dp: int = 1, tp: int | None = None):
+def make_global_mesh(dp: int = 1, sp: int = 1, tp: int | None = None):
     """Mesh over ALL processes' devices (ICI within a slice, DCN across)."""
     import jax
 
     from mistralrs_tpu.parallel.mesh import make_mesh
 
-    return make_mesh(jax.devices(), dp=dp, tp=tp)
+    return make_mesh(jax.devices(), dp=dp, sp=sp, tp=tp)

@@ -88,9 +88,10 @@ WORKER_SERVE = textwrap.dedent(
     sd = {k: v.numpy() for k, v in model.state_dict().items()}
     params = params_from_source(cfg, TensorSource.from_dict(sd),
                                 dtype=jnp.float32)
-    # TP over the GLOBAL mesh: tp=4 spans both processes, so every matmul's
-    # psum crosses the process boundary (the DCN hop on a real pod)
-    mesh = multihost.make_global_mesh(dp=1)
+    # sp=2 x tp=2 over the GLOBAL mesh: TP collectives AND the ring-attention
+    # ppermute (first prefill chunk) cross the process boundary (the DCN hop
+    # on a real pod)
+    mesh = multihost.make_global_mesh(dp=1, sp=2)
     pipe = TextPipeline(cfg, params, make_rope(cfg),
                         PipelineConfig(page_size=4, num_pages=64, max_seqs=2,
                                        max_model_len=128,
