@@ -18,9 +18,61 @@ Weights are random *packed* Q4_K blocks built directly in the device layout
 from __future__ import annotations
 
 import json
+import os
+import signal
+import subprocess
+import sys
 import time
 
 import numpy as np
+
+
+def _emit_error(stage: str, detail: str) -> None:
+    """Driver contract on failure: ONE machine-readable JSON line, rc 0."""
+    print(json.dumps({
+        "metric": "mistral7b_q4km_decode_tok_s_per_chip_batch16",
+        "value": None,
+        "unit": "tokens/sec",
+        "vs_baseline": None,
+        "error": f"{stage}: {detail.strip()[-400:]}",
+    }))
+    sys.stdout.flush()
+
+
+def _probe_tpu(timeout_s: int = 90) -> bool:
+    """The axon tunnel can stall for hours (observed r1): backend init or a
+    tiny matmul never returns. Probe in a SUBPROCESS with a hard timeout so
+    the stall cannot take the bench process with it."""
+    code = (
+        "import jax, numpy as np\n"
+        "x = jax.numpy.ones((8, 8), jax.numpy.bfloat16)\n"
+        "np.asarray(x @ x)\n"
+        "print('PROBE_OK')\n"
+    )
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True,
+            timeout=timeout_s,
+        )
+    except subprocess.TimeoutExpired:
+        _emit_error("tpu_probe", f"matmul round-trip exceeded {timeout_s}s (tunnel stalled)")
+        return False
+    if "PROBE_OK" not in r.stdout:
+        _emit_error("tpu_probe", r.stderr.splitlines()[-1] if r.stderr else "no output")
+        return False
+    return True
+
+
+def _install_watchdog(budget_s: int = 480) -> None:
+    """If the tunnel dies MID-bench, SIGALRM turns the hang into a JSON line
+    (driver budget is ~10 min; probe already spent up to 90s)."""
+
+    def _on_alarm(signum, frame):
+        _emit_error("watchdog", f"bench exceeded {budget_s}s after successful probe")
+        os._exit(0)
+
+    signal.signal(signal.SIGALRM, _on_alarm)
+    signal.alarm(budget_s)
 
 
 _POOLS = {}
@@ -151,6 +203,16 @@ def _measure(eng, prompt, *, n_requests, max_len, reps):
 
 
 def main():
+    if not _probe_tpu():
+        return
+    _install_watchdog()
+    try:
+        _run()
+    except Exception as e:  # noqa: BLE001 — driver needs a JSON line, not a traceback
+        _emit_error("bench", f"{type(e).__name__}: {e}")
+
+
+def _run():
     import jax.numpy as jnp  # noqa: F401
 
     from mistralrs_tpu.engine.engine import Engine, GenerationRequest
