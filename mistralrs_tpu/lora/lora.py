@@ -182,7 +182,7 @@ def activate_adapters(params, names: list[str], active: list[str]):
             data = dict(node.data)
             # gates are [n] per layer, [L, n] in stacked scan groups
             data["gates"] = jnp.broadcast_to(jnp.asarray(mask), data["gates"].shape)
-            return Linear(kind=node.kind, shape=node.shape, data=data)
+            return Linear(kind=node.kind, shape=node.shape, data=data, meta=node.meta)
         return node
 
     return jax.tree.map(visit, params, is_leaf=lambda x: isinstance(x, Linear))

@@ -152,6 +152,111 @@ def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int =
     return y
 
 
+# ----------------------------------------------------------------- Q6_K
+
+
+def _q6k_kernel(x_ref, ql_ref, qh_ref, scale_ref, o_ref, acc_ref, *, G: int):
+    """One chunk (4 spans of G permuted elements) per k-step. The chunked
+    layout (quant/gguf_linear.py pack_q6k) makes every ref's block
+    contiguous, so the unpack is mask/shift only with static bit offsets:
+    ql rows [0,G) hold lownib(span0)|lownib(span2)<<4, rows [G,2G) spans
+    1|3; qh packs the four 2-bit highs at bits 0/2/4/6. Scale is applied
+    weight-side (per-16 sub-scales broadcast along sublanes, q8_0-style)
+    and each span contracts as a full-depth [B,G]x[G,To] MXU dot."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    dt = x_ref.dtype
+    To = o_ref.shape[1]
+    ql = ql_ref[...].astype(jnp.int32)  # [2G, To]  (Mosaic: no uint8->float cast)
+    h = qh_ref[...].astype(jnp.int32)  # [G, To]
+    lo = ql & 0xF
+    hi = ql >> 4
+    q0 = lo[0:G] | ((h & 3) << 4)
+    q1 = lo[G : 2 * G] | (((h >> 2) & 3) << 4)
+    q2 = hi[0:G] | (((h >> 4) & 3) << 4)
+    q3 = hi[G : 2 * G] | ((h >> 6) << 4)
+    s = scale_ref[...]  # [G/4, To] per-16 sub-scales, permuted order
+    srep = jnp.broadcast_to(s[:, None, :], (G // 4, 16, To)).reshape(4 * G, To).astype(dt)
+    x = x_ref[...]  # [B, 4G] permuted activations
+    acc = acc_ref[...]
+    for j, qj in enumerate((q0, q1, q2, q3)):
+        w = qj.astype(dt) * srep[j * G : (j + 1) * G]
+        acc = acc + jnp.dot(
+            x[:, j * G : (j + 1) * G], w, preferred_element_type=jnp.float32
+        )
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "G"))
+def _q6k_matmul_padded(x_perm, ql, qh, scale, *, block_o: int, G: int):
+    """x_perm [B, K] (already gathered by lin.data['perm']); ql [K/2, O];
+    qh [K/4, O]; scale [K/16, O]. w = scale*(q-32): the -32 offset term is
+    xsum16 @ scale outside the kernel (1/16 of the GEMM's FLOPs, XLA)."""
+    B, K = x_perm.shape
+    O = ql.shape[1]
+    grid = (O // block_o, K // (4 * G))
+    y = pl.pallas_call(
+        functools.partial(_q6k_kernel, G=G),
+        out_shape=jax.ShapeDtypeStruct((B, O), x_perm.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((B, 4 * G), lambda o, k: (0, k)),
+                pl.BlockSpec((2 * G, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((G, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((G // 4, block_o), lambda o, k: (k, o)),
+            ],
+            out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
+            scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * O * K,
+            bytes_accessed=O * K // 2 + O * K // 4 + O * K // 16 * 2 + B * K * 2 + B * O * 2,
+            transcendentals=0,
+        ),
+    )(x_perm, ql, qh, scale)
+    xsum16 = jnp.sum(x_perm.astype(jnp.float32).reshape(B, K // 16, 16), axis=2)
+    return y - 32.0 * jnp.dot(xsum16, scale.astype(jnp.float32)).astype(y.dtype)
+
+
+def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512) -> jax.Array:
+    """Forward for kind 'gguf_q6k'. x [..., K] -> [..., O]."""
+    in_f, out_f = lin.shape
+    G = lin.meta
+    lead = x.shape[:-1]
+    bo = min(block_o, out_f)
+    while out_f % bo:
+        bo //= 2
+    if G is None or G < 64 or bo < 128:
+        from mistralrs_tpu.quant.gguf_linear import _ref_forward
+
+        return _ref_forward(lin, x)
+    x2 = _pad_rows(x.reshape(-1, in_f), 8)
+    xp = jnp.take(x2, lin.data["perm"], axis=1)
+    y = _q6k_matmul_padded(
+        xp, lin.data["ql"], lin.data["qh"], lin.data["scale"], block_o=bo, G=G
+    )
+    n = 1
+    for d in lead:
+        n *= d
+    y = y[:n].reshape(*lead, out_f)
+    b = lin.data.get("b")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 # ----------------------------------------------------------------- Q8_0
 
 

@@ -50,15 +50,16 @@ def _lin_spec(kind: str, col_parallel: bool, stacked: bool, expert: bool = False
             return {"w": P(*prefix, None, "tp"), "b": P(*prefix, "tp")}
         return {"w": P(*prefix, "tp", None), "b": P(*prefix, None)}
     bias = P(*prefix, "tp") if col_parallel else P(*prefix, None)
-    if kind in ("gguf_q4k", "gguf_q8_0"):
-        # K-major 2D arrays [in-blocks, out]
+    if kind in ("gguf_q4k", "gguf_q8_0", "gguf_q6k"):
+        # K-major 2D arrays [in-blocks, out]; q6k perm/inv_perm are global
+        # element indices so they stay replicated under both layouts
         spec2 = P(*prefix, None, "tp") if col_parallel else P(*prefix, "tp", None)
-        return {"qs": spec2, "scale": spec2, "minv": spec2, "q": spec2, "b": bias}
-    # gguf_q6k: O-major 3D arrays [out, in-blocks, sub]
-    spec3 = (
-        P(*prefix, "tp", None, None) if col_parallel else P(*prefix, None, "tp", None)
-    )
-    return {"ql": spec3, "qh": spec3, "scale": spec3, "b": bias}
+        return {
+            "qs": spec2, "scale": spec2, "minv": spec2, "q": spec2,
+            "ql": spec2, "qh": spec2,
+            "perm": P(*prefix, None), "inv_perm": P(*prefix, None),
+            "b": bias,
+        }
 
 
 def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
@@ -71,7 +72,7 @@ def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
     def map_linear(lin: Linear, col: bool, stacked: bool, expert: bool = False) -> Linear:
         spec = _lin_spec(lin.kind, col, stacked, expert)
         data = {k: spec[k] for k in lin.data}
-        return Linear(kind=lin.kind, shape=lin.shape, data=data)
+        return Linear(kind=lin.kind, shape=lin.shape, data=data, meta=lin.meta)
 
     def layer_specs(lp: dict[str, Any]) -> dict[str, Any]:
         out: dict[str, Any] = {}
@@ -100,6 +101,7 @@ def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
                 kind=mlp["router"].kind,
                 shape=mlp["router"].shape,
                 data={k: P(None, None, None) if k == "w" else P(None, None) for k in mlp["router"].data},
+                meta=mlp["router"].meta,
             )
         elif "gate" in mlp:
             out["mlp"] = {

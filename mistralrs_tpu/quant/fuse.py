@@ -20,6 +20,7 @@ _CAT_AXIS1 = {
     "dense": ("w",),
     "gguf_q4k": ("qs", "scale", "minv"),
     "gguf_q8_0": ("q", "scale"),
+    "gguf_q6k": ("ql", "qh", "scale"),
     "gptq_2": ("q", "scale", "zs"),
     "gptq_4": ("q", "scale", "zs"),
     "gptq_8": ("q", "scale", "zs"),
@@ -47,6 +48,8 @@ def fuse_linears(lins: list[Linear]) -> Linear | None:
         return None
     if len({l.shape[0] for l in lins}) != 1:
         return None
+    if len({l.meta for l in lins}) != 1:
+        return None
     if any("g_idx" in l.data for l in lins):
         return None
     has_bias = [l.data.get("b") is not None for l in lins]
@@ -58,8 +61,12 @@ def fuse_linears(lins: list[Linear]) -> Linear | None:
         data[key] = cat(*[l.data[key] for l in lins])
     if all(has_bias):
         data["b"] = cat(*[l.data["b"] for l in lins])
+    # K-side constants (q6k perm tables) are identical across same-in lins
+    for key in ("perm", "inv_perm"):
+        if key in lins[0].data:
+            data[key] = lins[0].data[key]
     out = sum(l.shape[1] for l in lins)
-    return Linear(kind=kind, shape=(lins[0].shape[0], out), data=data)
+    return Linear(kind=kind, shape=(lins[0].shape[0], out), data=data, meta=lins[0].meta)
 
 
 def fuse_decoder_params(params):

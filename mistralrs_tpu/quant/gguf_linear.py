@@ -80,24 +80,77 @@ def pack_q4k(raw: np.ndarray, out_features: int, in_features: int, dtype=jnp.bfl
     )
 
 
+def _q6k_int_values(raw: np.ndarray, out_f: int, in_f: int) -> tuple[np.ndarray, np.ndarray]:
+    """Q6_K wire blocks -> (q uint8 [out, in] 6-bit values in element order,
+    scale f32 [out, in/16] per-16 sub-scales d*int8)."""
+    nblk = in_f // 256
+    b = raw.reshape(out_f, nblk, 210)
+    ql = b[..., 0:128].reshape(out_f, nblk, 2, 64)
+    qh = b[..., 128:192].reshape(out_f, nblk, 2, 32)
+    sc = b[..., 192:208].view(np.int8).astype(np.float32)  # [out, nblk, 16]
+    d = b[..., 208:210].copy().view(np.float16).astype(np.float32)  # [out, nblk, 1]
+    lo = np.stack(
+        [ql[..., 0:32] & 0xF, ql[..., 32:64] & 0xF, ql[..., 0:32] >> 4, ql[..., 32:64] >> 4],
+        axis=3,
+    )  # [out, nblk, 2, 4, 32]
+    hi = np.stack([(qh >> s) & 3 for s in (0, 2, 4, 6)], axis=3)
+    q = (lo | (hi << 4)).reshape(out_f, in_f)
+    scale = d * sc  # [out, nblk, 16] per-16 groups in element order
+    return q, scale.reshape(out_f, in_f // 16)
+
+
+def q6k_chunk_size(in_features: int) -> int | None:
+    """Largest span size G with in/4 % G == 0 (kernel tiles 4 spans of G)."""
+    for g in (512, 256, 128, 64):
+        if (in_features // 4) % g == 0:
+            return g
+    return None
+
+
 def pack_q6k(raw: np.ndarray, out_features: int, in_features: int, dtype=jnp.bfloat16) -> Linear:
-    """GGUF Q6_K wire blocks -> device layout (half-blocks of 128)."""
-    nblk = in_features // 256
-    b = raw.reshape(out_features, nblk, 210)
-    ql = b[:, :, 0:128].reshape(out_features, nblk * 2, 64)
-    qh = b[:, :, 128:192].reshape(out_features, nblk * 2, 32)
-    scales = b[:, :, 192:208].view(np.int8).astype(np.float32).reshape(out_features, nblk * 2, 8)
-    d = b[:, :, 208:210].copy().view(np.float16).astype(np.float32)  # [out, nblk, 1]
-    d2 = np.repeat(d, 2, axis=1)  # per half-block
-    scale = d2 * scales  # [out, 2*nblk, 8] — 8 sub-scales of 16 elems per half
+    """GGUF Q6_K wire blocks -> chunked K-major device layout.
+
+    Device element order is PERMUTED so every kernel k-step reads one
+    contiguous block of each array (ops/quant_matmul.py q6k kernel). With
+    chunk span G and Kq = in/4, permuted position p = c*4G + j*G + t maps to
+    original element j*Kq + c*G + t (chunk c, span j of 4, offset t):
+      ql    uint8 [in/2, out]  chunk rows [2cG,2cG+2G): first G rows pack
+            lownib(span0)|lownib(span2)<<4, next G rows span1|span3<<4
+      qh    uint8 [in/4, out]  chunk rows [cG,cG+G): 2-bit highs of spans
+            0..3 at bit offsets 0/2/4/6
+      scale dtype [in/16, out] per-16 sub-scales in permuted order
+      perm / inv_perm int32 [in]: x is gathered by perm at runtime; inv_perm
+            restores element order for the dequant reference path.
+    w = scale*(q-32); the -32*scale term is applied outside the kernel as
+    xsum16 @ scale (1/16th-size XLA matmul), like the Q4_K min-term."""
+    G = q6k_chunk_size(in_features)
+    if G is None:
+        raise ValueError(f"in_features {in_features} not packable for q6k")
+    q, s16 = _q6k_int_values(raw, out_features, in_features)
+    K, O = in_features, out_features
+    Kq, C = K // 4, K // (4 * G)
+    qT = q.T  # [K, O]
+    ln = (qT & 0xF).reshape(4, C, G, O)  # [span j, chunk c, t, O]
+    hb = (qT >> 4).reshape(4, C, G, O)
+    qlc = np.concatenate([ln[0] | (ln[2] << 4), ln[1] | (ln[3] << 4)], axis=1)  # [C, 2G, O]
+    qhc = hb[0] | (hb[1] << 2) | (hb[2] << 4) | (hb[3] << 6)  # [C, G, O]
+    sT = s16.T.reshape(4, C, G // 16, O).transpose(1, 0, 2, 3).reshape(K // 16, O)
+    j_idx, c_idx, t_idx = np.meshgrid(
+        np.arange(4), np.arange(C), np.arange(G), indexing="ij"
+    )
+    # perm in p-order: p = c*4G + j*G + t -> orig j*Kq + c*G + t
+    perm = (j_idx * Kq + c_idx * G + t_idx).transpose(1, 0, 2).reshape(K)
     return Linear(
         kind="gguf_q6k",
         shape=(in_features, out_features),
         data={
-            "ql": jnp.asarray(ql),
-            "qh": jnp.asarray(qh),
-            "scale": jnp.asarray(scale, dtype),
+            "ql": jnp.asarray(np.ascontiguousarray(qlc.reshape(K // 2, O))),
+            "qh": jnp.asarray(np.ascontiguousarray(qhc.reshape(K // 4, O))),
+            "scale": jnp.asarray(sT, dtype),
+            "perm": jnp.asarray(perm, jnp.int32),
+            "inv_perm": jnp.asarray(np.argsort(perm), jnp.int32),
         },
+        meta=G,  # chunk span (static; hashable for jit)
     )
 
 
@@ -154,23 +207,25 @@ def dequant_q4k_weights(lin: Linear, dtype) -> jax.Array:
 
 
 def dequant_q6k_weights(lin: Linear, dtype) -> jax.Array:
-    ql = lin.data["ql"]  # [out, nhalf, 64]
-    qh = lin.data["qh"]  # [out, nhalf, 32]
-    out_f, nhalf, _ = ql.shape
-    l1 = (ql[:, :, 0:32] & 0xF).astype(jnp.int32)
-    l2 = (ql[:, :, 32:64] & 0xF).astype(jnp.int32)
-    l3 = (ql[:, :, 0:32] >> 4).astype(jnp.int32)
-    l4 = (ql[:, :, 32:64] >> 4).astype(jnp.int32)
-    h = qh.astype(jnp.int32)
-    q1 = l1 | (((h >> 0) & 3) << 4)
-    q2 = l2 | (((h >> 2) & 3) << 4)
-    q3 = l3 | (((h >> 4) & 3) << 4)
-    q4 = l4 | (((h >> 6) & 3) << 4)
-    q = jnp.stack([q1, q2, q3, q4], axis=2) - 32  # [out, nhalf, 4, 32]
-    scale = lin.data["scale"].astype(dtype).reshape(out_f, nhalf, 4, 2)
-    scale = jnp.repeat(scale, 16, axis=-1).reshape(out_f, nhalf, 4, 32)
-    w = q.astype(dtype) * scale
-    return w.reshape(out_f, nhalf * 128)
+    """[out, in] in element order — inverts the chunked permuted layout
+    (pack_q6k); the Pallas kernel fuses the same unpack."""
+    ql = lin.data["ql"]  # [in/2, out] chunked
+    qh = lin.data["qh"]  # [in/4, out]
+    K2, out_f = ql.shape
+    K = K2 * 2
+    G = lin.meta
+    C = K // (4 * G)
+    qlc = ql.reshape(C, 2, G, out_f).astype(jnp.int32)
+    h = qh.reshape(C, G, out_f).astype(jnp.int32)
+    q0 = (qlc[:, 0] & 0xF) | ((h & 3) << 4)
+    q1 = (qlc[:, 1] & 0xF) | (((h >> 2) & 3) << 4)
+    q2 = (qlc[:, 0] >> 4) | (((h >> 4) & 3) << 4)
+    q3 = (qlc[:, 1] >> 4) | ((h >> 6) << 4)
+    q_perm = jnp.stack([q0, q1, q2, q3], axis=1).reshape(K, out_f) - 32
+    scale = jnp.repeat(lin.data["scale"].astype(dtype), 16, axis=0)  # [K, out] permuted
+    w_perm = q_perm.astype(dtype) * scale
+    w_elem = jnp.take(w_perm, lin.data["inv_perm"], axis=0)  # [in, out]
+    return w_elem.T
 
 
 def dequant_q8_0_weights(lin: Linear, dtype) -> jax.Array:
@@ -216,6 +271,10 @@ def _q4k_forward(lin: Linear, x: jax.Array) -> jax.Array:
 
 @register_kind("gguf_q6k")
 def _q6k_forward(lin: Linear, x: jax.Array) -> jax.Array:
+    if _pallas_available():
+        from mistralrs_tpu.ops.quant_matmul import q6k_matmul
+
+        return q6k_matmul(lin, x)
     return _ref_forward(lin, x)
 
 

@@ -25,6 +25,8 @@ class Linear:
     kind: str = struct.field(pytree_node=False)
     shape: tuple[int, int] = struct.field(pytree_node=False)  # (in, out)
     data: dict[str, Any] = struct.field(default_factory=dict)
+    # static per-kind layout constants (e.g. q6k chunk span); hashable dict
+    meta: Any = struct.field(pytree_node=False, default=None)
 
     @property
     def in_features(self) -> int:
