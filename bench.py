@@ -1,18 +1,20 @@
 """Benchmark entry point (driver contract): prints ONE JSON line
 {"metric", "value", "unit", "vs_baseline"}.
 
-Metric: per-chip decode tokens/sec for Mistral-7B Q4_K, end-to-end through
-the continuous-batching engine (paged KV cache, fused Pallas Q4_K
-dequant-GEMMs, on-device greedy sampling) at the reference's default
-serving concurrency (--max-seqs 16, mistralrs-server/src/main.rs:66-68) —
-BASELINE.json's north-star is "decode tokens/sec/chip" under continuous
-batching. vs_baseline compares against the reference's headline
+Metric: per-chip decode tokens/sec for Mistral-7B Q4_K_M, end-to-end
+through the continuous-batching engine (paged KV cache, fused Pallas
+Q4_K/Q6_K dequant-GEMMs, on-device greedy sampling) at the reference's
+default serving concurrency (--max-seqs 16, mistralrs-server/src/main.rs:
+66-68) — BASELINE.json's north-star is "decode tokens/sec/chip" under
+continuous batching. vs_baseline compares against the reference's headline
 `mistralrs-bench` tg number (README.md:192: 131 T/s on A100, mistral-7b
 Q4_K_M, PagedAttention); the single-stream figure rides along in the same
 JSON line for a like-for-like 1-request comparison.
 
-Weights are random *packed* Q4_K blocks built directly in the device layout
-(same bytes/compute as a real checkpoint; no 7B quantization pass needed).
+Weights are random *packed* blocks built directly in the device layouts
+with the REAL Q4_K_M per-layer type mix (llama.cpp llama_tensor_get_type:
+attn_v/output always Q6_K, ffn_down Q6_K on use_more_bits layers) — same
+bytes/compute as a real checkpoint; no 7B quantization pass needed.
 """
 
 from __future__ import annotations
@@ -119,7 +121,48 @@ def _random_q4k_linear(rng, in_f: int, out_f: int, dtype):
     )
 
 
-def _build_7b_q4k(dtype):
+def _q6k_perm(K: int, G: int):
+    """Same permutation pack_q6k computes (p = c*4G + j*G + t -> j*K/4 + c*G + t)."""
+    C = K // (4 * G)
+    j, c, t = np.meshgrid(np.arange(4), np.arange(C), np.arange(G), indexing="ij")
+    perm = (j * (K // 4) + c * G + t).transpose(1, 0, 2).reshape(K)
+    return perm
+
+
+def _random_q6k_linear(rng, in_f: int, out_f: int, dtype):
+    """Random packed Q6_K in the chunked device layout (gguf_linear.pack_q6k):
+    same bytes/compute as a real checkpoint layer."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.quant.gguf_linear import q6k_chunk_size
+    from mistralrs_tpu.quant.qlinear import Linear
+
+    G = q6k_chunk_size(in_f)
+    perm = _q6k_perm(in_f, G)
+    return Linear(
+        kind="gguf_q6k",
+        shape=(in_f, out_f),
+        data={
+            "ql": _tiled(_pool("qs", rng), (in_f // 2, out_f)),
+            "qh": _tiled(_pool("qs", rng), (in_f // 4, out_f)),
+            "scale": _tiled(_pool("scale", rng), (in_f // 16, out_f), dtype),
+            "perm": jnp.asarray(perm, jnp.int32),
+            "inv_perm": jnp.asarray(np.argsort(perm), jnp.int32),
+        },
+        meta=G,
+    )
+
+
+def _use_more_bits(i_layer: int, n_layer: int) -> bool:
+    """llama.cpp use_more_bits(): which ffn_down layers Q4_K_M puts in Q6_K."""
+    return (
+        i_layer < n_layer // 8
+        or i_layer >= 7 * n_layer // 8
+        or (i_layer - n_layer // 8) % 3 == 2
+    )
+
+
+def _build_7b_q4km(dtype):
     import jax
     import jax.numpy as jnp
 
@@ -134,24 +177,28 @@ def _build_7b_q4k(dtype):
     rng = np.random.default_rng(0)
     H, D, I = cfg.hidden_size, cfg.head_dim, cfg.intermediate_size
 
-    def layer():
+    def layer(i):
+        # real Q4_K_M per-layer mix (llama.cpp llama_tensor_get_type):
+        # attn_v always Q6_K; ffn_down Q6_K on use_more_bits layers
+        down_q6 = _use_more_bits(i, cfg.num_layers)
         return {
             "attn": {
                 "q": _random_q4k_linear(rng, H, cfg.num_heads * D, dtype),
                 "k": _random_q4k_linear(rng, H, cfg.num_kv_heads * D, dtype),
-                "v": _random_q4k_linear(rng, H, cfg.num_kv_heads * D, dtype),
+                "v": _random_q6k_linear(rng, H, cfg.num_kv_heads * D, dtype),
                 "o": _random_q4k_linear(rng, cfg.num_heads * D, H, dtype),
             },
             "mlp": {
                 "gate": _random_q4k_linear(rng, H, I, dtype),
                 "up": _random_q4k_linear(rng, H, I, dtype),
-                "down": _random_q4k_linear(rng, I, H, dtype),
+                "down": (_random_q6k_linear if down_q6 else _random_q4k_linear)(
+                    rng, I, H, dtype),
             },
             "input_norm": {"w": jnp.ones((H,), dtype)},
             "post_attn_norm": {"w": jnp.ones((H,), dtype)},
         }
 
-    layers = [layer() for _ in range(cfg.num_layers)]
+    layers = [layer(i) for i in range(cfg.num_layers)]
     from mistralrs_tpu.models.loader import group_layers
 
     groups, sizes = group_layers(layers)
@@ -160,7 +207,7 @@ def _build_7b_q4k(dtype):
         embed=embed,
         layer_groups=groups,
         final_norm={"w": jnp.ones((H,), dtype)},
-        lm_head=_random_q4k_linear(rng, H, cfg.vocab_size, dtype),
+        lm_head=_random_q6k_linear(rng, H, cfg.vocab_size, dtype),  # output.weight is Q6_K in Q4_K_M
         group_sizes=sizes,
     )
     return cfg, params
@@ -220,7 +267,7 @@ def _run():
     from mistralrs_tpu.models.loader import make_rope
     from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
 
-    cfg, params = _build_7b_q4k(jnp.bfloat16)
+    cfg, params = _build_7b_q4km(jnp.bfloat16)
     rope = make_rope(cfg, 2048)
     batch = 16  # reference default --max-seqs (main.rs:66-68)
     # ONE engine serves both measurements (the serving config a user runs;
@@ -246,7 +293,7 @@ def _run():
 
     baseline = 131.0  # reference A100 mistral-7b Q4_K_M tg T/s (README.md:192)
     print(json.dumps({
-        "metric": "mistral7b_q4k_decode_tok_s_per_chip_batch16",
+        "metric": "mistral7b_q4km_decode_tok_s_per_chip_batch16",
         "value": round(serving, 2),
         "unit": "tokens/sec",
         "vs_baseline": round(serving / baseline, 3),

@@ -258,3 +258,26 @@ def test_perplexity_harness(tiny_ckpt):
     q8 = load_hf_model(tiny_ckpt, dtype=jnp.float32, isq="Q8_0")
     ppl_q8 = perplexity_over_tokens(q8[0], q8[1], q8[2], tokens, ctx=32, stride=32)
     assert abs(ppl_q8 - ppl) / ppl < 0.05
+
+
+def test_driver_bench_q6k_perm_matches_packer():
+    """bench.py builds synthetic q6k Linears directly in the device layout;
+    its permutation helper must stay bit-identical to pack_q6k's."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "driver_bench", os.path.join(os.path.dirname(__file__), "..", "bench.py"))
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    from mistralrs_tpu.gguf.reader import GGMLType
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.gguf_linear import linear_from_gguf, q6k_chunk_size
+
+    for K in (512, 1024, 2816):  # 2816 = 256*11 exercises the G=64 path
+        O = 256
+        w = np.random.default_rng(0).standard_normal((O, K)).astype(np.float32) * 0.1
+        lin = linear_from_gguf(kquants.quantize(w, GGMLType.Q6_K), GGMLType.Q6_K, (O, K))
+        G = q6k_chunk_size(K)
+        assert lin.meta == G
+        np.testing.assert_array_equal(
+            bench._q6k_perm(K, G), np.asarray(lin.data["perm"]))
