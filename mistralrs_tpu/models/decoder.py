@@ -156,6 +156,15 @@ def _mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) -> jax
     return linear(p["fc2"], act(linear(p["fc1"], x, lora_sc)), lora_sc)
 
 
+def _expert_slice(lin: Linear, e: int) -> Linear:
+    """Expert e's Linear out of stacked packed expert arrays [E, ...]
+    (K-side permutation tables are shared across experts)."""
+    data = {
+        k: (v if k in ("perm", "inv_perm") else v[e]) for k, v in lin.data.items()
+    }
+    return Linear(kind=lin.kind, shape=lin.shape, data=data, meta=lin.meta)
+
+
 def _moe_mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) -> jax.Array:
     """Mixtral sparse MoE (ref models/mixtral.rs SparseMoeBlock).
 
@@ -166,7 +175,7 @@ def _moe_mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) ->
     - dense: every expert computes every token, combined by a [N, E] weight
       matrix — keeps a clean expert-axis sharding under EP meshes.
     """
-    if cfg.moe_grouped:
+    if cfg.moe_grouped and p["experts"]["gate"].kind == "dense":
         return _moe_mlp_grouped(cfg, p, x)
     B, T, H = x.shape
     xt = x.reshape(B * T, H)
@@ -177,6 +186,19 @@ def _moe_mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) ->
     combine = jax.nn.one_hot(topi, cfg.num_experts, dtype=jnp.float32) * topw[..., None]
     combine = combine.sum(axis=1)  # [N, E]
     act = L.ACTIVATIONS[cfg.act]
+    ex = p["experts"]
+    if ex["gate"].kind != "dense":
+        # packed GGUF experts (ref quantized_llama.rs:473-530 MoE branch):
+        # per-expert fused dequant-GEMMs on the stacked packed arrays, dense
+        # dispatch — weights stream packed from HBM, which dominates decode
+        out = jnp.zeros_like(xt)
+        comb = combine.astype(xt.dtype)
+        for e in range(cfg.num_experts):
+            g = linear(_expert_slice(ex["gate"], e), xt)
+            u = linear(_expert_slice(ex["up"], e), xt)
+            d = linear(_expert_slice(ex["down"], e), act(g) * u)
+            out = out + d * comb[:, e : e + 1]
+        return out.reshape(B, T, H)
     # experts stacked: gate/up [E, H, I], down [E, I, H]
     g = jnp.einsum("nh,ehi->eni", xt, p["experts"]["gate"].data["w"].astype(xt.dtype))
     u = jnp.einsum("nh,ehi->eni", xt, p["experts"]["up"].data["w"].astype(xt.dtype))

@@ -43,8 +43,18 @@ def _lin_spec(kind: str, col_parallel: bool, stacked: bool, expert: bool = False
     shards the block (in) axis."""
     prefix = (None,) if stacked else ()
     if expert:
-        prefix += ("tp",)  # expert-parallel leading axis
-        return {"w": P(*prefix, None, None), "b": P(*prefix, None)}
+        ep = prefix + ("tp",)  # expert-parallel leading axis
+        if kind == "dense":
+            return {"w": P(*ep, None, None), "b": P(*ep, None)}
+        # packed GGUF experts: stacked [.., E, rows, out] quant arrays shard
+        # on the expert axis; shared K-side perm tables replicate
+        spec = P(*ep, None, None)
+        return {
+            "qs": spec, "scale": spec, "minv": spec, "q": spec,
+            "ql": spec, "qh": spec,
+            "perm": P(*prefix, None), "inv_perm": P(*prefix, None),
+            "b": P(*ep, None),
+        }
     if kind == "dense":
         if col_parallel:
             return {"w": P(*prefix, None, "tp"), "b": P(*prefix, "tp")}

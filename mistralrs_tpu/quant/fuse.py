@@ -69,6 +69,32 @@ def fuse_linears(lins: list[Linear]) -> Linear | None:
     return Linear(kind=kind, shape=(lins[0].shape[0], out), data=data, meta=lins[0].meta)
 
 
+def split_linear(lin: Linear, sizes: list[int]) -> list[Linear] | None:
+    """Inverse of fuse_linears: slice a Linear into out-feature spans (e.g.
+    a GGUF-fused attn_qkv or phi3 gate_up tensor -> separate projections).
+    Exact for every packed layout here because quant blocks run along the
+    `in` axis — each output column's bytes are independent. Returns None
+    for kinds whose layout can't be column-sliced (lora wrappers, g_idx)."""
+    kind = lin.kind
+    if kind not in _CAT_AXIS1 or "g_idx" in lin.data:
+        return None
+    assert sum(sizes) == lin.shape[1], (sizes, lin.shape)
+    outs = []
+    off = 0
+    for size in sizes:
+        data = {}
+        for key in _CAT_AXIS1[kind]:
+            data[key] = lin.data[key][..., off : off + size]
+        if lin.data.get("b") is not None:
+            data["b"] = lin.data["b"][..., off : off + size]
+        for key in ("perm", "inv_perm"):
+            if key in lin.data:
+                data[key] = lin.data[key]
+        outs.append(Linear(kind=kind, shape=(lin.shape[0], size), data=data, meta=lin.meta))
+        off += size
+    return outs
+
+
 def fuse_decoder_params(params):
     """Fuse q/k/v -> qkv and gate/up -> gateup in every scan group, operating
     directly on the stacked leaves (no per-layer unstacking: an unstack/

@@ -247,7 +247,11 @@ DEQUANT_WEIGHTS = {
 
 def _ref_forward(lin: Linear, x: jax.Array) -> jax.Array:
     w = DEQUANT_WEIGHTS[lin.kind](lin, x.dtype)  # [out, in]
-    return jnp.dot(x, w.T)
+    y = jnp.dot(x, w.T)
+    b = lin.data.get("b")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
 
 
 _USE_PALLAS = None
