@@ -231,7 +231,9 @@ def save_gates(path: str, gates: dict[int, np.ndarray]) -> None:
 
     os.makedirs(path, exist_ok=True)
     save_file(
-        {f"layers.{li}.gate.weight": g for li, g in gates.items()},
+        # ascontiguousarray: safetensors' numpy writer serializes raw bytes
+        # and silently corrupts non-C-ordered arrays
+        {f"layers.{li}.gate.weight": np.ascontiguousarray(g) for li, g in gates.items()},
         os.path.join(path, "gate.safetensors"),
     )
 

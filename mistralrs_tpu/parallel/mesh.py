@@ -53,6 +53,7 @@ def _lin_spec(kind: str, col_parallel: bool, stacked: bool, expert: bool = False
             "qs": spec, "scale": spec, "minv": spec, "q": spec,
             "ql": spec, "qh": spec,
             "perm": P(*prefix, None), "inv_perm": P(*prefix, None),
+            "in_perm": P(*prefix, None),
             "b": P(*ep, None),
         }
     if kind == "dense":
@@ -68,6 +69,7 @@ def _lin_spec(kind: str, col_parallel: bool, stacked: bool, expert: bool = False
             "qs": spec2, "scale": spec2, "minv": spec2, "q": spec2,
             "ql": spec2, "qh": spec2,
             "perm": P(*prefix, None), "inv_perm": P(*prefix, None),
+            "in_perm": P(*prefix, None),
             "b": bias,
         }
 

@@ -52,6 +52,18 @@ def fuse_linears(lins: list[Linear]) -> Linear | None:
         return None
     if any("g_idx" in l.data for l in lins):
         return None
+    # act-order row permutations (GPTQ desc_act): each linear sorts its q
+    # rows by its OWN g_idx, so fusing is only sound when every input
+    # permutation is identical (then the shared gather hoists past the
+    # fused GEMM); different perms => different row orders, unfusable.
+    perms = [l.data.get("in_perm") for l in lins]
+    if any(p is not None for p in perms):
+        p0 = perms[0]
+        if p0 is None or not all(
+            p is not None and p.shape == p0.shape and bool(jnp.all(p == p0))
+            for p in perms[1:]
+        ):
+            return None
     has_bias = [l.data.get("b") is not None for l in lins]
     if any(has_bias) and not all(has_bias):
         return None
@@ -61,8 +73,9 @@ def fuse_linears(lins: list[Linear]) -> Linear | None:
         data[key] = cat(*[l.data[key] for l in lins])
     if all(has_bias):
         data["b"] = cat(*[l.data["b"] for l in lins])
-    # K-side constants (q6k perm tables) are identical across same-in lins
-    for key in ("perm", "inv_perm"):
+    # K-side constants (q6k perm tables, shared act-order in_perm) are
+    # identical across same-in lins (in_perm equality checked above)
+    for key in ("perm", "inv_perm", "in_perm"):
         if key in lins[0].data:
             data[key] = lins[0].data[key]
     out = sum(l.shape[1] for l in lins)
@@ -87,7 +100,7 @@ def split_linear(lin: Linear, sizes: list[int]) -> list[Linear] | None:
             data[key] = lin.data[key][..., off : off + size]
         if lin.data.get("b") is not None:
             data["b"] = lin.data["b"][..., off : off + size]
-        for key in ("perm", "inv_perm"):
+        for key in ("perm", "inv_perm", "in_perm"):
             if key in lin.data:
                 data[key] = lin.data[key]
         outs.append(Linear(kind=kind, shape=(lin.shape[0], size), data=data, meta=lin.meta))

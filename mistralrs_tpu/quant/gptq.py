@@ -118,13 +118,24 @@ def gptq_linear_from_tensors(
     zs = s * zeros.astype(np.float32)
     n_groups = s.shape[0]
     group_size = in_features // n_groups
-    contiguous = True
     gi = None
+    in_perm = None
     if g_idx is not None:
         want = np.arange(in_features) // group_size
         if not np.array_equal(g_idx, want):
-            contiguous = False
-            gi = jnp.asarray(g_idx.astype(np.int32))
+            counts = np.bincount(g_idx, minlength=n_groups)
+            if np.all(counts == group_size):
+                # act-order (desc_act): hoist the gather to load time by
+                # sorting weight rows into contiguous groups (exllama-style
+                # reorder, ref q_gemm.cu shuffle); forward gathers only the
+                # [in]-sized activation permutation instead of an
+                # [in,out]-sized scale/zero gather per step.
+                perm = np.argsort(g_idx, kind="stable")
+                q = np.ascontiguousarray(q[perm])
+                in_perm = jnp.asarray(perm.astype(np.int32))
+            else:
+                # ragged groups: keep the runtime gather fallback
+                gi = jnp.asarray(g_idx.astype(np.int32))
     if (
         bits == 4
         and gi is None
@@ -144,6 +155,8 @@ def gptq_linear_from_tensors(
             "scale": jnp.asarray(q32s, dtype),
             "minv": jnp.asarray(z32s, dtype),
         }
+        if in_perm is not None:
+            data["in_perm"] = in_perm
         if bias is not None:
             data["b"] = jnp.asarray(bias, dtype)
         return Linear(kind="gguf_q4k", shape=(in_features, out_features), data=data)
@@ -160,6 +173,8 @@ def gptq_linear_from_tensors(
     }
     if gi is not None:
         data["g_idx"] = gi
+    if in_perm is not None:
+        data["in_perm"] = in_perm
     if bias is not None:
         data["b"] = jnp.asarray(bias, dtype)
     return Linear(kind=kind, shape=(in_features, out_features), data=data)
@@ -245,8 +260,12 @@ def quantize_gptq_rtn(
     for j in range(per):
         qzeros |= zcols[:, j::per] << (bits * j)
     return {
-        "qweight": qweight.astype(np.int32),
-        "qzeros": qzeros.astype(np.int32),
-        "scales": scale[:, 0].astype(np.float16),  # [ng, out]
+        "qweight": np.ascontiguousarray(qweight.astype(np.int32)),
+        "qzeros": np.ascontiguousarray(qzeros.astype(np.int32)),
+        # ascontiguousarray: w.T keeps F-order through the group reductions,
+        # and safetensors' numpy writer serializes raw bytes without
+        # normalizing order — an F-ordered scales array would round-trip
+        # corrupted through save_file.
+        "scales": np.ascontiguousarray(scale[:, 0].astype(np.float16)),  # [ng, out]
         "g_idx": (np.arange(in_f) // group_size).astype(np.int32),
     }

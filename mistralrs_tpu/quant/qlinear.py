@@ -73,6 +73,11 @@ def linear(lin: Linear, x: jax.Array, lora_scales: jax.Array | None = None) -> j
     (X-LoRA); only the "lora" kind consumes them."""
     if lin.kind not in _FORWARDS:
         _ensure_kind(lin.kind)
+    in_perm = lin.data.get("in_perm")
+    if in_perm is not None:
+        # load-time row reorder (GPTQ act-order): gather the matching input
+        # permutation — an [in]-sized gather instead of an [in,out] one
+        x = jnp.take(x, in_perm, axis=-1)
     if lin.kind == "lora":
         return _FORWARDS["lora"](lin, x, lora_scales)
     return _FORWARDS[lin.kind](lin, x)

@@ -95,8 +95,9 @@ def test_gptq_forward_matches_dequant_matmul():
     np.testing.assert_allclose(y, want, rtol=1e-5, atol=1e-5)
 
 
-def test_gptq_act_order_gather():
-    """Shuffled g_idx must dequantize identically to explicit gather."""
+def test_gptq_act_order_hoisted_perm():
+    """Shuffled g_idx: forward must equal the gather-formula matmul, with the
+    gather hoisted to load time (no per-step g_idx gather, only in_perm)."""
     rng = np.random.default_rng(5)
     w = rng.standard_normal((8, 64)).astype(np.float32)
     t = quantize_gptq_rtn(w, 4, group_size=16)
@@ -106,7 +107,31 @@ def test_gptq_act_order_gather():
         t["qweight"], t["qzeros"], t["scales"].astype(np.float32), g_idx,
         4, 64, 8, dtype=jnp.float32,
     )
-    assert "g_idx" in lin.data  # non-contiguous -> gather path
+    assert "g_idx" not in lin.data  # hoisted: no runtime scale gather
+    assert "in_perm" in lin.data
+
+    q = _unpack_int32_rows(t["qweight"], 4, 64)
+    zeros = _unpack_int32_cols(t["qzeros"], 4, 8) + 1
+    s = t["scales"].astype(np.float32)
+    want_w = q.astype(np.float32) * s[g_idx] - s[g_idx] * zeros.astype(np.float32)[g_idx]
+    x = rng.standard_normal((3, 64)).astype(np.float32)
+    y = np.asarray(linear(lin, jnp.asarray(x)))
+    np.testing.assert_allclose(y, x @ want_w, rtol=1e-4, atol=1e-4)
+
+
+def test_gptq_act_order_ragged_groups_fallback():
+    """Non-equal group sizes cannot be row-sorted into uniform groups; the
+    runtime gather fallback must stay numerically exact."""
+    rng = np.random.default_rng(15)
+    w = rng.standard_normal((8, 64)).astype(np.float32)
+    t = quantize_gptq_rtn(w, 4, group_size=16)
+    g_idx = t["g_idx"].copy()
+    g_idx[0] = 3  # unbalance group counts (group0=15, group3=17)
+    lin = gptq_linear_from_tensors(
+        t["qweight"], t["qzeros"], t["scales"].astype(np.float32), g_idx,
+        4, 64, 8, dtype=jnp.float32,
+    )
+    assert "g_idx" in lin.data and "in_perm" not in lin.data
     from mistralrs_tpu.quant.gptq import _gptq_weights
 
     wt = np.asarray(_gptq_weights(lin, jnp.float32, 4))
@@ -284,3 +309,138 @@ def test_hqq4_rides_q4k_kernel_format():
     np.testing.assert_allclose(y, x @ wt.T, rtol=2e-4, atol=2e-4)
     # and the dequant tracks the original weights within 4-bit error
     assert np.abs(wt - w).mean() < 0.1
+
+
+# --------------------------------------------------- act-order x fusion
+def _act_order_lin(rng, in_f=64, out_f=32, seed_w=None):
+    w = (seed_w if seed_w is not None
+         else rng.standard_normal((out_f, in_f)).astype(np.float32))
+    t = quantize_gptq_rtn(w, 4, group_size=16)
+    perm = rng.permutation(in_f)
+    g_idx = t["g_idx"][perm]
+    q = _unpack_int32_rows(t["qweight"], 4, in_f)[perm]
+    pack = np.zeros((in_f // 8, out_f), np.int32)
+    for i in range(8):
+        pack |= q[i::8].astype(np.int32) << (4 * i)
+    lin = gptq_linear_from_tensors(pack, t["qzeros"], t["scales"].astype(np.float32),
+                                   g_idx, 4, in_f, out_f, dtype=jnp.float32)
+    zeros = _unpack_int32_cols(t["qzeros"], 4, out_f).astype(np.float32) + 1
+    s = t["scales"].astype(np.float32)
+    wt = q.astype(np.float32) * s[g_idx] - (s * zeros)[g_idx]
+    return lin, wt
+
+
+def test_fuse_refuses_mismatched_act_order_perms():
+    """q/k/v from a desc_act checkpoint each sort rows by their OWN g_idx;
+    fusing them would concatenate differently-ordered rows and drop the
+    per-linear input gather (silent wrong results — caught by an engine
+    drive, 0/12 greedy tokens matched torch before this guard)."""
+    from mistralrs_tpu.quant.fuse import fuse_linears
+
+    rng = np.random.default_rng(21)
+    l1, wt1 = _act_order_lin(rng)
+    l2, wt2 = _act_order_lin(rng)
+    assert "in_perm" in l1.data and "in_perm" in l2.data
+    assert fuse_linears([l1, l2]) is None
+
+
+def test_fuse_shared_act_order_perm_matches_concat():
+    """Identical in_perms ARE fusable: the shared gather hoists past the
+    fused GEMM."""
+    from mistralrs_tpu.quant.fuse import fuse_linears
+
+    rng = np.random.default_rng(22)
+    in_f = 64
+    w1 = rng.standard_normal((32, in_f)).astype(np.float32)
+    w2 = rng.standard_normal((32, in_f)).astype(np.float32)
+    t1 = quantize_gptq_rtn(w1, 4, group_size=16)
+    t2 = quantize_gptq_rtn(w2, 4, group_size=16)
+    perm = rng.permutation(in_f)
+
+    def build(t, out_f):
+        g_idx = t["g_idx"][perm]
+        q = _unpack_int32_rows(t["qweight"], 4, in_f)[perm]
+        pack = np.zeros((in_f // 8, out_f), np.int32)
+        for i in range(8):
+            pack |= q[i::8].astype(np.int32) << (4 * i)
+        return gptq_linear_from_tensors(pack, t["qzeros"],
+                                        t["scales"].astype(np.float32), g_idx,
+                                        4, in_f, out_f, dtype=jnp.float32)
+
+    l1, l2 = build(t1, 32), build(t2, 32)
+    fused = fuse_linears([l1, l2])
+    assert fused is not None and "in_perm" in fused.data
+    x = rng.standard_normal((3, in_f)).astype(np.float32)
+    got = np.asarray(linear(fused, jnp.asarray(x)))
+    want = np.concatenate(
+        [np.asarray(linear(l1, jnp.asarray(x))), np.asarray(linear(l2, jnp.asarray(x)))],
+        axis=-1,
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_gptq_act_order_engine_matches_torch(tmp_path):
+    """E2E: a desc_act AutoGPTQ checkpoint served through the ENGINE (which
+    fuses q/k/v and gate/up) must greedy-decode exactly like torch running
+    the dequantized weights. Regression for the fuse+in_perm bug."""
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models.loader import load_hf_model
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+    from safetensors.numpy import save_file
+
+    torch.manual_seed(7)
+    hf_cfg = tf.LlamaConfig(vocab_size=128, hidden_size=64, intermediate_size=128,
+                            num_hidden_layers=2, num_attention_heads=4,
+                            num_key_value_heads=2, max_position_embeddings=256)
+    model = tf.LlamaForCausalLM(hf_cfg).eval()
+    sd = {k: v.numpy().copy() for k, v in model.state_dict().items()}
+    rng = np.random.default_rng(3)
+    tensors = {}
+    with torch.no_grad():
+        for k, v in sd.items():
+            hit = any(f"{p}.weight" in k for p in
+                      ("q_proj", "k_proj", "v_proj", "o_proj",
+                       "gate_proj", "up_proj", "down_proj"))
+            if not hit:
+                tensors[k] = v
+                continue
+            t = quantize_gptq_rtn(v, 4, group_size=16)
+            in_f = v.shape[1]
+            perm = rng.permutation(in_f)
+            g_idx = t["g_idx"][perm]
+            q = _unpack_int32_rows(t["qweight"], 4, in_f)[perm]
+            pack = np.zeros((in_f // 8, v.shape[0]), np.int32)
+            for i in range(8):
+                pack |= q[i::8].astype(np.int32) << (4 * i)
+            base = k[: -len(".weight")]
+            tensors[f"{base}.qweight"] = pack
+            tensors[f"{base}.qzeros"] = t["qzeros"]
+            tensors[f"{base}.scales"] = t["scales"]
+            tensors[f"{base}.g_idx"] = g_idx.astype(np.int32)
+            zeros = _unpack_int32_cols(t["qzeros"], 4, v.shape[0]).astype(np.float32) + 1
+            s = t["scales"].astype(np.float32)
+            wt = q.astype(np.float32) * s[g_idx] - (s * zeros)[g_idx]
+            dict(model.named_parameters())[k].copy_(torch.from_numpy(wt.T))
+    d = tmp_path / "gptq_desc_act"
+    d.mkdir()
+    save_file(tensors, str(d / "model.safetensors"))
+    cj = json.loads(hf_cfg.to_json_string())
+    cj["quantization_config"] = {"quant_method": "gptq", "bits": 4,
+                                 "group_size": 16, "desc_act": True}
+    (d / "config.json").write_text(json.dumps(cj))
+
+    cfg, params, rope = load_hf_model(str(d), dtype=jnp.float32)
+    pc = PipelineConfig(page_size=4, num_pages=64, max_seqs=2, max_model_len=128,
+                        prefill_buckets=(8, 16), dtype=jnp.float32)
+    eng = Engine(TextPipeline(cfg, params, rope, pc), eos_token_ids=set())
+    prompt = np.random.default_rng(11).integers(3, 120, size=9).tolist()
+    toks, _ = eng.generate(prompt, SamplingParams(max_len=12))
+    import torch as _torch
+    with _torch.no_grad():
+        want = model.generate(_torch.tensor([prompt]), max_new_tokens=12,
+                              do_sample=False)[0, 9:].tolist()
+    assert toks == want
