@@ -12,6 +12,7 @@ to it through thread-safe queues bridged into asyncio.
 from __future__ import annotations
 
 import asyncio
+import dataclasses
 import json
 import time
 import uuid
@@ -257,6 +258,18 @@ class OpenAIServer:
             prompt = body["prompt"]
             if isinstance(prompt, list):
                 prompt = prompt[0]
+            # best_of (ref request.rs:31, sequence.rs get_completion_choices):
+            # sample `best_of` streams server-side, return the `n` best ranked
+            # by mean token logprob
+            n = sampling.n_choices
+            best_of = int(body.get("best_of") or n)
+            if best_of < n:
+                raise ValueError(f"best_of ({best_of}) must be >= n ({n})")
+            if best_of > n and body.get("stream"):
+                raise ValueError("best_of > n cannot stream (candidates are "
+                                 "ranked only after completion)")
+            if best_of > n:
+                sampling = dataclasses.replace(sampling, n_choices=best_of)
             prompt_toks = await asyncio.to_thread(self.runner.tokenizer.encode, prompt)
         except Exception as e:
             return web.json_response({"error": str(e)}, status=400)
@@ -265,7 +278,8 @@ class OpenAIServer:
                                       constraint=constraint)
         return await self._blocking(prompt_toks, sampling, chat=False,
                                     constraint=constraint,
-                                    return_logprobs=bool(body.get("logprobs")))
+                                    return_logprobs=bool(body.get("logprobs")),
+                                    top_n=n)
 
     # ------------------------------------------------------------- impls
     @staticmethod
@@ -287,7 +301,7 @@ class OpenAIServer:
 
     async def _blocking(self, toks: list[int], sampling: SamplingParams, chat: bool,
                         constraint=None, matcher=None, images=None,
-                        return_logprobs=False):
+                        return_logprobs=False, top_n: int | None = None):
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:20]
         group = await asyncio.to_thread(
             self.runner.handle.submit,
@@ -317,6 +331,15 @@ class OpenAIServer:
                 })
             obj = "chat.completion"
         else:
+            seqs = group.seqs
+            if top_n is not None and len(seqs) > top_n:
+                # best_of ranking: descending mean token logprob (ref
+                # sequence.rs:723-731 sorts completion choices by logprob)
+                def _mean_lp(s):
+                    lps = [lp.logprob for lp in s.logprobs]
+                    return sum(lps) / len(lps) if lps else float("-inf")
+
+                seqs = sorted(seqs, key=_mean_lp, reverse=True)[:top_n]
             choices = [
                 {
                     "index": i,
@@ -324,7 +347,7 @@ class OpenAIServer:
                     "finish_reason": s.stop_reason.value if s.stop_reason else "stop",
                     "logprobs": self._logprobs_json(s),
                 }
-                for i, s in enumerate(group.seqs)
+                for i, s in enumerate(seqs)
             ]
             obj = "text_completion"
         return web.json_response(

@@ -310,3 +310,40 @@ def test_streaming_client_disconnect_cancels(client_and_runner):
     assert groups and all(g.all_done() for g in groups)
     reasons = [s.output().finish_reason for g in groups for s in g.seqs]
     assert "canceled" in reasons, reasons
+
+
+def test_completions_best_of(client_and_runner):
+    """best_of samples extra candidates server-side and returns the n best
+    by mean logprob (ref request.rs:31, sequence.rs get_completion_choices)."""
+    client, _, loop = client_and_runner
+
+    async def go():
+        r = await client.post(
+            "/v1/completions",
+            json={"model": "fake-model", "prompt": "abc", "max_tokens": 4,
+                  "best_of": 3, "n": 2, "temperature": 1.0, "seed": 7},
+        )
+        assert r.status == 200
+        data = await r.json()
+        assert len(data["choices"]) == 2
+        assert [c["index"] for c in data["choices"]] == [0, 1]
+        # usage counts ALL sampled candidates (3 streams of 4 tokens)
+        assert data["usage"]["completion_tokens"] == 12
+
+        # best_of < n is invalid
+        r = await client.post(
+            "/v1/completions",
+            json={"model": "fake-model", "prompt": "abc", "max_tokens": 4,
+                  "best_of": 1, "n": 2},
+        )
+        assert r.status == 400
+
+        # best_of > n cannot stream
+        r = await client.post(
+            "/v1/completions",
+            json={"model": "fake-model", "prompt": "abc", "max_tokens": 4,
+                  "best_of": 2, "n": 1, "stream": True},
+        )
+        assert r.status == 400
+
+    _run(loop, go())
