@@ -98,10 +98,12 @@ class Runner:
     def __init__(self, model_path: str, *, dtype: Any = None, isq: str | None = None,
                  topology: str | None = None, pipeline_config: Any = None, mesh: Any = None,
                  adapters: list[str] | None = None, ordering: str | None = None,
-                 xlora_path: str | None = None):
+                 xlora_path: str | None = None, token_source: str = "cache"):
         """adapters: PEFT adapter dirs to preload (LoRA); ordering: JSON
         ordering file fixing adapter stack order (ref lora/mod.rs Ordering);
-        xlora_path: X-LoRA dir with xlora_config.json + classifier weights."""
+        xlora_path: X-LoRA dir with xlora_config.json + classifier weights;
+        token_source: hub auth source string (ref --token-source,
+        utils/hub.py parse_token_source)."""
         import jax.numpy as jnp
 
         from mistralrs_tpu.models.loader import load_hf_model
@@ -112,7 +114,7 @@ class Runner:
         dtype = dtype or jnp.bfloat16
         # HF model ids download via the hub; local dirs pass through
         # (ref get_paths! / load_model_from_hf, utils/hub.py)
-        model_path = resolve_model_path(model_path)
+        model_path = resolve_model_path(model_path, token_source=token_source)
         cfg, params, rope = load_hf_model(model_path, dtype=dtype, isq=isq, topology=topology)
         self.tokenizer = TokenizerWrapper.from_hf_dir(model_path)
         pc = pipeline_config or PipelineConfig()
@@ -168,18 +170,56 @@ class Runner:
         return self
 
     @classmethod
-    def from_parts(cls, cfg, params, rope, tokenizer, pc=None, mesh=None) -> "Runner":
-        """Assemble from already-loaded pieces (GGUF path, tests)."""
+    def from_parts(cls, cfg, params, rope, tokenizer, pc=None, mesh=None,
+                   adapters: list[str] | None = None, ordering: str | None = None,
+                   xlora_path: str | None = None, dtype=None) -> "Runner":
+        """Assemble from already-loaded pieces (GGUF/GGML path, tests).
+
+        adapters/ordering/xlora_path mirror __init__ — LoRA and X-LoRA wrap
+        quantized linears unmerged (ref xlora_models/quantized_llama.rs,
+        gguf.rs:59-66 XLoraGGUF variants)."""
+        import jax.numpy as jnp
+
         from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
 
-        pipe = TextPipeline(cfg, params, rope, pc or PipelineConfig(), mesh=mesh)
+        dtype = dtype or jnp.bfloat16
+        pc = pc or PipelineConfig()
+        names: list[str] = []
+        if adapters:
+            from mistralrs_tpu.lora import (
+                Ordering, apply_lora_to_params, load_peft_adapter,
+            )
+
+            ads = [load_peft_adapter(p) for p in adapters]
+            if ordering:
+                ads = Ordering.from_file(ordering).sort_adapters(ads)
+            params = apply_lora_to_params(params, cfg, ads, dtype=dtype)
+            names = [a.name for a in ads]
+        if xlora_path is not None:
+            import os
+
+            from mistralrs_tpu.lora.xlora import (
+                XLoraConfig, XLoraPipeline, classifier_from_safetensors,
+            )
+
+            xcfg = XLoraConfig.from_json_file(
+                os.path.join(xlora_path, "xlora_config.json"))
+            clf = classifier_from_safetensors(
+                os.path.join(xlora_path, "xlora_classifier.safetensors"),
+                dtype=dtype)
+            pipe = XLoraPipeline(cfg, params, rope, pc, classifier=clf,
+                                 xcfg=xcfg, n_adapters=len(names), mesh=mesh)
+        else:
+            pipe = TextPipeline(cfg, params, rope, pc, mesh=mesh)
         engine = Engine(
             pipe,
             eos_token_ids=tokenizer.eos_token_ids if tokenizer else set(),
             detokenizer=tokenizer.detokenizer() if tokenizer else None,
             grammar_vocab=tokenizer.grammar_vocab() if tokenizer else None,
         )
-        return cls.from_engine(engine, tokenizer)
+        self = cls.from_engine(engine, tokenizer)
+        self.adapter_names = names
+        return self
 
     # ------------------------------------------------------------- chat
     def _prompt_from_messages(self, messages: list[dict[str, Any]]) -> list[int]:

@@ -5,7 +5,7 @@ from mistralrs_tpu.lora.lora import (
     make_lora,
     merge_lora,
 )
-from mistralrs_tpu.lora.peft import load_peft_adapter
+from mistralrs_tpu.lora.peft import discover_adapters, load_peft_adapter
 from mistralrs_tpu.lora.ordering import Ordering
 
 __all__ = [
@@ -13,6 +13,7 @@ __all__ = [
     "Ordering",
     "activate_adapters",
     "apply_lora_to_params",
+    "discover_adapters",
     "load_peft_adapter",
     "make_lora",
     "merge_lora",

@@ -72,3 +72,20 @@ def save_peft_adapter(path: str, adapter: LoraAdapter) -> None:
         tensors[f"{pre}.lora_A.weight"] = np.ascontiguousarray(A)
         tensors[f"{pre}.lora_B.weight"] = np.ascontiguousarray(B)
     save_file(tensors, os.path.join(path, "adapter_model.safetensors"))
+
+
+def discover_adapters(root: str) -> list[str]:
+    """Find PEFT adapter dirs under an X-LoRA model dir: `<root>/adapters/*/`
+    or direct subdirs holding an adapter_config.json (ref xlora loading —
+    the ordering file names adapters stored inside the model repo)."""
+    cands = []
+    for base in (os.path.join(root, "adapters"), root):
+        if not os.path.isdir(base):
+            continue
+        for name in sorted(os.listdir(base)):
+            d = os.path.join(base, name)
+            if os.path.isfile(os.path.join(d, "adapter_config.json")):
+                cands.append(d)
+        if cands:
+            return cands
+    return cands

@@ -1,13 +1,46 @@
 """CLI frontend.
 
-Reference parity: mistralrs-server/src/main.rs — clap args (:41-142) +
-`ModelSelected` subcommands (model_selected.rs). Subset for the TPU build:
-plain (safetensors dir), gguf, with ISQ / paged-KV / scheduler knobs.
+Reference parity: mistralrs-server/src/main.rs — clap args (:41-142,
+--chat-template :77, --token-source :82) + the full `ModelSelected`
+subcommand set (model_selected.rs:21-312): plain / lora / x-lora / gguf /
+lora-gguf / x-lora-gguf / ggml / lora-ggml / x-lora-ggml / vision-plain /
+toml, with ISQ / paged-KV / scheduler knobs.
 """
 
 from __future__ import annotations
 
 import argparse
+
+
+def _add_adapter_args(sp, xlora: bool):
+    """Shared adapter flags (ref Lora/XLora variant fields)."""
+    if xlora:
+        sp.add_argument("--xlora-model-id", required=True,
+                        help="X-LoRA dir (xlora_config.json + classifier + adapters)")
+        sp.add_argument("--tgt-non-granular-index", type=int, default=None,
+                        help="completion-token index to freeze scalings at "
+                             "(caps running sequences at 1, ref model_selected.rs:72)")
+    else:
+        sp.add_argument("--adapters-model-id", required=True, nargs="+",
+                        help="PEFT adapter dir(s)")
+    sp.add_argument("--order", default=None, help="adapter ordering JSON file")
+
+
+def _add_gguf_args(sp):
+    sp.add_argument("--model", required=True, nargs="+",
+                    help="path to .gguf file(s) (multi-file checkpoints)")
+    sp.add_argument("--tokenizer", default=None,
+                    help="HF dir for tokenizer (else GGUF-embedded)")
+
+
+def _add_ggml_args(sp):
+    sp.add_argument("--model", required=True, help="path to .ggml/.bin file")
+    sp.add_argument("--tokenizer", required=True,
+                    help="HF dir for the tokenizer (legacy GGML has none "
+                         "embedded, ref GGMLLoader tok_model_id)")
+    sp.add_argument("--gqa", type=int, default=1,
+                    help="n_head/n_kv_head ratio (legacy header lacks kv "
+                         "heads, ref utils/model_config.rs:19)")
 
 
 def build_parser() -> argparse.ArgumentParser:
@@ -22,6 +55,15 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-mem-fraction", type=float, default=0.9,
                    help="fraction of free HBM for KV pages (ref: 90%% default)")
     p.add_argument("--prefill-chunk", type=int, default=512)
+    p.add_argument("--chat-template", default=None,
+                   help="override/fallback chat template: a bundled name "
+                        "(chatml, llama2, llama3, mistral, phi3, vicuna, "
+                        "gemma, default), a .json with a chat_template key, "
+                        "or a raw .jinja file (ref main.rs:77 + "
+                        "chat_templates/*.json)")
+    p.add_argument("--token-source", default="cache",
+                   help="hub auth source: literal:<t> | env:<VAR> | "
+                        "path:<file> | cache | none (ref main.rs:82)")
     p.add_argument("--interactive", action="store_true", help="terminal chat instead of server")
     p.add_argument("--throughput", action="store_true",
                    help="per-step throughput logging (ref --throughput)")
@@ -35,29 +77,118 @@ def build_parser() -> argparse.ArgumentParser:
                    help="sequence-parallel degree (ring-attention prefill)")
 
     sub = p.add_subparsers(dest="which", required=True)
-    plain = sub.add_parser("plain", help="safetensors model directory")
-    plain.add_argument("--model", required=True, help="local HF model directory")
-    plain.add_argument("--isq", default=None, help="in-situ quantization (e.g. Q4K, Q8_0)")
-    plain.add_argument("--topology", default=None, help="per-layer ISQ topology YAML")
-    plain.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
 
-    gguf = sub.add_parser("gguf", help="GGUF quantized model")
-    gguf.add_argument("--model", required=True, help="path to .gguf file(s)", nargs="+")
-    gguf.add_argument("--tokenizer", default=None, help="HF dir for tokenizer (else GGUF-embedded)")
+    def plain_like(name, help_):
+        sp = sub.add_parser(name, help=help_)
+        sp.add_argument("--model", required=True, help="local HF model directory")
+        sp.add_argument("--isq", default=None, help="in-situ quantization (e.g. Q4K, Q8_0)")
+        sp.add_argument("--topology", default=None, help="per-layer ISQ topology YAML")
+        sp.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
+        return sp
+
+    plain_like("plain", "safetensors model directory")
+    _add_adapter_args(plain_like("lora", "plain model + LoRA adapters"), xlora=False)
+    _add_adapter_args(plain_like("x-lora", "plain model + X-LoRA classifier"), xlora=True)
+
+    _add_gguf_args(sub.add_parser("gguf", help="GGUF quantized model"))
+    lg = sub.add_parser("lora-gguf", help="GGUF model + LoRA adapters")
+    _add_gguf_args(lg)
+    _add_adapter_args(lg, xlora=False)
+    xg = sub.add_parser("x-lora-gguf", help="GGUF model + X-LoRA")
+    _add_gguf_args(xg)
+    _add_adapter_args(xg, xlora=True)
+
+    _add_ggml_args(sub.add_parser("ggml", help="legacy GGML quantized model"))
+    lm = sub.add_parser("lora-ggml", help="GGML model + LoRA adapters")
+    _add_ggml_args(lm)
+    _add_adapter_args(lm, xlora=False)
+    xm = sub.add_parser("x-lora-ggml", help="GGML model + X-LoRA")
+    _add_ggml_args(xm)
+    _add_adapter_args(xm, xlora=True)
+
+    vp = sub.add_parser("vision-plain", help="vision model (ref VisionPlain)")
+    vp.add_argument("--model", required=True, help="local HF model directory")
+    vp.add_argument("--arch", required=True,
+                    choices=["llava", "llava_next", "idefics2", "phi3v"])
+    vp.add_argument("--dtype", default="bf16", choices=["bf16", "f32"])
 
     toml = sub.add_parser("toml", help="TOML model selector (ref toml_selector.rs)")
     toml.add_argument("--file", required=True, help="selector .toml path")
     return p
 
 
+def runner_from_args(args, pc, mesh):
+    """ModelSelected dispatch -> Runner (ref main.rs loader selection)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.api import Runner
+
+    which = args.which
+    adapters = getattr(args, "adapters_model_id", None)
+    ordering = getattr(args, "order", None)
+    xlora_path = getattr(args, "xlora_model_id", None)
+    if xlora_path is not None:
+        # the X-LoRA model dir bundles its adapters (ref xlora loading:
+        # the ordering file names adapters inside the repo)
+        from mistralrs_tpu.lora import discover_adapters
+
+        adapters = discover_adapters(xlora_path)
+
+    if which in ("plain", "lora", "x-lora"):
+        dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+        runner = Runner(
+            args.model, dtype=dtype, isq=args.isq, topology=args.topology,
+            pipeline_config=pc, mesh=mesh, token_source=args.token_source,
+            adapters=adapters, ordering=ordering, xlora_path=xlora_path,
+        )
+        return runner, args.model
+    if which in ("gguf", "lora-gguf", "x-lora-gguf"):
+        from mistralrs_tpu.pipeline.gguf import load_gguf_model
+        from mistralrs_tpu.utils.tokenizer import TokenizerWrapper
+
+        cfg, params, rope, tokenizer = load_gguf_model(args.model)
+        if args.tokenizer:
+            tokenizer = TokenizerWrapper.from_hf_dir(args.tokenizer)
+        runner = Runner.from_parts(
+            cfg, params, rope, tokenizer, pc=pc, mesh=mesh,
+            adapters=adapters, ordering=ordering, xlora_path=xlora_path,
+        )
+        return runner, args.model[0]
+    if which in ("ggml", "lora-ggml", "x-lora-ggml"):
+        from mistralrs_tpu.gguf.ggml_reader import load_ggml_model
+        from mistralrs_tpu.utils.tokenizer import TokenizerWrapper
+
+        cfg, params, rope = load_ggml_model(args.model, gqa=args.gqa)
+        tokenizer = TokenizerWrapper.from_hf_dir(args.tokenizer)
+        runner = Runner.from_parts(
+            cfg, params, rope, tokenizer, pc=pc, mesh=mesh,
+            adapters=adapters, ordering=ordering, xlora_path=xlora_path,
+        )
+        return runner, args.model
+    if which == "vision-plain":
+        from mistralrs_tpu.api import VisionRunner
+
+        dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
+        runner = VisionRunner(args.model, args.arch, dtype=dtype,
+                              pipeline_config=pc, mesh=mesh)
+        return runner, args.model
+    # toml
+    from mistralrs_tpu.toml_selector import runner_from_toml
+
+    return runner_from_toml(args.file, pc=pc, mesh=mesh), args.file
+
+
 def main(argv=None):
     args = build_parser().parse_args(argv)
-    import jax.numpy as jnp
 
     from mistralrs_tpu.pipeline.text import PipelineConfig
     from mistralrs_tpu.utils.debug import initialize_logging
 
     initialize_logging()
+    # tgt_non_granular_index makes the max running sequences 1
+    # (ref model_selected.rs:72 doc)
+    if getattr(args, "tgt_non_granular_index", None) is not None:
+        args.max_seqs = 1
     pc = PipelineConfig(
         page_size=args.page_size,
         # None = auto-size from free device memory after the model loads
@@ -76,29 +207,21 @@ def main(argv=None):
 
         mesh = make_mesh(dp=args.dp, sp=args.sp, tp=args.tp)
 
-    from mistralrs_tpu.api import Runner
+    runner, default_id = runner_from_args(args, pc, mesh)
+    model_id = args.model_id or default_id
 
-    if args.which == "plain":
-        dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
-        runner = Runner(
-            args.model, dtype=dtype, isq=args.isq, topology=args.topology,
-            pipeline_config=pc, mesh=mesh,
-        )
-        model_id = args.model_id or args.model
-    elif args.which == "toml":
-        from mistralrs_tpu.toml_selector import runner_from_toml
+    if args.chat_template:
+        from mistralrs_tpu.chat_templates import resolve_chat_template
 
-        runner = runner_from_toml(args.file, pc=pc, mesh=mesh)
-        model_id = args.model_id or args.file
-    else:
-        from mistralrs_tpu.pipeline.gguf import load_gguf_model
-        from mistralrs_tpu.utils.tokenizer import TokenizerWrapper
+        runner.tokenizer.chat_template = resolve_chat_template(args.chat_template)
 
-        cfg, params, rope, tokenizer = load_gguf_model(args.model)
-        if args.tokenizer:
-            tokenizer = TokenizerWrapper.from_hf_dir(args.tokenizer)
-        runner = Runner.from_parts(cfg, params, rope, tokenizer, pc=pc, mesh=mesh)
-        model_id = args.model_id or args.model[0]
+    # CLI override of the checkpoint's non-granular index (read per-step,
+    # so a post-construction xcfg update is safe)
+    tgt = getattr(args, "tgt_non_granular_index", None)
+    if tgt is not None:
+        pipe = runner.handle.engine.pipeline
+        if hasattr(pipe, "xcfg"):
+            pipe.xcfg.tgt_non_granular_index = tgt
 
     eng = runner.handle.engine
     if args.throughput:

@@ -11,6 +11,7 @@ from __future__ import annotations
 import base64
 import io
 import math
+import os
 from typing import Any
 
 import numpy as np
@@ -35,6 +36,10 @@ def decode_image(source: Any) -> Image.Image:
     if isinstance(source, str):
         if source.startswith("data:"):
             source = source.split(",", 1)[1]
+        elif source.startswith("file://"):
+            return Image.open(source[len("file://"):])
+        elif os.path.exists(source):
+            return Image.open(source)
         return Image.open(io.BytesIO(base64.b64decode(source)))
     raise ValueError(f"unsupported image source: {type(source)}")
 
