@@ -152,6 +152,132 @@ def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int =
     return y
 
 
+# ----------------------------------------------------------------- Q5_K
+
+
+def _q5k_hbit_kernel(x_ref, qh_ref, scale_ref, o_ref, acc_ref, *, block_k: int):
+    """High-bit term of Q5_K: sum_i x[i] * scale[sub(i)] * hbit[i, o].
+
+    qh is PLANE-MAJOR (pack_q5k): row r bit j = element j*(K/8) + r, so
+    plane j of a k-tile contracts against a contiguous x slice at a static
+    offset — unpack is shift/mask only, no sublane interleave. Scale is
+    applied weight-side (bit*scale is the same VPU op count as a separate
+    mul) so each plane is one full-depth MXU dot."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    k = pl.program_id(1)
+    dt = x_ref.dtype
+    K8 = x_ref.shape[1] // 8
+    To = o_ref.shape[1]
+    nsub = block_k // 32
+    qh = qh_ref[...].astype(jnp.int32)  # [block_k, To]
+    acc = acc_ref[...]
+    for j in range(8):
+        off = j * K8 + k * block_k
+        bits = ((qh >> j) & 1).astype(dt)
+        sj = scale_ref[pl.dslice(off // 32, nsub), :].astype(dt)
+        srep = jnp.broadcast_to(sj[:, None, :], (nsub, 32, To)).reshape(block_k, To)
+        xj = x_ref[:, pl.dslice(pl.multiple_of(off, 32), block_k)]
+        acc = acc + jnp.dot(xj, bits * srep, preferred_element_type=jnp.float32)
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "block_k", "block_k8"))
+def _q5k_matmul_padded(x, qs, qh, scale, minv, *, block_o: int, block_k: int,
+                       block_k8: int):
+    """w = scale*(nib + 16*hbit) - minv: nibble term = the Q4_K kernel on
+    qs/scale; high-bit term = _q5k_hbit_kernel on the 1-bit planes (x16);
+    min term = xsum32 @ minv outside (XLA). Streams 5.06 bit/weight."""
+    B, K = x.shape
+    O = qs.shape[1]
+    y = pl.pallas_call(
+        functools.partial(_q4k_kernel, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((B, O), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(O // block_o, K // block_k),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda o, k: (0, 0)),
+                pl.BlockSpec((block_k // 2, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((K // 32, block_o), lambda o, k: (0, o)),
+            ],
+            out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
+            scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * O * K,
+            bytes_accessed=O * K // 2 + O * K // 32 * 2 + B * K * 2 + B * O * 2,
+            transcendentals=0,
+        ),
+    )(x, qs, scale)
+    yh = pl.pallas_call(
+        functools.partial(_q5k_hbit_kernel, block_k=block_k8),
+        out_shape=jax.ShapeDtypeStruct((B, O), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(O // block_o, (K // 8) // block_k8),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda o, k: (0, 0)),
+                pl.BlockSpec((block_k8, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((K // 32, block_o), lambda o, k: (0, o)),
+            ],
+            out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
+            scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * O * K,
+            bytes_accessed=O * K // 8 + O * K // 32 * 2 + B * K * 2 + B * O * 2,
+            transcendentals=0,
+        ),
+    )(x, qh, scale)
+    xsum = jnp.sum(x.astype(jnp.float32).reshape(B, K // 32, 32), axis=2)
+    return (y + 16.0 * yh
+            - jnp.dot(xsum, minv.astype(jnp.float32)).astype(y.dtype))
+
+
+def q5k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int = 1024) -> jax.Array:
+    """Forward for kind 'gguf_q5k'. x [..., K] -> [..., O]."""
+    in_f, out_f = lin.shape
+    lead = x.shape[:-1]
+    bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)
+    K8 = in_f // 8
+    bk8 = min(bk // 8, K8)
+    while K8 % bk8:
+        bk8 //= 2
+    if bk < 512 or bk8 < 32 or K8 % 32:
+        # q4k paired kernel needs >=16 scale rows/tile; hbit planes need
+        # 32-aligned element offsets for the scale sub-slices
+        from mistralrs_tpu.quant.gguf_linear import _ref_forward
+
+        return _ref_forward(lin, x)
+    x2 = _pad_rows(x.reshape(-1, in_f), 8)
+    y = _q5k_matmul_padded(
+        x2, lin.data["qs"], lin.data["qh"], lin.data["scale"], lin.data["minv"],
+        block_o=bo, block_k=bk, block_k8=bk8,
+    )
+    n = 1
+    for d in lead:
+        n *= d
+    y = y[:n].reshape(*lead, out_f)
+    b = lin.data.get("b")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 # ----------------------------------------------------------------- Q6_K
 
 

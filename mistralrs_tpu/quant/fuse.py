@@ -19,6 +19,8 @@ from mistralrs_tpu.quant.qlinear import Linear
 _CAT_AXIS1 = {
     "dense": ("w",),
     "gguf_q4k": ("qs", "scale", "minv"),
+    "gguf_q5k": ("qs", "qh", "scale", "minv"),
+    "gguf_q2k": ("q", "scale", "minv"),
     "gguf_q8_0": ("q", "scale"),
     "gguf_q6k": ("ql", "qh", "scale"),
     "gptq_2": ("q", "scale", "zs"),

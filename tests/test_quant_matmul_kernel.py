@@ -11,7 +11,7 @@ import pytest
 from jax.experimental.pallas import tpu as pltpu
 
 from mistralrs_tpu.gguf.reader import GGMLType
-from mistralrs_tpu.ops.quant_matmul import q4k_matmul, q6k_matmul, q8_0_matmul
+from mistralrs_tpu.ops.quant_matmul import q4k_matmul, q5k_matmul, q6k_matmul, q8_0_matmul
 from mistralrs_tpu.quant import kquants
 from mistralrs_tpu.quant.gguf_linear import linear_from_gguf
 
@@ -20,7 +20,8 @@ rng = np.random.default_rng(0)
 
 @pytest.mark.parametrize(
     "gtype,fn",
-    [(GGMLType.Q4_K, q4k_matmul), (GGMLType.Q6_K, q6k_matmul), (GGMLType.Q8_0, q8_0_matmul)],
+    [(GGMLType.Q4_K, q4k_matmul), (GGMLType.Q5_K, q5k_matmul),
+     (GGMLType.Q6_K, q6k_matmul), (GGMLType.Q8_0, q8_0_matmul)],
 )
 @pytest.mark.parametrize("B", [1, 8])
 def test_kernel_matches_reference(gtype, fn, B):
