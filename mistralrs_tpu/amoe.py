@@ -101,6 +101,51 @@ def convert_to_anymoe(
     return dataclasses.replace(params, layer_groups=groups, group_sizes=sizes)
 
 
+def convert_to_anymoe_lora(
+    params: DecoderParams,
+    cfg: ModelConfig,
+    adapters: list,  # list[LoraAdapter] targeting mlp projections
+    amoe: AnyMoeConfig,
+    rng: np.random.Generator | None = None,
+) -> DecoderParams:
+    """LoRA-adapter experts (ref AnyMoeExpertType::LoraAdapter mod.rs:134):
+    each expert is base_mlp + (alpha/r)*A@B per targeted projection. The
+    adapters are frozen during gate pre-training (only gates get gradients,
+    ref amoe_base_model_trainable_params), so merging the delta into a dense
+    expert tower is numerically identical to runtime LoRA compute — and one
+    stacked einsum instead of E extra matmuls per layer on the MXU."""
+    # PEFT target-module names -> our mlp param keys (loader.py layer dicts)
+    key_map = {"gate_proj": "gate", "up_proj": "up", "down_proj": "down",
+               "fc1": "fc1", "fc2": "fc2", "c_fc": "fc1", "c_proj": "fc2"}
+    expert_params = []
+    base_layers = unstack_groups(params)
+    for ad in adapters:
+        scale = ad.alpha / ad.r
+        elayers = []
+        for i, lp in enumerate(base_layers):
+            lp = jax.tree.map(lambda x: x, lp)
+            mlp = dict(lp["mlp"])
+            for key, (A, B) in ad.weights.items():
+                layer_s, proj = key.split(".", 1)
+                if int(layer_s) != i or proj not in key_map:
+                    continue
+                k = key_map[proj]
+                base_lin: Linear = mlp[k]
+                assert base_lin.kind == "dense", "AnyMoE experts must be unquantized"
+                # torch layout A [r, in], B [out, r] -> delta_t [in, out]
+                delta = (np.asarray(A).T @ np.asarray(B).T) * scale
+                w = base_lin.data["w"] + jnp.asarray(delta, base_lin.data["w"].dtype)
+                mlp[k] = make_dense(w, base_lin.data.get("b"))
+            lp["mlp"] = mlp
+            elayers.append(lp)
+        from mistralrs_tpu.models.loader import group_layers
+
+        groups, sizes = group_layers(elayers)
+        expert_params.append(dataclasses.replace(
+            params, layer_groups=groups, group_sizes=sizes))
+    return convert_to_anymoe(params, cfg, expert_params, amoe, rng=rng)
+
+
 from mistralrs_tpu.models.decoder import _anymoe_mlp as anymoe_mlp  # noqa: E402
 
 

@@ -93,18 +93,30 @@ def runner_from_toml(path_or_text: str, pc=None, dtype=None, mesh=None,
     if "anymoe" in doc:
         am = doc["anymoe"]
         amc = am.get("config", {})
-        from mistralrs_tpu.amoe import AnyMoeConfig, convert_to_anymoe, pretrain_gates
+        from mistralrs_tpu.amoe import (
+            AnyMoeConfig, convert_to_anymoe, convert_to_anymoe_lora,
+            pretrain_gates,
+        )
         from mistralrs_tpu.models.loader import load_hf_model as _lh
 
-        experts = [_lh(mid, dtype=dtype)[1] for mid in am.get("model_ids", [])]
+        expert_type = amc.get("expert_type", "fine_tuned")
         acfg = AnyMoeConfig(
             lr=amc.get("lr", 1e-3),
             epochs=amc.get("epochs", 100),
             batch_size=amc.get("batch_size", 4),
             gate_model_id=amc.get("gate_model_id"),
             layers=am.get("layers"),
+            expert_type=expert_type,
         )
-        params = convert_to_anymoe(params, cfg, experts, acfg)
+        if expert_type == "lora_adapter":
+            # model_ids are PEFT adapter dirs (ref AnyMoeExpertType::LoraAdapter)
+            from mistralrs_tpu.lora import load_peft_adapter
+
+            ads = [load_peft_adapter(p) for p in am.get("model_ids", [])]
+            params = convert_to_anymoe_lora(params, cfg, ads, acfg)
+        else:
+            experts = [_lh(mid, dtype=dtype)[1] for mid in am.get("model_ids", [])]
+            params = convert_to_anymoe(params, cfg, experts, acfg)
         if am.get("dataset_json"):
             with open(am["dataset_json"]) as f:
                 rows = json.load(f)

@@ -1,6 +1,10 @@
 """AnyMoE tests: conversion, routing semantics, gate training with optax,
 persistence, engine e2e (ref pipeline/amoe.rs + amoe/)."""
 
+import pytest
+
+pytestmark = pytest.mark.slow
+
 import json
 
 import jax.numpy as jnp
@@ -125,3 +129,48 @@ def test_gate_training_learns_routing(tmp_path):
             np.asarray(l2[li]["mlp"]["anymoe"]["gate"].data["w"]),
             rtol=1e-6,
         )
+
+
+def test_lora_adapter_experts_match_manual_merge():
+    """AnyMoeExpertType::LoraAdapter (ref amoe/mod.rs:134): an adapter expert
+    must behave exactly like a fine_tuned expert whose mlp weights are
+    base + (alpha/r) * A@B."""
+    from mistralrs_tpu.amoe import convert_to_anymoe_lora
+    from mistralrs_tpu.lora.lora import LoraAdapter
+    from mistralrs_tpu.lora.lora import unstack_groups
+    from mistralrs_tpu.models.loader import group_layers
+    from mistralrs_tpu.quant.qlinear import make_dense
+    import dataclasses as dc
+
+    cfg, params = _tiny(9)
+    rng = np.random.default_rng(4)
+    r, alpha = 4, 8.0
+    weights = {}
+    for i in range(cfg.num_layers):
+        for proj, (inf, outf) in (("gate_proj", (32, 64)), ("down_proj", (64, 32))):
+            A = (rng.standard_normal((r, inf)) * 0.1).astype(np.float32)
+            B = (rng.standard_normal((outf, r)) * 0.1).astype(np.float32)
+            weights[f"{i}.{proj}"] = (A, B)
+    ad = LoraAdapter(name="x", r=r, alpha=alpha, weights=weights)
+
+    moe_lora = convert_to_anymoe_lora(params, cfg, [ad], AnyMoeConfig(),
+                                      rng=np.random.default_rng(1))
+
+    # manual fine_tuned expert with merged weights
+    layers = unstack_groups(params)
+    for i, lp in enumerate(layers):
+        for proj, key in (("gate_proj", "gate"), ("down_proj", "down")):
+            A, B = weights[f"{i}.{proj}"]
+            base = lp["mlp"][key]
+            lp["mlp"][key] = make_dense(
+                base.data["w"] + jnp.asarray((A.T @ B.T) * (alpha / r)))
+    groups, sizes = group_layers(layers)
+    expert = dc.replace(params, layer_groups=groups, group_sizes=sizes)
+    moe_ft = convert_to_anymoe(params, cfg, [expert], AnyMoeConfig(),
+                               rng=np.random.default_rng(1))
+
+    rng2 = np.random.default_rng(0)
+    prompt = rng2.integers(3, 120, size=9).tolist()
+    a, _ = _engine(cfg, moe_lora).generate(prompt, SamplingParams(max_len=6))
+    b, _ = _engine(cfg, moe_ft).generate(prompt, SamplingParams(max_len=6))
+    assert a == b
