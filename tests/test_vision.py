@@ -7,6 +7,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 import transformers as tf
 from PIL import Image
@@ -516,3 +518,126 @@ def test_idefics2_image_splitting_processor():
     ids, pixel = proc("a <image> b", [img])
     assert sum(1 for t in ids if t == 121) == 6 * 5
     assert pixel[0]["pixel_values"].shape == (5, 3, 32, 32)
+
+
+def test_phi3v_torch_oracle_parity(tmp_path):
+    """Close the phi3v parity question (no phi3_v in transformers, so no
+    direct HF generate): an INDEPENDENT torch oracle — HF CLIPVisionModel on
+    the same weights, HD feature reassembly + separators + projection
+    reimplemented from the HF Phi-3-vision algorithm (= ref phi3.rs
+    ImageEmbedding :642-800), spliced into HF Phi3ForCausalLM.generate via
+    inputs_embeds using the REFERENCE'S negative-id convention. Greedy
+    tokens must match the engine exactly, proving the positive-placeholder
+    deviation is position- and feature-exact."""
+    import torch
+    import torch.nn.functional as F
+    from transformers import CLIPVisionConfig, CLIPVisionModel, Phi3Config, Phi3ForCausalLM
+    from safetensors import safe_open
+
+    from mistralrs_tpu.vision.phi3v import (
+        Phi3VProcessor, load_phi3v, make_phi3v_encoder, num_img_tokens,
+    )
+
+    path = _tiny_phi3v_ckpt(tmp_path)
+    text_cfg, params, rope, vision, hf = load_phi3v(path, dtype=jnp.float32)
+
+    with safe_open(path + "/model.safetensors", framework="pt") as h:
+        sd = {k: h.get_tensor(k) for k in h.keys()}
+
+    # ---- torch CLIP tower from the same weights
+    vm = "model.vision_embed_tokens.img_processor.vision_model."
+    clip_cfg = CLIPVisionConfig(hidden_size=32, intermediate_size=64,
+                                num_hidden_layers=2, num_attention_heads=4,
+                                image_size=336, patch_size=14)
+    clip = CLIPVisionModel(clip_cfg).eval()
+    clip_sd = {"vision_model." + k[len(vm):]: v for k, v in sd.items()
+               if k.startswith(vm)}
+    missing, unexpected = clip.load_state_dict(clip_sd, strict=False)
+    assert not unexpected and all("position_ids" in m or not m for m in missing)
+
+    vp = "model.vision_embed_tokens."
+    glb_gn = sd[vp + "glb_GN"].float()          # [1, 1, 4C]
+    sub_gn = sd[vp + "sub_GN"].float()          # [1, 1, 1, 4C]
+    p0w, p0b = sd[vp + "img_projection.0.weight"].float(), sd[vp + "img_projection.0.bias"].float()
+    p2w, p2b = sd[vp + "img_projection.2.weight"].float(), sd[vp + "img_projection.2.bias"].float()
+
+    # ---- same preprocessing output feeds both sides (resize semantics are
+    # covered by the transforms tests; this test pins everything after)
+    class FakeTok:
+        def encode(self, s, add_special_tokens=True):
+            return [(3 + (hash(w) % 90)) for w in s.split()]
+
+    proc = Phi3VProcessor(FakeTok(), image_token_id=120, num_crops=4)
+    rng = np.random.default_rng(13)
+    img = Image.fromarray(rng.integers(0, 255, size=(250, 500, 3), dtype=np.uint8))
+    ids, pixel = proc("a b <|image|> c d", [img])
+    px = torch.from_numpy(np.asarray(pixel[0]["pixel_values"], np.float32))
+    Hh, Ww = pixel[0]["orig_hw"]
+    h, w = Hh // 336, Ww // 336
+
+    # ---- oracle HD embedding (HF Phi-3-vision algorithm, independent impl)
+    with torch.no_grad():
+        hs = clip(px, output_hidden_states=True).hidden_states[-2]  # layer_idx=-2
+        feats = hs[:, 1:].float()  # patch features [n, 576, C]
+        N, P, C = feats.shape
+        Hp = int(P ** 0.5)
+
+        def pool4(x):  # [n, 24, 24, C] -> [n, 12, 12, 4C]
+            n = x.shape[0]
+            return (x.reshape(n, Hp // 2, 2, Hp // 2, 2, C)
+                     .permute(0, 1, 3, 2, 4, 5).reshape(n, Hp // 2, Hp // 2, 4 * C))
+
+        g = pool4(feats[:1].reshape(1, Hp, Hp, C))
+        g = torch.cat([g, sub_gn.expand(1, Hp // 2, 1, 4 * C)], dim=2).reshape(1, -1, 4 * C)
+        s = pool4(feats[1:1 + h * w].reshape(h * w, Hp, Hp, C))
+        s = (s.reshape(1, h, w, Hp // 2, Hp // 2, 4 * C)
+              .permute(0, 1, 3, 2, 4, 5).reshape(1, h * Hp // 2, w * Hp // 2, 4 * C))
+        s = torch.cat([s, sub_gn.expand(1, h * Hp // 2, 1, 4 * C)], dim=2).reshape(1, -1, 4 * C)
+        emb = torch.cat([s, glb_gn, g], dim=1)  # sub_glb order
+        proj = F.gelu(emb[0] @ p0w.T + p0b, approximate="none") @ p2w.T + p2b
+
+    # feature-level parity vs our encoder
+    class S: pass
+    s_obj = S(); s_obj.images = pixel
+    ours = np.asarray(make_phi3v_encoder(vision)(s_obj))
+    assert ours.shape == tuple(proj.shape)
+    np.testing.assert_allclose(ours, proj.numpy(), rtol=2e-4, atol=2e-4)
+
+    # ---- oracle generate: negative ids mark the image span (ref convention)
+    tcfg = Phi3Config(vocab_size=128, hidden_size=48, intermediate_size=96,
+                      num_hidden_layers=2, num_attention_heads=4,
+                      num_key_value_heads=2, max_position_embeddings=2048,
+                      rms_norm_eps=1e-5, pad_token_id=0, bos_token_id=1,
+                      eos_token_id=2)
+    text = Phi3ForCausalLM(tcfg).eval()
+    text_sd = {k: v for k, v in sd.items() if not k.startswith(vp)}
+    missing, unexpected = text.load_state_dict(text_sd, strict=False)
+    assert not unexpected
+    n_img = num_img_tokens((Hh, Ww))
+    neg_ids = [i if i != 120 else -1 for i in ids]
+    assert neg_ids.count(-1) == n_img
+    with torch.no_grad():
+        t_ids = torch.tensor([neg_ids])
+        embeds = text.get_input_embeddings()(t_ids.clamp(min=0)).float()
+        embeds[0, t_ids[0] < 0] = proj
+        out = text.generate(inputs_embeds=embeds, max_new_tokens=6,
+                            do_sample=False)
+        want = out[0].tolist()[-6:]
+
+    # ---- our engine (positive placeholder ids)
+    from mistralrs_tpu.engine.engine import Engine, GenerationRequest
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.pipeline.text import PipelineConfig
+    from mistralrs_tpu.pipeline.vision import VisionPipeline
+
+    pc = PipelineConfig(page_size=16, num_pages=128, max_seqs=2,
+                        max_model_len=2048, prefill_buckets=(256, 1024),
+                        dtype=jnp.float32)
+    pipe = VisionPipeline(text_cfg, params, rope, pc, image_token_id=120,
+                          encode_images=make_phi3v_encoder(vision))
+    eng = Engine(pipe, eos_token_ids=set())
+    g = eng.add_request(GenerationRequest(list(ids), SamplingParams(max_len=6)))
+    g.seqs[0].images = pixel
+    while eng.has_work:
+        eng.step()
+    assert g.seqs[0].generated_tokens == want
