@@ -6,6 +6,8 @@ import dataclasses
 import numpy as np
 import pytest
 
+pytestmark = pytest.mark.slow
+
 from mistralrs_tpu.engine.engine import Engine, GenerationRequest
 from mistralrs_tpu.engine.sampler import SamplingParams
 from mistralrs_tpu.engine.sequence import SequenceState

@@ -11,6 +11,8 @@ import json
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 
 from mistralrs_tpu.models.config import config_from_hf

@@ -12,6 +12,8 @@ import textwrap
 
 import pytest
 
+pytestmark = pytest.mark.slow
+
 WORKER_GLUE = textwrap.dedent(
     """
     import os, sys

@@ -7,6 +7,8 @@ import os
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 import transformers as tf
 

@@ -10,6 +10,8 @@ import json
 import jax.numpy as jnp
 import numpy as np
 import pytest
+
+pytestmark = pytest.mark.slow
 import torch
 import transformers as tf
 
