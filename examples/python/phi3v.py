@@ -1,0 +1,18 @@
+"""Phi-3-vision chat (ref examples/python/phi3v.py)."""
+import base64
+import sys
+
+from mistralrs_tpu.api import VisionRunner
+from mistralrs_tpu.engine.sampler import SamplingParams
+
+runner = VisionRunner(sys.argv[1], "phi3v")
+data = base64.b64encode(open(sys.argv[2], "rb").read()).decode()
+resp = runner.send_chat_completion_request(
+    [{"role": "user", "content": [
+        {"type": "image_url", "image_url": {"url": f"data:image/png;base64,{data}"}},
+        {"type": "text", "text": "What is shown in this image?"},
+    ]}],
+    SamplingParams(max_len=128, temperature=0.1),
+)
+print(resp.choices[0].text)
+runner.shutdown()
