@@ -152,6 +152,111 @@ def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int =
     return y
 
 
+# ---------------------------------------------------- generic plane affine
+# One kernel family serves every "w = q*scale[g] - zs[g]" format whose
+# sub-byte values are PLANE-MAJOR packed (plane j = contiguous element chunk
+# [j*K/per, (j+1)*K/per)): GGUF Q2_K (group 16), GPTQ 2/8-bit + 3-bit bytes,
+# HQQ 1/2/3/8 (group = quant group_size). Ref: q_gemm.cu / hqq.cu one-CUDA-
+# kernel-per-format — here one parametrized Mosaic kernel.
+
+
+def _affine_kernel(x_ref, q_ref, scale_ref, o_ref, acc_ref, *, bits: int,
+                   group: int, block_k: int):
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    k = pl.program_id(1)
+    dt = x_ref.dtype
+    per = 8 // bits
+    mask = (1 << bits) - 1
+    K_per = x_ref.shape[1] // per
+    To = o_ref.shape[1]
+    nsub = block_k // group
+    q = q_ref[...].astype(jnp.int32)  # [block_k, To]
+    acc = acc_ref[...]
+    for j in range(per):
+        off = j * K_per + k * block_k
+        vals = ((q >> (bits * j)) & mask).astype(dt) if per > 1 else q.astype(dt)
+        sj = scale_ref[pl.dslice(off // group, nsub), :].astype(dt)
+        srep = jnp.broadcast_to(sj[:, None, :], (nsub, group, To)).reshape(block_k, To)
+        xj = x_ref[:, pl.dslice(pl.multiple_of(off, 32), block_k)]
+        acc = acc + jnp.dot(xj, vals * srep, preferred_element_type=jnp.float32)
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("bits", "group", "block_o", "block_k"))
+def _affine_matmul_padded(x, q, scale, zs, *, bits: int, group: int,
+                          block_o: int, block_k: int):
+    """x [B, K]; q plane-major packed [K*bits/8, O] (bytes when bits==8);
+    scale/zs [K/group, O]. y = sum x*q*scale - xsum_g @ zs."""
+    B, K = x.shape
+    O = q.shape[1]
+    per = 8 // bits
+    y = pl.pallas_call(
+        functools.partial(_affine_kernel, bits=bits, group=group, block_k=block_k),
+        out_shape=jax.ShapeDtypeStruct((B, O), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(O // block_o, (K // per) // block_k),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda o, k: (0, 0)),
+                pl.BlockSpec((block_k, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((K // group, block_o), lambda o, k: (0, o)),
+            ],
+            out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
+            scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * O * K,
+            bytes_accessed=O * K // per + O * K // group * 2 + B * K * 2 + B * O * 2,
+            transcendentals=0,
+        ),
+    )(x, q, scale)
+    xsum = jnp.sum(x.astype(jnp.float32).reshape(B, K // group, group), axis=2)
+    return y - jnp.dot(xsum, zs.astype(jnp.float32)).astype(y.dtype)
+
+
+def affine_qmatmul(lin: Linear, x: jax.Array, *, bits: int, group: int,
+                   q_key: str = "q", zs_key: str = "zs",
+                   block_o: int = 512, block_k: int = 512) -> jax.Array:
+    """Fused forward for plane-major affine formats. Returns None when the
+    shape/layout constraints don't hold (caller falls back to XLA dequant)."""
+    in_f, out_f = lin.shape
+    per = 8 // bits
+    K_per = in_f // per
+    bo = min(block_o, out_f)
+    while out_f % bo:
+        bo //= 2
+    bk = min(block_k, K_per)
+    while K_per % bk:
+        bk //= 2
+    if (bo < 128 or bk < max(group, 128) or bk % group
+            or K_per % 32 or in_f % group):
+        return None
+    lead = x.shape[:-1]
+    x2 = _pad_rows(x.reshape(-1, in_f), 8)
+    y = _affine_matmul_padded(
+        x2, lin.data[q_key], lin.data["scale"], lin.data[zs_key],
+        bits=bits, group=group, block_o=bo, block_k=bk,
+    )
+    n = 1
+    for d in lead:
+        n *= d
+    y = y[:n].reshape(*lead, out_f)
+    b = lin.data.get("b")
+    if b is not None:
+        y = y + b.astype(y.dtype)
+    return y
+
+
 # ----------------------------------------------------------------- Q5_K
 
 

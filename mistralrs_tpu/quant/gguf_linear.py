@@ -556,8 +556,12 @@ def _q4k_forward(lin: Linear, x: jax.Array) -> jax.Array:
 
 @register_kind("gguf_q2k")
 def _q2k_forward(lin: Linear, x: jax.Array) -> jax.Array:
-    # packed-in-HBM, XLA dequant per forward (no fused kernel yet; the
-    # win over dense-at-load is fitting 7B Q2_K in device memory)
+    if _pallas_available():
+        from mistralrs_tpu.ops.quant_matmul import affine_qmatmul
+
+        y = affine_qmatmul(lin, x, bits=2, group=16, zs_key="minv")
+        if y is not None:
+            return y
     return _ref_forward(lin, x)
 
 

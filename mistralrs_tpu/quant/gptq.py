@@ -78,14 +78,18 @@ def _unpack_3bit_rows(packed: np.ndarray, total: int) -> np.ndarray:
 
 
 def _pack_bytes_rows(vals: np.ndarray, bits: int) -> np.ndarray:
-    """[in, out] uint8 (values < 2^bits) -> packed uint8 [in*bits/8, out]."""
+    """[in, out] uint8 (values < 2^bits) -> packed uint8 [in*bits/8, out],
+    PLANE-MAJOR: byte row r bit-slot j holds element j*(in*bits/8) + r, so
+    each unpacked plane is a contiguous element chunk — the fused affine
+    kernel (ops/quant_matmul.affine_qmatmul) contracts plane j against a
+    contiguous x/scale slice at a static offset, no sublane interleave."""
     per = 8 // bits
     K, O = vals.shape
     assert K % per == 0
-    v = vals.reshape(K // per, per, O).astype(np.uint16)
+    planes = vals.reshape(per, K // per, O).astype(np.uint16)
     out = np.zeros((K // per, O), np.uint16)
     for j in range(per):
-        out |= v[:, j] << (bits * j)
+        out |= planes[j] << (bits * j)
     return out.astype(np.uint8)
 
 
@@ -195,8 +199,9 @@ def _gptq_weights(lin: Linear, dtype, bits: int) -> jax.Array:
     else:
         per = 8 // bits
         mask = (1 << bits) - 1
+        # plane-major pack: plane j = contiguous elements [j*in/per, ...)
         parts = [((q >> (bits * j)) & mask) for j in range(per)]
-        vals = jnp.stack(parts, axis=1).reshape(in_f, out_f).astype(jnp.int32)
+        vals = jnp.concatenate(parts, axis=0).astype(jnp.int32)
     scale = lin.data["scale"].astype(dtype)  # [ng, out]
     zs = lin.data["zs"].astype(dtype)
     gi = lin.data.get("g_idx")
@@ -210,8 +215,21 @@ def _gptq_weights(lin: Linear, dtype, bits: int) -> jax.Array:
     return vals.astype(dtype) * srow - zrow  # [in, out]
 
 
-def _gptq_forward(bits: int):
+def _gptq_forward(bits: int, packed_bits: int | None = None):
+    """packed_bits: sub-byte plane-major pack width (None = byte-per-value
+    storage, e.g. 3-bit); drives the fused affine kernel's unpack."""
+
     def fwd(lin: Linear, x: jax.Array) -> jax.Array:
+        if "g_idx" not in lin.data:
+            from mistralrs_tpu.quant.gguf_linear import _pallas_available
+
+            if _pallas_available():
+                from mistralrs_tpu.ops.quant_matmul import affine_qmatmul
+
+                group = lin.shape[0] // lin.data["scale"].shape[0]
+                y = affine_qmatmul(lin, x, bits=packed_bits or 8, group=group)
+                if y is not None:
+                    return y
         w_t = _gptq_weights(lin, x.dtype, bits)
         y = jnp.dot(x, w_t)
         b = lin.data.get("b")
@@ -222,8 +240,8 @@ def _gptq_forward(bits: int):
     return fwd
 
 
-register_kind("gptq_2")(_gptq_forward(2))
-register_kind("gptq_4")(_gptq_forward(4))
+register_kind("gptq_2")(_gptq_forward(2, packed_bits=2))
+register_kind("gptq_4")(_gptq_forward(4, packed_bits=4))
 register_kind("gptq_8")(_gptq_forward(8))
 register_kind("gptq_b8")(_gptq_forward(8))
 

@@ -127,8 +127,9 @@ def hqq_dequant_weights(lin: Linear, dtype, bits: int) -> jax.Array:
     else:
         per = 8 // bits
         mask = (1 << bits) - 1
+        # plane-major pack (gptq._pack_bytes_rows): plane j = contiguous chunk
         parts = [((q >> (bits * j)) & mask) for j in range(per)]
-        vals = jnp.stack(parts, axis=1).reshape(in_f, out_f).astype(jnp.int32)
+        vals = jnp.concatenate(parts, axis=0).astype(jnp.int32)
     scale = lin.data["scale"].astype(dtype)
     zs = lin.data["zs"].astype(dtype)
     group = in_f // scale.shape[0]
@@ -136,7 +137,18 @@ def hqq_dequant_weights(lin: Linear, dtype, bits: int) -> jax.Array:
 
 
 def _hqq_forward(bits: int):
+    packed_bits = None if bits in (8, 3) else bits
+
     def fwd(lin: Linear, x: jax.Array) -> jax.Array:
+        from mistralrs_tpu.quant.gguf_linear import _pallas_available
+
+        if _pallas_available():
+            from mistralrs_tpu.ops.quant_matmul import affine_qmatmul
+
+            group = lin.shape[0] // lin.data["scale"].shape[0]
+            yk = affine_qmatmul(lin, x, bits=packed_bits or 8, group=group)
+            if yk is not None:
+                return yk  # bias handled inside affine_qmatmul
         y = jnp.dot(x, hqq_dequant_weights(lin, x.dtype, bits))
         b = lin.data.get("b")
         if b is not None:

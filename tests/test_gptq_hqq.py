@@ -54,9 +54,9 @@ def test_byte_pack_roundtrip(bits):
     per = 8 // bits
     vals = rng.integers(0, 1 << bits, size=(per * 8, 6)).astype(np.uint8)
     packed = _pack_bytes_rows(vals, bits)
-    # unpack the way the forward does
+    # unpack the way the forward does (plane-major: plane j = chunk j)
     parts = [((packed >> (bits * j)) & ((1 << bits) - 1)) for j in range(per)]
-    got = np.stack(parts, axis=1).reshape(vals.shape)
+    got = np.concatenate(parts, axis=0)
     np.testing.assert_array_equal(got, vals)
 
 

@@ -51,3 +51,62 @@ def test_kernel_bias_and_3d_input():
         got = np.asarray(q8_0_matmul(lin, jnp.asarray(x)))
     assert got.shape == (2, 3, O)
     np.testing.assert_allclose(got, want, rtol=2e-2, atol=2e-2)
+
+
+# ------------------------------------------------- generic affine kernel
+def test_affine_kernel_q2k():
+    from mistralrs_tpu.ops.quant_matmul import affine_qmatmul
+
+    O, K = 256, 512
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q2_K)
+    lin = linear_from_gguf(raw, GGMLType.Q2_K, (O, K), dtype=jnp.float32)
+    assert lin.kind == "gguf_q2k"
+    wd = kquants.dequantize(raw, GGMLType.Q2_K, (O, K))
+    x = (rng.standard_normal((8, K)) * 0.5).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = affine_qmatmul(lin, jnp.asarray(x), bits=2, group=16, zs_key="minv")
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), x @ wd.T, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("bits,in_f,pb", [(2, 512, 2), (4, 256, 4), (8, 512, None)])
+def test_affine_kernel_gptq(bits, in_f, pb):
+    from mistralrs_tpu.ops.quant_matmul import affine_qmatmul
+    from mistralrs_tpu.quant.gptq import (
+        _gptq_weights, gptq_linear_from_tensors, quantize_gptq_rtn,
+    )
+
+    O = 256
+    w = (rng.standard_normal((O, in_f)) * 0.3).astype(np.float32)
+    t = quantize_gptq_rtn(w, bits, group_size=in_f // 4)
+    lin = gptq_linear_from_tensors(
+        t["qweight"], t["qzeros"], t["scales"].astype(np.float32), t["g_idx"],
+        bits, in_f, O, dtype=jnp.float32,
+    )
+    assert lin.kind == f"gptq_{bits}"
+    want_w = np.asarray(_gptq_weights(lin, jnp.float32, bits))  # [in, out]
+    x = (rng.standard_normal((3, in_f)) * 0.5).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = affine_qmatmul(lin, jnp.asarray(x), bits=pb or 8, group=in_f // 4)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), x @ want_w, rtol=2e-2, atol=2e-2)
+
+
+@pytest.mark.parametrize("hbits,in_f", [(1, 1024), (2, 512), (3, 512), (8, 512)])
+def test_affine_kernel_hqq(hbits, in_f):
+    from mistralrs_tpu.ops.quant_matmul import affine_qmatmul
+    from mistralrs_tpu.quant.hqq import hqq_dequant_weights, quantize_hqq
+
+    O = 256
+    w = (rng.standard_normal((O, in_f)) * 0.3).astype(np.float32)
+    lin = quantize_hqq(w, hbits, group_size=64, dtype=jnp.float32)
+    if lin.kind == "gguf_q4k":
+        pytest.skip("rides the q4k kernel")
+    want_w = np.asarray(hqq_dequant_weights(lin, jnp.float32, hbits))
+    x = (rng.standard_normal((3, in_f)) * 0.5).astype(np.float32)
+    pb = None if hbits in (8, 3) else hbits
+    with pltpu.force_tpu_interpret_mode():
+        got = affine_qmatmul(lin, jnp.asarray(x), bits=pb or 8, group=64)
+    assert got is not None
+    np.testing.assert_allclose(np.asarray(got), x @ want_w, rtol=2e-2, atol=2e-2)
