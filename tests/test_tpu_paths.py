@@ -11,7 +11,7 @@ import pytest
 pytestmark = pytest.mark.tpu
 
 
-def _tiny(max_pos=1024):
+def _tiny(max_pos=1024, dtype_name="float32"):
     import jax.numpy as jnp
     import torch
     import transformers as tf
@@ -28,11 +28,12 @@ def _tiny(max_pos=1024):
     model = tf.LlamaForCausalLM(hf_cfg).eval().float()
     cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
     sd = {k: v.numpy() for k, v in model.state_dict().items()}
-    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    params = params_from_source(cfg, TensorSource.from_dict(sd),
+                                dtype=getattr(jnp, dtype_name))
     return cfg, params
 
 
-def _generate(cfg, params, prompt, *, flash=True, max_model_len=512, buckets=(128,)):
+def _generate(cfg, params, prompt, *, flash=True, max_model_len=512, buckets=(128,), dtype=None):
     import jax.numpy as jnp
 
     import mistralrs_tpu.models.decoder as dec
@@ -50,7 +51,7 @@ def _generate(cfg, params, prompt, *, flash=True, max_model_len=512, buckets=(12
     try:
         pc = PipelineConfig(page_size=16, num_pages=128, max_seqs=2,
                             max_model_len=max_model_len, prefill_buckets=buckets,
-                            dtype=jnp.float32, decode_steps=1)
+                            dtype=dtype or jnp.float32, decode_steps=1)
         eng = Engine(TextPipeline(cfg, params, make_rope(cfg), pc),
                      eos_token_ids=set())
         toks, _ = eng.generate(list(prompt), SamplingParams(max_len=8))
@@ -139,3 +140,21 @@ def test_ragged_dot_moe_on_chip():
     dense = run(False)
     grouped = run(True)
     np.testing.assert_allclose(grouped, dense, rtol=2e-4, atol=2e-4)
+
+
+def test_flash_prefill_bf16_matches_f32(monkeypatch):
+    """bf16-streamed flash prefill (MISTRALRS_FLASH_BF16=1) must track the
+    f32-streamed path on hardware: same greedy tokens from the same bf16
+    model (the two paths differ only in the kernel's streaming dtype). If
+    this passes, flip the default in models/decoder._flash_dtype and record
+    the pp delta in PERF.md."""
+    import jax.numpy as jnp
+
+    cfg, params = _tiny(dtype_name="bfloat16")
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(3, 250, size=128).tolist()
+    monkeypatch.delenv("MISTRALRS_FLASH_BF16", raising=False)
+    base = _generate(cfg, params, prompt, flash=True, dtype=jnp.bfloat16)
+    monkeypatch.setenv("MISTRALRS_FLASH_BF16", "1")
+    bf16 = _generate(cfg, params, prompt, flash=True, dtype=jnp.bfloat16)
+    assert sum(a == b for a, b in zip(base, bf16)) >= 7, (base, bf16)
