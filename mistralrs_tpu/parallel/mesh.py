@@ -61,13 +61,15 @@ def _lin_spec(kind: str, col_parallel: bool, stacked: bool, expert: bool = False
             return {"w": P(*prefix, None, "tp"), "b": P(*prefix, "tp")}
         return {"w": P(*prefix, "tp", None), "b": P(*prefix, None)}
     bias = P(*prefix, "tp") if col_parallel else P(*prefix, None)
-    if kind in ("gguf_q4k", "gguf_q8_0", "gguf_q6k"):
+    if kind in ("gguf_q4k", "gguf_q5k", "gguf_q6k", "gguf_q2k", "gguf_q8_0",
+                "gptq_2", "gptq_4", "gptq_8", "gptq_b8",
+                "hqq_1", "hqq_2", "hqq_3", "hqq_4", "hqq_8"):
         # K-major 2D arrays [in-blocks, out]; q6k perm/inv_perm are global
         # element indices so they stay replicated under both layouts
         spec2 = P(*prefix, None, "tp") if col_parallel else P(*prefix, "tp", None)
         return {
             "qs": spec2, "scale": spec2, "minv": spec2, "q": spec2,
-            "ql": spec2, "qh": spec2,
+            "ql": spec2, "qh": spec2, "zs": spec2,
             "perm": P(*prefix, None), "inv_perm": P(*prefix, None),
             "in_perm": P(*prefix, None),
             "b": bias,

@@ -269,3 +269,42 @@ def test_chat_template_override_changes_prompt(tiny_ckpt):
         assert base != over
     finally:
         runner.shutdown()
+
+
+def test_cli_x_lora_gguf(tiny_gguf, tiny_ckpt, tmp_path):
+    """X-LoRA over a GGUF base (ref XLoraGGUF, xlora_models over quantized
+    weights): classifier + bundled adapter dir, dual-pass pipeline boots."""
+    import shutil
+
+    from safetensors.numpy import save_file
+
+    from mistralrs_tpu.lora.lora import LoraAdapter
+    from mistralrs_tpu.lora.peft import save_peft_adapter
+
+    rng = np.random.default_rng(8)
+    r = 4
+    weights = {}
+    for layer in range(3):  # tiny GGUF model: hidden 256, 3 layers
+        A = (rng.standard_normal((r, 256)) * 0.02).astype(np.float32)
+        B = np.zeros((256, r), np.float32)
+        weights[f"{layer}.q_proj"] = (A, B)
+    xdir = tmp_path / "xlora_gguf"
+    (xdir / "adapters").mkdir(parents=True)
+    save_peft_adapter(str(xdir / "adapters" / "g1"),
+                      LoraAdapter(name="g1", r=r, alpha=8, weights=weights))
+    (xdir / "xlora_config.json").write_text(json.dumps({
+        "hidden_size": 256, "xlora_depth": 1, "enable_softmax": True,
+    }))
+    # layerwise scalings: out = num_layers * n_adapters = 3 * 1
+    save_file({
+        "last.weight": (rng.standard_normal((3, 256)) * 0.02).astype(np.float32),
+        "last.bias": np.zeros((3,), np.float32),
+    }, str(xdir / "xlora_classifier.safetensors"))
+    runner, _ = _parse_and_boot(
+        ["x-lora-gguf", "--model", tiny_gguf, "--tokenizer", tiny_ckpt,
+         "--xlora-model-id", str(xdir)])
+    from mistralrs_tpu.lora.xlora import XLoraPipeline
+
+    assert isinstance(runner.handle.engine.pipeline, XLoraPipeline)
+    assert runner.adapter_names == ["g1"]
+    _decodes(runner)

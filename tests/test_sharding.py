@@ -250,3 +250,35 @@ def test_pp_serving_pipeline_matches_dense_engine():
         hf1 = model.generate(torch.tensor([p1]), max_new_tokens=6,
                              do_sample=False)[0, len(p1):].tolist()
     assert g1.seqs[0].generated_tokens == hf1
+
+
+@pytest.mark.parametrize("isq", ["Q2K", "Q3K", "Q5K", "Q4K", "Q8_0", "HQQ2", "HQQ8"])
+def test_sharded_quantized_decode_matches_unsharded(isq):
+    """TP/DP sharding of the packed quant layouts (qs/qh/q/scale/minv rows,
+    q6k perm tables): sharded greedy decode must equal unsharded for every
+    packed device format."""
+    torch.manual_seed(23)
+    hf = tf.LlamaConfig(
+        hidden_size=256, intermediate_size=512, num_hidden_layers=2,
+        num_attention_heads=8, num_key_value_heads=8, vocab_size=128,
+        max_position_embeddings=128,
+    )
+    tf.LlamaForCausalLM(hf).eval().float()
+    cfg = config_from_hf(json.loads(hf.to_json_string()))
+    model = tf.LlamaForCausalLM(hf).eval().float()
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd),
+                                dtype=jnp.float32, isq=isq)
+    from mistralrs_tpu.quant.qlinear import Linear
+
+    kinds = {l.kind for l in jax.tree.leaves(
+        params, is_leaf=lambda x: isinstance(x, Linear)) if isinstance(l, Linear)}
+    assert kinds - {"dense"}, f"ISQ {isq} produced no packed linears"
+    rng = np.random.default_rng(7)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    want, _ = Engine(_pipe(cfg, params), eos_token_ids=set()).generate(
+        prompt, SamplingParams(max_len=6))
+    mesh = make_mesh(dp=2, tp=4)
+    got, _ = Engine(_pipe(cfg, params, mesh), eos_token_ids=set()).generate(
+        prompt, SamplingParams(max_len=6))
+    assert got == want
