@@ -1,0 +1,25 @@
+#!/bin/bash
+# Hardware work queue: run the moment the axon TPU tunnel recovers.
+# Usage: bash scripts/tpu_queue.sh [out_dir]   (default /tmp/tpu_queue_out)
+set -u
+OUT=${1:-/tmp/tpu_queue_out}
+mkdir -p "$OUT"
+cd "$(dirname "$0")/.."
+
+echo "== probe =="
+timeout 90 python -c "
+import jax, numpy as np
+x = jax.numpy.ones((8,8)); print('TPU OK', np.asarray(x@x)[0,0])
+" || { echo "TUNNEL STILL DOWN"; exit 1; }
+
+echo "== bench (driver metric) ==" | tee "$OUT/bench.log"
+timeout 580 python -u bench.py 2>&1 | tee -a "$OUT/bench.log"
+
+echo "== tpu-marked tests (incl. bf16 flash + ragged_dot gate) =="
+MISTRALRS_TPU_TESTS=1 timeout 580 python -m pytest tests/test_tpu_paths.py -m tpu -q \
+  2>&1 | tee "$OUT/tpu_tests.log"
+
+echo "== bf16 flash prefill pp A/B =="
+timeout 580 python -u scripts/flash_ab.py 2>&1 | tee "$OUT/flash_ab.log"
+
+echo "== done; inspect $OUT =="
