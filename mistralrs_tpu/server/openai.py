@@ -255,9 +255,20 @@ class OpenAIServer:
         try:
             sampling = _parse_sampling(body)
             constraint = self._parse_constraint(body)
+            # legacy `logprobs` is an int (top-N), not the chat bool
+            lp = body.get("logprobs")
+            if isinstance(lp, int) and not isinstance(lp, bool) and lp > 0:
+                sampling = dataclasses.replace(sampling, top_n_logprobs=lp)
             prompt = body["prompt"]
+            token_prompt = None
             if isinstance(prompt, list):
-                prompt = prompt[0]
+                if prompt and isinstance(prompt[0], int):
+                    # raw token-id prompt (ref RequestMessage::CompletionTokens)
+                    token_prompt = [int(t) for t in prompt]
+                    prompt = None
+                else:
+                    prompt = prompt[0]
+            echo = bool(body.get("echo_prompt") or body.get("echo"))
             # best_of (ref request.rs:31, sequence.rs get_completion_choices):
             # sample `best_of` streams server-side, return the `n` best ranked
             # by mean token logprob
@@ -270,7 +281,11 @@ class OpenAIServer:
                                  "ranked only after completion)")
             if best_of > n:
                 sampling = dataclasses.replace(sampling, n_choices=best_of)
-            prompt_toks = await asyncio.to_thread(self.runner.tokenizer.encode, prompt)
+            if token_prompt is not None:
+                prompt_toks = token_prompt
+            else:
+                prompt_toks = await asyncio.to_thread(
+                    self.runner.tokenizer.encode, prompt)
         except Exception as e:
             return web.json_response({"error": str(e)}, status=400)
         if body.get("stream"):
@@ -279,7 +294,8 @@ class OpenAIServer:
         return await self._blocking(prompt_toks, sampling, chat=False,
                                     constraint=constraint,
                                     return_logprobs=bool(body.get("logprobs")),
-                                    top_n=n)
+                                    top_n=n,
+                                    echo_text=(prompt or "") if echo else None)
 
     # ------------------------------------------------------------- impls
     @staticmethod
@@ -301,7 +317,8 @@ class OpenAIServer:
 
     async def _blocking(self, toks: list[int], sampling: SamplingParams, chat: bool,
                         constraint=None, matcher=None, images=None,
-                        return_logprobs=False, top_n: int | None = None):
+                        return_logprobs=False, top_n: int | None = None,
+                        echo_text: str | None = None):
         rid = ("chatcmpl-" if chat else "cmpl-") + uuid.uuid4().hex[:20]
         group = await asyncio.to_thread(
             self.runner.handle.submit,
@@ -343,7 +360,8 @@ class OpenAIServer:
             choices = [
                 {
                     "index": i,
-                    "text": s.final_text(),
+                    # echo_prompt prepends the prompt text (ref engine/mod.rs:706)
+                    "text": (echo_text or "") + s.final_text(),
                     "finish_reason": s.stop_reason.value if s.stop_reason else "stop",
                     "logprobs": self._logprobs_json(s),
                 }

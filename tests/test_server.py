@@ -347,3 +347,32 @@ def test_completions_best_of(client_and_runner):
         assert r.status == 400
 
     _run(loop, go())
+
+
+def test_completions_token_prompt_echo_and_int_logprobs(client_and_runner):
+    """Legacy-route parity: prompt as raw token ids (ref
+    RequestMessage::CompletionTokens), echo_prompt prepends the prompt text
+    (ref engine/mod.rs:706), and `logprobs` is a top-N int."""
+    client, _, loop = client_and_runner
+
+    async def go():
+        r = await client.post(
+            "/v1/completions",
+            json={"model": "fake-model", "prompt": [5, 9, 11], "max_tokens": 3},
+        )
+        assert r.status == 200
+        data = await r.json()
+        assert data["usage"]["prompt_tokens"] == 3
+
+        r = await client.post(
+            "/v1/completions",
+            json={"model": "fake-model", "prompt": "abc", "max_tokens": 3,
+                  "echo": True, "logprobs": 2},
+        )
+        data = await r.json()
+        assert data["choices"][0]["text"].startswith("abc")
+        lp = data["choices"][0]["logprobs"]
+        assert lp and len(lp["content"]) == 3
+        assert len(lp["content"][0]["top_logprobs"]) == 2
+
+    _run(loop, go())
