@@ -132,9 +132,12 @@ def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int =
     in_f, out_f = lin.shape
     lead = x.shape[:-1]
     bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)
-    if bk < 512:
-        # paired-kernel sublane-alignment needs >=16 scale rows per k-tile;
-        # tiny matrices fall back to the fused XLA reference
+    if bk < 512 or in_f % 512:
+        # the kernel's alignment hints (Khalf + k*bkh multiple of 128, scale
+        # row (Khalf + k*bkh)//32 multiple of 8) are only TRUE when
+        # in % 512 == 0 — e.g. in=576 picks bk=576 with Khalf=288 and Mosaic
+        # would mis-lower the dynamic slices silently; such shapes (and tiny
+        # matrices) fall back to the fused XLA reference
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
         return _ref_forward(lin, x)
@@ -362,9 +365,9 @@ def q5k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int = 
     bk8 = min(bk // 8, K8)
     while K8 % bk8:
         bk8 //= 2
-    if bk < 512 or bk8 < 32 or K8 % 32:
-        # q4k paired kernel needs >=16 scale rows/tile; hbit planes need
-        # 32-aligned element offsets for the scale sub-slices
+    if bk < 512 or in_f % 512 or bk8 < 32 or K8 % 32:
+        # q4k paired kernel alignment (see q4k_matmul: in % 512) + hbit
+        # planes need 32-aligned element offsets for the scale sub-slices
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
         return _ref_forward(lin, x)

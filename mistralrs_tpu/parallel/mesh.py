@@ -84,7 +84,22 @@ def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
         return lambda p: {k: P(*pre) for k in p}
 
     def map_linear(lin: Linear, col: bool, stacked: bool, expert: bool = False) -> Linear:
+        if lin.kind == "lora":
+            # adapter banks follow the base layout: column-parallel shards
+            # B's out axis, row-parallel shards A's in axis; per-adapter
+            # scale/gates vectors replicate (lora/lora.py make_lora)
+            pre = (None,) if stacked else ()
+            data = {
+                "base": map_linear(lin.data["base"], col, stacked, expert),
+                "a": P(*pre, None, None, None) if col else P(*pre, None, "tp", None),
+                "b": P(*pre, None, None, "tp") if col else P(*pre, None, None, None),
+                "scale": P(*pre, None),
+                "gates": P(*pre, None),
+            }
+            return Linear(kind=lin.kind, shape=lin.shape, data=data, meta=lin.meta)
         spec = _lin_spec(lin.kind, col, stacked, expert)
+        if spec is None:
+            raise NotImplementedError(f"no sharding spec for Linear kind {lin.kind!r}")
         data = {k: spec[k] for k in lin.data}
         return Linear(kind=lin.kind, shape=lin.shape, data=data, meta=lin.meta)
 

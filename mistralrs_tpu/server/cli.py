@@ -133,6 +133,13 @@ def runner_from_args(args, pc, mesh):
         from mistralrs_tpu.lora import discover_adapters
 
         adapters = discover_adapters(xlora_path)
+        if not adapters:
+            raise SystemExit(
+                f"no adapters found under {xlora_path!r}: expected "
+                "<dir>/adapters/<name>/adapter_config.json or direct "
+                "subdirs with adapter_config.json (the classifier needs "
+                "its trained adapter count)"
+            )
 
     if which in ("plain", "lora", "x-lora"):
         dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32

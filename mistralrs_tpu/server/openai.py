@@ -269,6 +269,13 @@ class OpenAIServer:
                 else:
                     prompt = prompt[0]
             echo = bool(body.get("echo_prompt") or body.get("echo"))
+            if echo and body.get("stream"):
+                raise ValueError("echo_prompt cannot stream")
+            echo_text = None
+            if echo:
+                # token-id prompts echo their detokenization
+                echo_text = (prompt if prompt is not None else
+                             self.runner.tokenizer.decode(token_prompt))
             # best_of (ref request.rs:31, sequence.rs get_completion_choices):
             # sample `best_of` streams server-side, return the `n` best ranked
             # by mean token logprob
@@ -294,8 +301,7 @@ class OpenAIServer:
         return await self._blocking(prompt_toks, sampling, chat=False,
                                     constraint=constraint,
                                     return_logprobs=bool(body.get("logprobs")),
-                                    top_n=n,
-                                    echo_text=(prompt or "") if echo else None)
+                                    top_n=n, echo_text=echo_text)
 
     # ------------------------------------------------------------- impls
     @staticmethod

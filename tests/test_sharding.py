@@ -282,3 +282,28 @@ def test_sharded_quantized_decode_matches_unsharded(isq):
     got, _ = Engine(_pipe(cfg, params, mesh), eos_token_ids=set()).generate(
         prompt, SamplingParams(max_len=6))
     assert got == want
+
+
+def test_sharded_lora_decode_matches_unsharded():
+    """TP sharding of LoRA-wrapped linears (adapter banks follow the base
+    layout: B shards out under column-parallel, A shards in under
+    row-parallel) — crashed with a missing spec before."""
+    import sys
+
+    sys.path.insert(0, "tests")
+    from test_lora import _adapter, _tiny_model
+
+    cfg, params = _tiny_model()
+    from mistralrs_tpu.lora import apply_lora_to_params
+
+    rng = np.random.default_rng(9)
+    ad = _adapter("s1", cfg, rng, r=4, alpha=8.0,
+                  targets=("q_proj", "v_proj", "o_proj"))
+    lparams = apply_lora_to_params(params, cfg, [ad])
+    prompt = rng.integers(3, 120, size=9).tolist()
+    want, _ = Engine(_pipe(cfg, lparams), eos_token_ids=set()).generate(
+        prompt, SamplingParams(max_len=6))
+    mesh = make_mesh(dp=4, tp=2)  # tiny model has 2 kv heads (tp | kv_heads)
+    got, _ = Engine(_pipe(cfg, lparams, mesh), eos_token_ids=set()).generate(
+        prompt, SamplingParams(max_len=6))
+    assert got == want
