@@ -368,9 +368,11 @@ def _attention(
 
 def _moe_mlp_grouped(cfg: ModelConfig, p: dict[str, Any], x: jax.Array) -> jax.Array:
     """Grouped dropless MoE dispatch: [N*K] (token, expert) pairs sorted by
-    expert feed lax.ragged_dot per-expert GEMMs; outputs scatter-add back
+    expert feed grouped per-expert GEMMs (lax.ragged_dot or the Pallas
+    megablocks kernel — ops/grouped_gemm.py); outputs scatter-add back
     weighted by the renormalized router probs. Bit-compatible with the dense
     path (same per-pair math)."""
+    from mistralrs_tpu.ops.grouped_gemm import grouped_matmul
     B, T, H = x.shape
     N = B * T
     E, K = cfg.num_experts, cfg.num_experts_per_tok
@@ -388,9 +390,9 @@ def _moe_mlp_grouped(cfg: ModelConfig, p: dict[str, Any], x: jax.Array) -> jax.A
     wg = p["experts"]["gate"].data["w"].astype(xt.dtype)  # [E, H, I]
     wu = p["experts"]["up"].data["w"].astype(xt.dtype)
     wd = p["experts"]["down"].data["w"].astype(xt.dtype)  # [E, I, H]
-    g = jax.lax.ragged_dot(gathered, wg, group_sizes)
-    u = jax.lax.ragged_dot(gathered, wu, group_sizes)
-    d = jax.lax.ragged_dot(act(g) * u, wd, group_sizes)  # [N*K, H]
+    g = grouped_matmul(gathered, wg, group_sizes)
+    u = grouped_matmul(gathered, wu, group_sizes)
+    d = grouped_matmul(act(g) * u, wd, group_sizes)  # [N*K, H]
     w_pair = topw.reshape(-1)[order].astype(d.dtype)  # sorted pair weights
     out = jnp.zeros((N, H), d.dtype).at[tok_sorted].add(d * w_pair[:, None])
     return out.reshape(B, T, H).astype(x.dtype)

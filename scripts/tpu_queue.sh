@@ -22,4 +22,7 @@ MISTRALRS_TPU_TESTS=1 timeout 580 python -m pytest tests/test_tpu_paths.py -m tp
 echo "== bf16 flash prefill pp A/B =="
 timeout 580 python -u scripts/flash_ab.py 2>&1 | tee "$OUT/flash_ab.log"
 
+echo "== MoE backend A/B (ragged_dot vs megablocks gmm) =="
+timeout 580 python -u scripts/moe_ab.py 2>&1 | tee "$OUT/moe_ab.log"
+
 echo "== done; inspect $OUT =="

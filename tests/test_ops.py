@@ -232,3 +232,58 @@ def test_block_attend_flash_combine_equals_dense():
     p = p / p.sum(-1, keepdims=True)
     want = np.einsum("bhgts,bshd->bthgd", p, v).reshape(B, T, Hkv * G, D)
     np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_grouped_matmul_gmm_matches_ragged():
+    """The Pallas megablocks backend (interpret mode on CPU) must match
+    lax.ragged_dot for arbitrary group splits, including empty groups and
+    row counts that are not a multiple of the 128-row m-tile."""
+    from mistralrs_tpu.ops.grouped_gemm import grouped_matmul
+
+    rng = np.random.default_rng(11)
+    G, K, N = 4, 96, 160
+    for M, sizes in [(50, [10, 0, 25, 15]), (128, [32, 32, 32, 32]),
+                     (131, [0, 131, 0, 0])]:
+        lhs = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+        rhs = jnp.asarray(rng.standard_normal((G, K, N)) * 0.1, jnp.float32)
+        gs = jnp.asarray(sizes, jnp.int32)
+        want = np.asarray(grouped_matmul(lhs, rhs, gs, backend="ragged"))
+        got = np.asarray(grouped_matmul(lhs, rhs, gs, backend="gmm"))
+        np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_grouped_moe_gmm_backend_matches_dense(monkeypatch):
+    """MISTRALRS_MOE_BACKEND=gmm end-to-end through the grouped MoE MLP:
+    same outputs as the ragged backend (which is dense-parity tested in
+    test_tpu_paths.py::test_ragged_dot_moe_on_chip)."""
+    from mistralrs_tpu.models.decoder import _moe_mlp_grouped
+    from mistralrs_tpu.models.config import ModelConfig
+    from mistralrs_tpu.quant.qlinear import Linear
+
+    rng = np.random.default_rng(5)
+    H, I, E, Kx = 64, 96, 4, 2
+    cfg = ModelConfig(
+        arch="mixtral", vocab_size=64, hidden_size=H, intermediate_size=I,
+        num_layers=1, num_heads=4, num_kv_heads=2, head_dim=16, num_experts=E,
+        num_experts_per_tok=Kx,
+    )
+
+    def dense_lin(shape, scale=0.1):
+        w = jnp.asarray(rng.standard_normal(shape) * scale, jnp.float32)
+        return Linear(kind="dense", shape=(shape[-2], shape[-1]),
+                      data={"w": w}, meta={})
+
+    p = {
+        "router": dense_lin((H, E)),
+        "experts": {
+            "gate": dense_lin((E, H, I)),
+            "up": dense_lin((E, H, I)),
+            "down": dense_lin((E, I, H)),
+        },
+    }
+    x = jnp.asarray(rng.standard_normal((2, 9, H)) * 0.3, jnp.float32)
+    monkeypatch.setenv("MISTRALRS_MOE_BACKEND", "ragged")
+    want = np.asarray(_moe_mlp_grouped(cfg, p, x))
+    monkeypatch.setenv("MISTRALRS_MOE_BACKEND", "gmm")
+    got = np.asarray(_moe_mlp_grouped(cfg, p, x))
+    np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)

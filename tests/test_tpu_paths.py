@@ -158,3 +158,25 @@ def test_flash_prefill_bf16_matches_f32(monkeypatch):
     monkeypatch.setenv("MISTRALRS_FLASH_BF16", "1")
     bf16 = _generate(cfg, params, prompt, flash=True, dtype=jnp.bfloat16)
     assert sum(a == b for a, b in zip(base, bf16)) >= 7, (base, bf16)
+
+
+def test_gmm_grouped_moe_on_chip(monkeypatch):
+    """The Pallas megablocks grouped-GEMM backend (MISTRALRS_MOE_BACKEND=gmm)
+    must lower under Mosaic on this toolchain and match lax.ragged_dot.
+    Passing makes gmm a serving-eligible MoE backend; scripts/tpu_queue.sh
+    times the two to pick the default (see PERF.md)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.ops.grouped_gemm import grouped_matmul
+
+    rng = np.random.default_rng(13)
+    G, M, K, N = 8, 256, 512, 1024
+    sizes = np.zeros(G, np.int32)
+    cuts = np.sort(rng.integers(0, M + 1, size=G - 1))
+    sizes[:] = np.diff(np.concatenate([[0], cuts, [M]]))
+    lhs = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+    rhs = jnp.asarray(rng.standard_normal((G, K, N)) * 0.1, jnp.bfloat16)
+    gs = jnp.asarray(sizes, jnp.int32)
+    want = np.asarray(grouped_matmul(lhs, rhs, gs, backend="ragged"), np.float32)
+    got = np.asarray(grouped_matmul(lhs, rhs, gs, backend="gmm"), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
