@@ -25,4 +25,10 @@ timeout 580 python -u scripts/flash_ab.py 2>&1 | tee "$OUT/flash_ab.log"
 echo "== MoE backend A/B (ragged_dot vs megablocks gmm) =="
 timeout 580 python -u scripts/moe_ab.py 2>&1 | tee "$OUT/moe_ab.log"
 
+echo "== batch 32/64 serving sweep =="
+timeout 580 python -u scripts/batch_sweep.py 2>&1 | tee "$OUT/batch_sweep.log"
+
+echo "== dequant floor experiments (cast probe / LUT / int8-MXU) =="
+timeout 580 python -u scripts/dequant_ab.py 2>&1 | tee "$OUT/dequant_ab.log"
+
 echo "== done; inspect $OUT =="
