@@ -69,6 +69,28 @@ def _use_flash_prefill(cfg: ModelConfig, T: int, meta) -> bool:
     return jax.default_backend() == "tpu"
 
 
+def _use_splash_prefill(cfg: ModelConfig, T: int, meta) -> bool:
+    """Splash-kernel prefill for first chunks the plain flash kernel rejects
+    — logit softcap (gemma2) or sliding window clipping inside the chunk —
+    which otherwise fall back to masked dense attention materializing
+    [B, Hq, T, T] scores (ops/splash.py). Opt-in via MISTRALRS_SPLASH=1
+    until test_splash_prefill_on_chip validates the kernel on the real
+    toolchain; CPU runs use interpret mode (tests only)."""
+    import os
+
+    if T < 128 or T % 128 or not meta.first_chunk:
+        return False
+    if os.environ.get("MISTRALRS_SPLASH") != "1":
+        return False
+    window_clips = (
+        cfg.sliding_window is not None
+        and cfg.sliding_window_pattern != "none"
+        and cfg.sliding_window < T
+    )
+    # the simple case (no softcap, window >= chunk) belongs to plain flash
+    return cfg.attn_logit_softcap is not None or window_clips
+
+
 def _use_ring_prefill(cfg: ModelConfig, T: int, meta) -> bool:
     """Sequence-parallel first-chunk prefill: the chunk's token dim is
     sharded over `meta.ring_axis` and attention runs as blockwise ring
@@ -295,6 +317,25 @@ def _attention(
                 causal=True,
                 sm_scale=scale,
             ).transpose(0, 2, 1, 3).astype(q.dtype)
+            # zero padding rows (they attended garbage) via active mask
+            out = out * meta.active[:, None, None, None].astype(out.dtype)
+            out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
+            return out, cache_k, cache_v
+        if _use_splash_prefill(cfg, T, meta):
+            from mistralrs_tpu.ops.splash import splash_prefill
+
+            out = splash_prefill(
+                q, k, v, scale=scale,
+                sliding_window=(
+                    cfg.sliding_window
+                    if cfg.sliding_window is not None
+                    and cfg.sliding_window_pattern != "none"
+                    else None
+                ),
+                logits_softcap=cfg.attn_logit_softcap,
+                use_win=use_win,
+                interpret=jax.default_backend() != "tpu",
+            )
             # zero padding rows (they attended garbage) via active mask
             out = out * meta.active[:, None, None, None].astype(out.dtype)
             out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)

@@ -31,4 +31,7 @@ timeout 580 python -u scripts/batch_sweep.py 2>&1 | tee "$OUT/batch_sweep.log"
 echo "== dequant floor experiments (cast probe / LUT / int8-MXU) =="
 timeout 580 python -u scripts/dequant_ab.py 2>&1 | tee "$OUT/dequant_ab.log"
 
+echo "== splash windowed/softcapped prefill A/B =="
+timeout 580 python -u scripts/splash_ab.py 2>&1 | tee "$OUT/splash_ab.log"
+
 echo "== done; inspect $OUT =="

@@ -180,3 +180,30 @@ def test_gmm_grouped_moe_on_chip(monkeypatch):
     want = np.asarray(grouped_matmul(lhs, rhs, gs, backend="ragged"), np.float32)
     got = np.asarray(grouped_matmul(lhs, rhs, gs, backend="gmm"), np.float32)
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
+
+
+def test_splash_prefill_on_chip():
+    """SplashAttention (LocalMask window + softcap, MQA grouping) must lower
+    under Mosaic on this toolchain and match the masked dense sdpa at
+    realistic dims. Passing means the MISTRALRS_SPLASH=1 path is
+    serving-eligible (then flip the default in decoder._use_splash_prefill)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.ops import attention as attn_ops
+    from mistralrs_tpu.ops.splash import splash_prefill
+
+    rng = np.random.default_rng(17)
+    B, T, Hq, Hkv, D, W = 2, 512, 8, 2, 128, 256
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.bfloat16)
+    scale = D**-0.5
+    for softcap in (None, 50.0):
+        got = np.asarray(
+            splash_prefill(q, k, v, scale=scale, sliding_window=W,
+                           logits_softcap=softcap), np.float32)
+        bias = attn_ops.causal_mask_bias(T, T, sliding_window=W)
+        want = np.asarray(
+            attn_ops.sdpa(q, k, v, scale=scale, mask=bias,
+                          logits_softcap=softcap), np.float32)
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
