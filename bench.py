@@ -121,24 +121,16 @@ def _random_q4k_linear(rng, in_f: int, out_f: int, dtype):
     )
 
 
-def _q6k_perm(K: int, G: int):
-    """Same permutation pack_q6k computes (p = c*4G + j*G + t -> j*K/4 + c*G + t)."""
-    C = K // (4 * G)
-    j, c, t = np.meshgrid(np.arange(4), np.arange(C), np.arange(G), indexing="ij")
-    perm = (j * (K // 4) + c * G + t).transpose(1, 0, 2).reshape(K)
-    return perm
-
-
 def _random_q6k_linear(rng, in_f: int, out_f: int, dtype):
     """Random packed Q6_K in the chunked device layout (gguf_linear.pack_q6k):
     same bytes/compute as a real checkpoint layer."""
     import jax.numpy as jnp
 
-    from mistralrs_tpu.quant.gguf_linear import q6k_chunk_size
+    from mistralrs_tpu.quant.gguf_linear import q6k_chunk_size, q6k_perm
     from mistralrs_tpu.quant.qlinear import Linear
 
     G = q6k_chunk_size(in_f)
-    perm = _q6k_perm(in_f, G)
+    perm = q6k_perm(in_f, G)
     return Linear(
         kind="gguf_q6k",
         shape=(in_f, out_f),

@@ -14,6 +14,16 @@ import os
 _DIR = os.path.dirname(__file__)
 
 
+def resolve_named_template(tpl):
+    """tokenizer_config chat_template value -> template string: HF allows a
+    list of {name, template}; 'default' wins, else the first entry. The one
+    definition — utils/tokenizer.TokenizerWrapper uses it too."""
+    if isinstance(tpl, list):
+        named = {t["name"]: t["template"] for t in tpl}
+        return named.get("default") or next(iter(named.values()))
+    return tpl
+
+
 def bundled_names() -> list[str]:
     return sorted(
         f[:-5] for f in os.listdir(_DIR) if f.endswith(".json")
@@ -35,10 +45,7 @@ def resolve_chat_template(name_or_path: str) -> str:
     if path.endswith(".json"):
         with open(path) as f:
             doc = json.load(f)
-        tpl = doc.get("chat_template")
-        if isinstance(tpl, list):  # tokenizer_config named-template list
-            named = {t["name"]: t["template"] for t in tpl}
-            tpl = named.get("default") or next(iter(named.values()))
+        tpl = resolve_named_template(doc.get("chat_template"))
         if not isinstance(tpl, str):
             raise ValueError(f"{path}: no 'chat_template' key")
         return tpl

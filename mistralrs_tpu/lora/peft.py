@@ -75,9 +75,41 @@ def save_peft_adapter(path: str, adapter: LoraAdapter) -> None:
 
 
 def discover_adapters(root: str) -> list[str]:
-    """Find PEFT adapter dirs under an X-LoRA model dir: `<root>/adapters/*/`
-    or direct subdirs holding an adapter_config.json (ref xlora loading —
-    the ordering file names adapters stored inside the model repo)."""
+    """Find PEFT adapter dirs under an X-LoRA model dir, in CLASSIFIER
+    order. The classifier emits one scaling per adapter in training order,
+    so adapter order is load-bearing (ref model_selected.rs XLora makes the
+    ordering file mandatory for this). Priority:
+
+    1. xlora_config.json's ``adapters`` mapping ({name: path}, insertion-
+       ordered — what PEFT X-LoRA checkpoints save at train time); relative
+       paths resolve against `root`, unresolvable saved paths fall back to
+       `<root>/adapters/<name>` then `<root>/<name>`.
+    2. Directory scan of `<root>/adapters/*/` or direct subdirs holding an
+       adapter_config.json, sorted by name — only unambiguous for a single
+       adapter; multi-adapter dirs without (1) must pass an ordering file
+       (checked by the caller, server/cli.py)."""
+    xcfg_path = os.path.join(root, "xlora_config.json")
+    if os.path.isfile(xcfg_path):
+        with open(xcfg_path) as f:
+            mapping = json.load(f).get("adapters")
+        if isinstance(mapping, dict) and mapping:
+            out = []
+            for name, saved in mapping.items():
+                for cand in (
+                    saved if os.path.isabs(saved) else os.path.join(root, saved),
+                    os.path.join(root, "adapters", name),
+                    os.path.join(root, name),
+                ):
+                    if os.path.isfile(os.path.join(cand, "adapter_config.json")):
+                        out.append(cand)
+                        break
+                else:
+                    raise FileNotFoundError(
+                        f"xlora_config.json names adapter {name!r} at "
+                        f"{saved!r} but no adapter_config.json was found "
+                        f"there or under {root!r}"
+                    )
+            return out
     cands = []
     for base in (os.path.join(root, "adapters"), root):
         if not os.path.isdir(base):

@@ -53,7 +53,7 @@ def _lin_spec(kind: str, col_parallel: bool, stacked: bool, expert: bool = False
             "qs": spec, "scale": spec, "minv": spec, "q": spec,
             "ql": spec, "qh": spec,
             "perm": P(*prefix, None), "inv_perm": P(*prefix, None),
-            "in_perm": P(*prefix, None),
+            "in_perm": P(*prefix, None), "g_idx": P(*prefix, None),
             "b": P(*ep, None),
         }
     if kind == "dense":
@@ -71,7 +71,9 @@ def _lin_spec(kind: str, col_parallel: bool, stacked: bool, expert: bool = False
             "qs": spec2, "scale": spec2, "minv": spec2, "q": spec2,
             "ql": spec2, "qh": spec2, "zs": spec2,
             "perm": P(*prefix, None), "inv_perm": P(*prefix, None),
-            "in_perm": P(*prefix, None),
+            # act-order index vectors are [in]-sized gathers against the
+            # K axis; replicated indices + sharded operand partition fine
+            "in_perm": P(*prefix, None), "g_idx": P(*prefix, None),
             "b": bias,
         }
 

@@ -107,6 +107,18 @@ def q6k_chunk_size(in_features: int) -> int | None:
     return None
 
 
+def q6k_perm(K: int, G: int) -> np.ndarray:
+    """The q6k chunked-layout load permutation: packed position
+    p = c*4G + j*G + t holds original element j*(K/4) + c*G + t. The single
+    definition of the layout — the kernel, the packer, and bench's synthetic
+    model builder all consume this."""
+    C = K // (4 * G)
+    j_idx, c_idx, t_idx = np.meshgrid(
+        np.arange(4), np.arange(C), np.arange(G), indexing="ij"
+    )
+    return (j_idx * (K // 4) + c_idx * G + t_idx).transpose(1, 0, 2).reshape(K)
+
+
 def pack_q6k(raw: np.ndarray, out_features: int, in_features: int, dtype=jnp.bfloat16) -> Linear:
     """GGUF Q6_K wire blocks -> chunked K-major device layout.
 
@@ -143,11 +155,7 @@ def _pack_q6k_from_values(q: np.ndarray, s16: np.ndarray, out_features: int,
     qlc = np.concatenate([ln[0] | (ln[2] << 4), ln[1] | (ln[3] << 4)], axis=1)  # [C, 2G, O]
     qhc = hb[0] | (hb[1] << 2) | (hb[2] << 4) | (hb[3] << 6)  # [C, G, O]
     sT = s16.T.reshape(4, C, G // 16, O).transpose(1, 0, 2, 3).reshape(K // 16, O)
-    j_idx, c_idx, t_idx = np.meshgrid(
-        np.arange(4), np.arange(C), np.arange(G), indexing="ij"
-    )
-    # perm in p-order: p = c*4G + j*G + t -> orig j*Kq + c*G + t
-    perm = (j_idx * Kq + c_idx * G + t_idx).transpose(1, 0, 2).reshape(K)
+    perm = q6k_perm(K, G)
     return Linear(
         kind="gguf_q6k",
         shape=(in_features, out_features),

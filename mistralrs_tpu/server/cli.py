@@ -132,6 +132,9 @@ def runner_from_args(args, pc, mesh):
         # the ordering file names adapters inside the repo)
         from mistralrs_tpu.lora import discover_adapters
 
+        import json as _json
+        import os as _os
+
         adapters = discover_adapters(xlora_path)
         if not adapters:
             raise SystemExit(
@@ -140,6 +143,22 @@ def runner_from_args(args, pc, mesh):
                 "subdirs with adapter_config.json (the classifier needs "
                 "its trained adapter count)"
             )
+        if len(adapters) > 1 and ordering is None:
+            # classifier scalings map to adapters BY POSITION; a directory
+            # listing is not an order (ref model_selected.rs XLora makes the
+            # ordering file mandatory)
+            xcfg = _os.path.join(xlora_path, "xlora_config.json")
+            has_cfg_order = False
+            if _os.path.isfile(xcfg):
+                with open(xcfg) as f:
+                    has_cfg_order = bool(_json.load(f).get("adapters"))
+            if not has_cfg_order:
+                raise SystemExit(
+                    f"{xlora_path!r} holds {len(adapters)} adapters but "
+                    "neither xlora_config.json's 'adapters' mapping nor "
+                    "--order fixes their classifier order; pass --order "
+                    "with the training-order adapter list"
+                )
 
     if which in ("plain", "lora", "x-lora"):
         dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32

@@ -233,6 +233,12 @@ class OpenAIServer:
                 text, imgs = extract_images(
                     messages, self.runner.processor.image_token
                 )
+                # decode at the trust boundary: remote clients may send
+                # data:/base64 only, never server-local file paths
+                from mistralrs_tpu.vision.processor import decode_image
+
+                imgs = [decode_image(im, allow_local_files=False)
+                        for im in imgs]
                 prompt_toks, images = await asyncio.to_thread(
                     self.runner.processor, text, imgs
                 )

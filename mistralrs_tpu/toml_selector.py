@@ -78,12 +78,19 @@ def runner_from_toml(path_or_text: str, pc=None, dtype=None, mesh=None,
     cfg, params, rope, tokenizer = _load_base(model, pc, dtype, mesh)
 
     adapter_names: list[str] = []
-    if model.get("adapters") or model.get("adapters_model_id"):
+    xlora_path = model.get("xlora_model_id")
+    if model.get("adapters") or model.get("adapters_model_id") or xlora_path:
         from mistralrs_tpu.lora import (
-            Ordering, apply_lora_to_params, load_peft_adapter,
+            Ordering, apply_lora_to_params, discover_adapters,
+            load_peft_adapter,
         )
 
-        paths = model.get("adapters") or [model["adapters_model_id"]]
+        paths = model.get("adapters") or (
+            [model["adapters_model_id"]] if model.get("adapters_model_id")
+            else discover_adapters(xlora_path)
+        )
+        if not paths:
+            raise ValueError(f"no adapters found for {model!r}")
         ads = [load_peft_adapter(p) for p in paths]
         if model.get("order"):
             ads = Ordering.from_file(model["order"]).sort_adapters(ads)
@@ -132,7 +139,23 @@ def runner_from_toml(path_or_text: str, pc=None, dtype=None, mesh=None,
             except FileNotFoundError:
                 pass
 
-    pipe = TextPipeline(cfg, params, rope, pc, mesh=mesh)
+    if xlora_path:
+        # ref TomlModelSelected::XLora -> XLoraPipeline (docs/TOML_SELECTOR.md)
+        import os
+
+        from mistralrs_tpu.lora.xlora import (
+            XLoraConfig, XLoraPipeline, classifier_from_safetensors,
+        )
+
+        xcfg = XLoraConfig.from_json_file(
+            os.path.join(xlora_path, "xlora_config.json"))
+        clf = classifier_from_safetensors(
+            os.path.join(xlora_path, "xlora_classifier.safetensors"),
+            dtype=dtype)
+        pipe = XLoraPipeline(cfg, params, rope, pc, classifier=clf, xcfg=xcfg,
+                             n_adapters=len(adapter_names), mesh=mesh)
+    else:
+        pipe = TextPipeline(cfg, params, rope, pc, mesh=mesh)
 
     if "speculative" in doc:
         sp = doc["speculative"]

@@ -35,10 +35,9 @@ class TokenizerWrapper:
                 tc = json.load(f)
             bos = _token_str(tc.get("bos_token"))
             eos = _token_str(tc.get("eos_token"))
-            chat_template = tc.get("chat_template")
-            if isinstance(chat_template, list):  # list of {name, template}
-                named = {t["name"]: t["template"] for t in chat_template}
-                chat_template = named.get("default") or next(iter(named.values()))
+            from mistralrs_tpu.chat_templates import resolve_named_template
+
+            chat_template = resolve_named_template(tc.get("chat_template"))
         # eos union with generation_config (ref chat_template.rs
         # calculate_eos_tokens :100-160)
         if eos is not None:

@@ -24,9 +24,14 @@ OPENAI_MEAN = (0.48145466, 0.4578275, 0.40821073)
 OPENAI_STD = (0.26862954, 0.26130258, 0.27577711)
 
 
-def decode_image(source: Any) -> Image.Image:
+def decode_image(source: Any, *, allow_local_files: bool = True) -> Image.Image:
     """PIL image | numpy | base64/data-url string -> PIL (ref
-    chat_completion.rs image fetch/base64 :153-338; no URL fetch here)."""
+    chat_completion.rs image fetch/base64 :153-338; no URL fetch here).
+
+    allow_local_files: local paths / file:// URLs are a Python-API
+    convenience only. The HTTP server decodes client images with
+    allow_local_files=False (server/openai.py) so a remote client cannot
+    read arbitrary server files by sending a path as image_url."""
     if isinstance(source, Image.Image):
         return source
     if isinstance(source, np.ndarray):
@@ -35,12 +40,21 @@ def decode_image(source: Any) -> Image.Image:
         return Image.open(io.BytesIO(source))
     if isinstance(source, str):
         if source.startswith("data:"):
-            source = source.split(",", 1)[1]
-        elif source.startswith("file://"):
+            return Image.open(io.BytesIO(base64.b64decode(source.split(",", 1)[1])))
+        if source.startswith("file://"):
+            if not allow_local_files:
+                raise ValueError("file:// image sources are not allowed here")
             return Image.open(source[len("file://"):])
-        elif os.path.exists(source):
+        if allow_local_files and os.path.exists(source):
             return Image.open(source)
-        return Image.open(io.BytesIO(base64.b64decode(source)))
+        try:
+            return Image.open(io.BytesIO(base64.b64decode(source, validate=True)))
+        except Exception as e:
+            raise ValueError(
+                "image source is neither a data: URL nor valid base64"
+                + ("" if allow_local_files else
+                   " (local file paths are not allowed over the API)")
+            ) from e
     raise ValueError(f"unsupported image source: {type(source)}")
 
 

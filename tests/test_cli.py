@@ -308,3 +308,42 @@ def test_cli_x_lora_gguf(tiny_gguf, tiny_ckpt, tmp_path):
     assert isinstance(runner.handle.engine.pipeline, XLoraPipeline)
     assert runner.adapter_names == ["g1"]
     _decodes(runner)
+
+
+def test_xlora_adapter_order_from_config(tiny_ckpt, peft_adapter, tmp_path):
+    """Multi-adapter X-LoRA dirs: classifier order comes from
+    xlora_config.json's 'adapters' mapping (training order), NOT the
+    alphabetical directory listing — scalings map to adapters by position."""
+    import shutil
+
+    from mistralrs_tpu.lora import discover_adapters
+
+    xdir = tmp_path / "xlora_multi"
+    (xdir / "adapters").mkdir(parents=True)
+    # directory order sorts [a_code, z_math]; training order is the reverse
+    shutil.copytree(peft_adapter, str(xdir / "adapters" / "a_code"))
+    shutil.copytree(peft_adapter, str(xdir / "adapters" / "z_math"))
+    (xdir / "xlora_config.json").write_text(json.dumps({
+        "hidden_size": 32,
+        "adapters": {"z_math": "adapters/z_math", "a_code": "adapters/a_code"},
+    }))
+    got = [p.rsplit("/", 1)[-1] for p in discover_adapters(str(xdir))]
+    assert got == ["z_math", "a_code"]
+
+
+def test_xlora_ambiguous_order_rejected(tiny_ckpt, peft_adapter, tmp_path):
+    """Two adapters, no config mapping, no --order: refuse instead of
+    silently guessing an order (ref model_selected.rs XLora requires the
+    ordering file)."""
+    import shutil
+
+    import pytest
+
+    xdir = tmp_path / "xlora_ambig"
+    (xdir / "adapters").mkdir(parents=True)
+    shutil.copytree(peft_adapter, str(xdir / "adapters" / "a1"))
+    shutil.copytree(peft_adapter, str(xdir / "adapters" / "a2"))
+    (xdir / "xlora_config.json").write_text(json.dumps({"hidden_size": 32}))
+    with pytest.raises(SystemExit, match="order"):
+        _parse_and_boot(["x-lora", "--model", tiny_ckpt, "--dtype", "f32",
+                         "--xlora-model-id", str(xdir)])

@@ -283,3 +283,48 @@ def test_driver_bench_q6k_perm_matches_packer():
         assert lin.meta == G
         np.testing.assert_array_equal(
             bench._q6k_perm(K, G), np.asarray(lin.data["perm"]))
+
+
+def test_toml_xlora(tiny_ckpt, tmp_path):
+    """xlora_model_id in the [model] table must build an XLoraPipeline
+    (was silently ignored — served the plain base model)."""
+    import json as _json
+    import shutil
+
+    import numpy as np
+    from safetensors.numpy import save_file
+
+    from mistralrs_tpu.lora.lora import LoraAdapter
+    from mistralrs_tpu.lora.peft import save_peft_adapter
+    from mistralrs_tpu.lora.xlora import XLoraPipeline
+    from mistralrs_tpu.toml_selector import runner_from_toml
+
+    rng = np.random.default_rng(5)
+    weights = {}
+    for layer in range(2):
+        for proj, (i, o) in (("q_proj", (32, 32)), ("v_proj", (32, 16))):
+            A = (rng.standard_normal((4, i)) * 0.02).astype(np.float32)
+            weights[f"{layer}.{proj}"] = (A, np.zeros((o, 4), np.float32))
+    xdir = tmp_path / "xlora"
+    (xdir / "adapters").mkdir(parents=True)
+    save_peft_adapter(str(xdir / "adapters" / "a1"),
+                      LoraAdapter(name="a1", r=4, alpha=8, weights=weights))
+    (xdir / "xlora_config.json").write_text(_json.dumps({
+        "hidden_size": 32, "xlora_depth": 1, "enable_softmax": True,
+    }))
+    save_file({
+        "last.weight": (rng.standard_normal((2, 32)) * 0.02).astype(np.float32),
+        "last.bias": np.zeros((2,), np.float32),
+    }, str(xdir / "xlora_classifier.safetensors"))
+
+    text = f'''
+[model]
+model_id = "{tiny_ckpt}"
+xlora_model_id = "{xdir}"
+'''
+    runner = runner_from_toml(text, pc=_pc(), dtype=jnp.float32, is_file=False)
+    try:
+        assert isinstance(runner.handle.engine.pipeline, XLoraPipeline)
+        assert runner.adapter_names == ["a1"]
+    finally:
+        runner.shutdown()

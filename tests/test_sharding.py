@@ -307,3 +307,27 @@ def test_sharded_lora_decode_matches_unsharded():
     got, _ = Engine(_pipe(cfg, lparams, mesh), eos_token_ids=set()).generate(
         prompt, SamplingParams(max_len=6))
     assert got == want
+
+
+def test_gptq_ragged_act_order_has_specs():
+    """A desc_act GPTQ checkpoint with RAGGED group sizes keeps g_idx in
+    Linear.data (quant/gptq.py ragged fallback); param_specs' spec dict must
+    cover it (crashed with KeyError 'g_idx' before)."""
+    from mistralrs_tpu.parallel.mesh import _lin_spec
+    from mistralrs_tpu.quant.gptq import gptq_linear_from_tensors
+
+    rng = np.random.default_rng(3)
+    in_f, out_f, bits = 64, 32, 4
+    # ragged groups: 48 rows in group 0, 16 in group 1
+    g_idx = np.array([0] * 48 + [1] * 16, np.int32)
+    qweight = rng.integers(0, 2**31 - 1, (in_f * bits // 32, out_f),
+                           dtype=np.int32)
+    qzeros = rng.integers(0, 2**31 - 1, (2, out_f * bits // 32), dtype=np.int32)
+    scales = (rng.standard_normal((2, out_f)) * 0.01).astype(np.float32)
+    lin = gptq_linear_from_tensors(qweight, qzeros, scales, g_idx, bits,
+                                   in_f, out_f)
+    assert "g_idx" in lin.data  # the ragged fallback this test is about
+    for col in (True, False):
+        spec = _lin_spec(lin.kind, col, stacked=True)
+        missing = [k for k in lin.data if k not in spec]
+        assert not missing, missing

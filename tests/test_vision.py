@@ -641,3 +641,32 @@ def test_phi3v_torch_oracle_parity(tmp_path):
     while eng.has_work:
         eng.step()
     assert g.seqs[0].generated_tokens == want
+
+
+def test_decode_image_rejects_local_paths_for_remote_clients(tmp_path):
+    """The HTTP server decodes client images with allow_local_files=False:
+    bare paths and file:// URLs must raise instead of reading server files."""
+    import base64
+    import io
+
+    import pytest
+    from PIL import Image
+
+    from mistralrs_tpu.vision.processor import decode_image
+
+    img = Image.new("RGB", (8, 8), (1, 2, 3))
+    p = tmp_path / "secret.png"
+    img.save(p)
+    # Python API convenience: local paths still work by default
+    assert decode_image(str(p)).size == (8, 8)
+    with pytest.raises(ValueError):
+        decode_image(str(p), allow_local_files=False)
+    with pytest.raises(ValueError):
+        decode_image("file://" + str(p), allow_local_files=False)
+    # data: URLs and raw base64 work in both modes
+    buf = io.BytesIO()
+    img.save(buf, format="PNG")
+    b64 = base64.b64encode(buf.getvalue()).decode()
+    assert decode_image(b64, allow_local_files=False).size == (8, 8)
+    assert decode_image("data:image/png;base64," + b64,
+                        allow_local_files=False).size == (8, 8)
