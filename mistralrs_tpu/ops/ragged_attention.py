@@ -1,0 +1,74 @@
+"""Unified ragged paged attention (vLLM-TPU kernel) — staged adoption.
+
+`jax.experimental.pallas.ops.tpu.ragged_paged_attention` serves mixed
+prefill + decode in ONE kernel over a combined KV-page pool
+([pages, page_size, 2*Hkv, D], K at even / V at odd head indices), with
+native sliding-window and softcap masking. Adopting it as the serving
+attention backend would collapse the prefill/continuation/decode dispatch
+zoo (models/decoder.py) into one call — the reference's paged_attention
+v1/v2 + prefill split (SURVEY §2.2) unified.
+
+Stage 1 (this module): shape/convention adapters from this repo's layouts
+to the kernel's, semantic parity tests of the kernel's reference
+implementation against ops/attention.sdpa (window edge, softcap order,
+GQA), an on-chip kernel test, and a hardware A/B vs the current decode
+paths (scripts/ragged_ab.py). Stage 2 (only if the A/B wins): a "combined"
+PagedKVCache layout and the engine flattening (cu_q_lens) plumbing.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def combine_kv(k_hm: jax.Array, v_hm: jax.Array) -> jax.Array:
+    """Head-major per-layer pools [Hkv, P, page, D] -> combined kernel pool
+    [P, page, 2*Hkv, D] (K even / V odd). A materializing transpose — stage-1
+    test/bench helper only; stage 2 stores the pool in this layout."""
+    k = k_hm.transpose(1, 2, 0, 3)  # [P, page, Hkv, D]
+    v = v_hm.transpose(1, 2, 0, 3)
+    P, page, Hkv, D = k.shape
+    return jnp.stack([k, v], axis=3).reshape(P, page, 2 * Hkv, D)
+
+
+def flatten_queries(q: jax.Array, q_lens: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Padded per-seq queries [B, T, Hq, D] + per-seq valid lengths [B] ->
+    (flat [B*T, Hq, D], cu_q_lens [B+1]) in the kernel's packed convention.
+
+    The kernel reads rows [cu[i], cu[i+1]) per sequence; padding rows must
+    therefore be squeezed out, not masked: rows are stably partitioned so
+    each sequence's valid rows are contiguous in order."""
+    B, T, Hq, D = q.shape
+    valid = (jnp.arange(T)[None, :] < q_lens[:, None]).reshape(-1)  # [B*T]
+    # stable partition: valid rows first, in order (invalid rows gather row 0
+    # into the tail, past every cu_q_lens span — the kernel never reads them)
+    idx = jnp.nonzero(valid, size=B * T, fill_value=0)[0]
+    out = q.reshape(B * T, Hq, D)[idx]
+    cu = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                          jnp.cumsum(q_lens.astype(jnp.int32))])
+    return out, cu
+
+
+def ragged_attention(
+    q_flat: jax.Array,  # [total_tokens, Hq, D]
+    kv_pages: jax.Array,  # [P, page, 2*Hkv, D]
+    kv_lens: jax.Array,  # i32 [B]
+    page_indices: jax.Array,  # i32 [B, pages_per_seq]
+    cu_q_lens: jax.Array,  # i32 [B+1]
+    num_seqs: jax.Array,  # i32 [1]
+    *,
+    scale: float,
+    sliding_window: int | None = None,
+    logits_softcap: float | None = None,
+) -> jax.Array:
+    """The kernel call (TPU only — no interpret mode upstream)."""
+    from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+        ragged_paged_attention,
+    )
+
+    return ragged_paged_attention(
+        q_flat, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
+        sm_scale=scale, sliding_window=sliding_window,
+        soft_cap=logits_softcap,
+    )

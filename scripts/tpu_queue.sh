@@ -34,4 +34,7 @@ timeout 580 python -u scripts/dequant_ab.py 2>&1 | tee "$OUT/dequant_ab.log"
 echo "== splash windowed/softcapped prefill A/B =="
 timeout 580 python -u scripts/splash_ab.py 2>&1 | tee "$OUT/splash_ab.log"
 
+echo "== unified ragged-paged-attention decode A/B =="
+timeout 580 python -u scripts/ragged_ab.py 2>&1 | tee "$OUT/ragged_ab.log"
+
 echo "== done; inspect $OUT =="

@@ -207,3 +207,49 @@ def test_splash_prefill_on_chip():
             attn_ops.sdpa(q, k, v, scale=scale, mask=bias,
                           logits_softcap=softcap), np.float32)
         np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-2)
+
+
+def test_ragged_kernel_on_chip():
+    """The unified ragged-paged-attention kernel must lower on this
+    toolchain and match its reference implementation on a mixed
+    prefill+decode batch with window and softcap. Passing green-lights
+    stage 2 of the adoption plan (ops/ragged_attention.py docstring)."""
+    import jax.numpy as jnp
+
+    from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+        ref_ragged_paged_attention,
+    )
+
+    from mistralrs_tpu.ops.ragged_attention import (
+        combine_kv, flatten_queries, ragged_attention,
+    )
+
+    rng = np.random.default_rng(23)
+    Hq, Hkv, D, page, P = 8, 2, 128, 16, 128
+    q_lens = [1, 128, 16, 1]
+    kv_lens = [512, 128, 640, 64]
+    B = len(q_lens)
+    pages_per_seq = max(-(-kv // page) for kv in kv_lens)
+    T = max(q_lens)
+    k_hm = jnp.asarray(rng.standard_normal((Hkv, P, page, D)), jnp.bfloat16)
+    v_hm = jnp.asarray(rng.standard_normal((Hkv, P, page, D)), jnp.bfloat16)
+    tables = np.zeros((B, pages_per_seq), np.int32)
+    nxt = 1
+    for i, kv in enumerate(kv_lens):
+        n = -(-kv // page)
+        tables[i, :n] = np.arange(nxt, nxt + n)
+        nxt += n
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, D)), jnp.bfloat16)
+    q_flat, cu = flatten_queries(q, jnp.asarray(q_lens, jnp.int32))
+    q_flat = q_flat[: sum(q_lens)]
+    pool = combine_kv(k_hm, v_hm)
+    args = (q_flat, pool, jnp.asarray(kv_lens, jnp.int32),
+            jnp.asarray(tables), cu, jnp.asarray([B], jnp.int32))
+    for window, cap in [(None, None), (256, 50.0)]:
+        got = np.asarray(ragged_attention(
+            *args, scale=D**-0.5, sliding_window=window, logits_softcap=cap),
+            np.float32)
+        want = np.asarray(ref_ragged_paged_attention(
+            *args, sm_scale=D**-0.5, sliding_window=window, soft_cap=cap),
+            np.float32)
+        np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
