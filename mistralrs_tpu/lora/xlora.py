@@ -158,6 +158,7 @@ class XLoraPipeline(TextPipeline):
         self.cache2 = PagedKVCache.create(
             cfg.num_layers, pc.num_pages, pc.page_size, cfg.num_kv_heads,
             cfg.head_dim, pc.dtype, head_major=self.head_major,
+            quant=pc.kv_quant,
         )
         if mesh is not None:
             from mistralrs_tpu.parallel.mesh import shard_cache

@@ -277,9 +277,19 @@ def _attention(
     scale = cfg.query_scale if cfg.query_scale is not None else D**-0.5
     if isinstance(meta, PagedAttnMeta):
         hm = meta.head_major
-        cache_k, cache_v = write_paged_kv(
-            cache_k, cache_v, k, v, meta.slot_mapping, head_major=hm
-        )
+        # int8-quantized pools arrive as (payload, scale) tuples (see
+        # PagedKVCache.quantized / decoder_forward's scan xs)
+        kv_quant = isinstance(cache_k, tuple)
+        if kv_quant:
+            from mistralrs_tpu.ops.paged_attention import write_paged_kv_q
+
+            cache_k, cache_v = write_paged_kv_q(
+                cache_k, cache_v, k, v, meta.slot_mapping, head_major=hm
+            )
+        else:
+            cache_k, cache_v = write_paged_kv(
+                cache_k, cache_v, k, v, meta.slot_mapping, head_major=hm
+            )
         if _use_ring_prefill(cfg, T, meta):
             from mistralrs_tpu.parallel.ring_attention import ring_attention
 
@@ -342,13 +352,16 @@ def _attention(
             return out, cache_k, cache_v
         # a sequence can never exceed its block-table span; if that span fits
         # inside the sliding window, length masking alone is exact
-        page = cache_k.shape[2] if hm else cache_k.shape[1]
+        pool_k = cache_k[0] if kv_quant else cache_k
+        page = pool_k.shape[2] if hm else pool_k.shape[1]
         window_ok = (
             cfg.sliding_window is not None
             and meta.block_tables.shape[1] * page <= cfg.sliding_window
         )
         span = meta.block_tables.shape[1] * page
-        if hm and _use_paged_decode_kernel(cfg, T, window_ok, span):
+        # the Pallas decode/continuation kernels stream bf16 pools; int8
+        # pools take the gather+dequant+SDPA path below
+        if hm and not kv_quant and _use_paged_decode_kernel(cfg, T, window_ok, span):
             # fused block-table decode: streams only the named pages
             # (ref paged_attention v1/v2 CUDA kernels)
             out = paged_decode_attention(
@@ -357,14 +370,14 @@ def _attention(
             )
             out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
             return out, cache_k, cache_v
-        if _use_flash_continuation(cfg, T, meta, span):
+        if not kv_quant and _use_flash_continuation(cfg, T, meta, span):
             from mistralrs_tpu.ops.paged_attention import flash_prefill_continuation
 
             out = flash_prefill_continuation(q, cache_k, cache_v, meta, scale=scale)
             out = out * meta.active[:, None, None, None].astype(out.dtype)
             out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
             return out, cache_k, cache_v
-        if _use_blockwise_continuation(cfg, T, meta, span):
+        if not kv_quant and _use_blockwise_continuation(cfg, T, meta, span):
             from mistralrs_tpu.ops.paged_attention import blockwise_prefill_continuation
 
             out = blockwise_prefill_continuation(
@@ -382,9 +395,17 @@ def _attention(
             out = out * meta.active[:, None, None, None].astype(out.dtype)
             out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
             return out, cache_k, cache_v
-        ctx_k, ctx_v = gather_paged_kv(
-            cache_k, cache_v, meta.block_tables, head_major=hm
-        )
+        if kv_quant:
+            from mistralrs_tpu.ops.paged_attention import gather_paged_kv_q
+
+            ctx_k, ctx_v = gather_paged_kv_q(
+                cache_k, cache_v, meta.block_tables, head_major=hm,
+                dtype=q.dtype,
+            )
+        else:
+            ctx_k, ctx_v = gather_paged_kv(
+                cache_k, cache_v, meta.block_tables, head_major=hm
+            )
         paged_attn = attn_ops.sdpa_head_major if hm else attn_ops.sdpa
         out = paged_attn(
             q, ctx_k.astype(q.dtype), ctx_v.astype(q.dtype),
@@ -556,26 +577,35 @@ def decoder_forward(
         )
         return h, (ck, cv)
 
+    kv_quant = getattr(cache, "quantized", False)
     new_k_parts, new_v_parts = [], []
     offset = 0
     for gparams, size in zip(params.layer_groups, params.group_sizes):
-        xs = (
-            gparams,
-            jax.lax.slice_in_dim(cache.k, offset, offset + size, axis=0),
-            jax.lax.slice_in_dim(cache.v, offset, offset + size, axis=0),
-            jax.lax.slice_in_dim(window_flags, offset, offset + size, axis=0),
-        )
+        sl = lambda a: jax.lax.slice_in_dim(a, offset, offset + size, axis=0)
+        if kv_quant:
+            # int8 pools travel the scan as (payload, scale) leaf tuples
+            ck, cv = (sl(cache.k), sl(cache.k_scale)), (sl(cache.v), sl(cache.v_scale))
+        else:
+            ck, cv = sl(cache.k), sl(cache.v)
+        xs = (gparams, ck, cv, sl(window_flags))
         if sc_all is not None:
-            xs = xs + (jax.lax.slice_in_dim(sc_all, offset, offset + size, axis=0),)
+            xs = xs + (sl(sc_all),)
         h, (nk, nv) = jax.lax.scan(scan_body, h, xs)
         new_k_parts.append(nk)
         new_v_parts.append(nv)
         offset += size
-    new_k = new_k_parts[0] if len(new_k_parts) == 1 else jnp.concatenate(new_k_parts, axis=0)
-    new_v = new_v_parts[0] if len(new_v_parts) == 1 else jnp.concatenate(new_v_parts, axis=0)
+    def cat(parts):
+        return parts[0] if len(parts) == 1 else jax.tree.map(
+            lambda *xs: jnp.concatenate(xs, axis=0), *parts)
+    new_k = cat(new_k_parts)
+    new_v = cat(new_v_parts)
     h = _norm(cfg, params.final_norm, h)
     if hasattr(cache, "head_major"):  # paged pool: preserve the layout flag
-        new_cache = type(cache)(k=new_k, v=new_v, head_major=cache.head_major)
+        if kv_quant:
+            new_cache = type(cache)(k=new_k[0], v=new_v[0], k_scale=new_k[1],
+                                    v_scale=new_v[1], head_major=cache.head_major)
+        else:
+            new_cache = type(cache)(k=new_k, v=new_v, head_major=cache.head_major)
     else:
         new_cache = type(cache)(k=new_k, v=new_v)
     return h, new_cache

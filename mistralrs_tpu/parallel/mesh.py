@@ -177,7 +177,17 @@ def cache_spec(head_major: bool = True) -> P:
 
 
 def shard_cache(cache, mesh: Mesh):
-    ns = NamedSharding(mesh, cache_spec(getattr(cache, "head_major", True)))
+    hm = getattr(cache, "head_major", True)
+    ns = NamedSharding(mesh, cache_spec(hm))
+    if getattr(cache, "quantized", False):
+        # int8 pools: scales drop the trailing D axis, same head-axis shard
+        sspec = P(None, "tp", None, None) if hm else P(None, None, None, "tp")
+        sns = NamedSharding(mesh, sspec)
+        return type(cache)(k=jax.device_put(cache.k, ns),
+                           v=jax.device_put(cache.v, ns),
+                           k_scale=jax.device_put(cache.k_scale, sns),
+                           v_scale=jax.device_put(cache.v_scale, sns),
+                           head_major=hm)
     return type(cache)(k=jax.device_put(cache.k, ns),
                        v=jax.device_put(cache.v, ns),
-                       head_major=getattr(cache, "head_major", True))
+                       head_major=hm)

@@ -54,6 +54,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-pages", type=int, default=None, help="override number of KV pages")
     p.add_argument("--kv-mem-fraction", type=float, default=0.9,
                    help="fraction of free HBM for KV pages (ref: 90%% default)")
+    p.add_argument("--kv-quant", action="store_true",
+                   help="int8 KV cache (per-slot scales): ~2x pages in the "
+                        "same HBM, ~half the KV stream at long context")
     p.add_argument("--prefill-chunk", type=int, default=512)
     p.add_argument("--chat-template", default=None,
                    help="override/fallback chat template: a bundled name "
@@ -226,6 +229,7 @@ def main(argv=None):
         prefill_buckets=tuple(
             b for b in (16, 64, 256, 512, 1024, 2048) if b <= args.prefill_chunk
         ) or (args.prefill_chunk,),
+        kv_quant=args.kv_quant,
     )
     mesh = None
     if args.tp or args.dp > 1 or args.sp > 1:

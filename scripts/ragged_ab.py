@@ -82,6 +82,27 @@ def main():
         def decode_kernel(qq):
             return paged_decode_attention(qq, k_hm, v_hm, meta, scale=scale)
 
+        # 2b. int8-quantized pools through the same gather+SDPA path
+        # (kv_quant=True serving): half the KV bytes streamed per step
+        from mistralrs_tpu.ops.paged_attention import gather_paged_kv_q
+
+        k_q8 = (k_hm * 10).astype(jnp.int8)
+        v_q8 = (v_hm * 10).astype(jnp.int8)
+        ks8 = jnp.full(k_hm.shape[:-1], 0.1, jnp.float32)
+        vs8 = jnp.full(v_hm.shape[:-1], 0.1, jnp.float32)
+
+        def gather_sdpa_int8(qq):
+            ctx_k, ctx_v = gather_paged_kv_q(
+                (k_q8, ks8), (v_q8, vs8), jnp.asarray(tables),
+                head_major=True, dtype=qq.dtype)
+            bias = attn_ops.causal_mask_bias(
+                1, span, q_offsets=jnp.asarray(kv_lens) - 1)
+            pad = jnp.where(jnp.arange(span)[None] < jnp.asarray(kv_lens)[:, None],
+                            0.0, attn_ops.NEG_INF)
+            return attn_ops.sdpa_head_major(
+                qq, ctx_k, ctx_v, scale=scale,
+                mask=bias + pad[:, None, None, :])
+
         # 3. ragged kernel (decode: q_len 1 per seq)
         pool = combine_kv(k_hm, v_hm)
         cu = jnp.arange(B + 1, dtype=jnp.int32)
@@ -93,6 +114,7 @@ def main():
                 scale=scale)
 
         for name, fn in [("gather+sdpa", gather_sdpa),
+                         ("gather+sdpa int8KV", gather_sdpa_int8),
                          ("paged decode kernel", decode_kernel),
                          ("ragged kernel", ragged)]:
             try:
