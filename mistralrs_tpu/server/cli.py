@@ -10,6 +10,7 @@ toml, with ISQ / paged-KV / scheduler knobs.
 from __future__ import annotations
 
 import argparse
+import os
 
 
 def _add_adapter_args(sp, xlora: bool):
@@ -57,6 +58,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (per-slot scales): ~2x pages in the "
                         "same HBM, ~half the KV stream at long context")
+    p.add_argument("--compilation-cache-dir",
+                   default=os.environ.get("MISTRALRS_COMPILE_CACHE"),
+                   help="persist XLA compilations across restarts (first "
+                        "TPU compile is 20-40s; reboots become instant)")
     p.add_argument("--prefill-chunk", type=int, default=512)
     p.add_argument("--chat-template", default=None,
                    help="override/fallback chat template: a bundled name "
@@ -214,6 +219,13 @@ def main(argv=None):
     from mistralrs_tpu.utils.debug import initialize_logging
 
     initialize_logging()
+    if args.compilation_cache_dir:
+        # persistent XLA compile cache: serve-time step functions reload in
+        # ms instead of the 20-40s first-compile on engine reboot/restart
+        import jax
+
+        jax.config.update("jax_compilation_cache_dir", args.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     # tgt_non_granular_index makes the max running sequences 1
     # (ref model_selected.rs:72 doc)
     if getattr(args, "tgt_non_granular_index", None) is not None:
