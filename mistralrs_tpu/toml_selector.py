@@ -159,11 +159,20 @@ def runner_from_toml(path_or_text: str, pc=None, dtype=None, mesh=None,
 
     if "speculative" in doc:
         sp = doc["speculative"]
-        dcfg, dparams, drope, _ = _load_base(sp["draft_model"], pc, dtype, mesh)
-        from mistralrs_tpu.pipeline.speculative import SpeculativePipeline
+        if sp.get("draft_model") in ("prompt-lookup", "ngram") or not sp.get("draft_model"):
+            # draftless n-gram speculative decoding (no reference equivalent)
+            from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
 
-        draft = TextPipeline(dcfg, dparams, drope, pc, mesh=mesh)
-        pipe = SpeculativePipeline(pipe, draft, gamma=int(sp.get("gamma", 4)))
+            pipe = PromptLookupPipeline(
+                pipe, gamma=int(sp.get("gamma", 4)),
+                ngram_max=int(sp.get("ngram_max", 3)),
+                ngram_min=int(sp.get("ngram_min", 1)))
+        else:
+            dcfg, dparams, drope, _ = _load_base(sp["draft_model"], pc, dtype, mesh)
+            from mistralrs_tpu.pipeline.speculative import SpeculativePipeline
+
+            draft = TextPipeline(dcfg, dparams, drope, pc, mesh=mesh)
+            pipe = SpeculativePipeline(pipe, draft, gamma=int(sp.get("gamma", 4)))
 
     engine = Engine(
         pipe,

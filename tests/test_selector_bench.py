@@ -281,8 +281,11 @@ def test_driver_bench_q6k_perm_matches_packer():
         lin = linear_from_gguf(kquants.quantize(w, GGMLType.Q6_K), GGMLType.Q6_K, (O, K))
         G = q6k_chunk_size(K)
         assert lin.meta == G
+        # bench builds its synthetic q6k Linears from the SAME shared helper
+        # the packer uses (gguf_linear.q6k_perm) — one layout definition
+        blin = bench._random_q6k_linear(np.random.default_rng(0), K, O, None)
         np.testing.assert_array_equal(
-            bench._q6k_perm(K, G), np.asarray(lin.data["perm"]))
+            np.asarray(blin.data["perm"]), np.asarray(lin.data["perm"]))
 
 
 def test_toml_xlora(tiny_ckpt, tmp_path):

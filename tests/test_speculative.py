@@ -198,3 +198,67 @@ def test_speculative_per_request_seed_determinism(models):
     eng.generate([9, 10], SamplingParams(temperature=1.0, max_len=5))  # churn
     b, _ = eng.generate(list(prompt), sp)
     assert a == b
+
+
+# ------------------------- prompt-lookup (n-gram) speculative decoding
+
+
+def _pld_engine(models, gamma, **kw):
+    from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
+
+    tcfg, tparams, _, _, _ = models
+    return Engine(
+        PromptLookupPipeline(_pipe(tcfg, tparams), gamma=gamma, **kw),
+        eos_token_ids=set())
+
+
+def test_propose_finds_recent_ngram():
+    from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
+
+    p = object.__new__(PromptLookupPipeline)
+    p.ngram_max, p.ngram_min = 3, 1
+    #        0  1  2  3  4  5  6  7
+    toks = [10, 11, 12, 13, 20, 10, 11, 12]
+    # suffix [11, 12] (n=3: [10,11,12] at 0 -> follows 13, 20...)
+    assert p._propose(toks, 2) == [13, 20]
+    # no match anywhere -> nothing proposed
+    assert p._propose([1, 2, 3], 2) == []
+    # unigram fallback: suffix [5] matched at 0, proposes what followed
+    assert p._propose([5, 7, 5], 2) == [7, 5]
+
+
+@pytest.mark.parametrize("gamma", [2, 4])
+def test_greedy_prompt_lookup_matches_plain(models, gamma):
+    """The PLD invariant: greedy output identical to the target alone,
+    whatever the proposals were."""
+    prompt = [3, 4, 5, 6, 3, 4, 5, 6, 3, 4]  # repetitive -> real proposals
+    want, _ = _plain_engine(models).generate(prompt, SamplingParams(max_len=24))
+    eng = _pld_engine(models, gamma)
+    got, _ = eng.generate(prompt, SamplingParams(max_len=24))
+    assert got == want
+
+
+def test_prompt_lookup_accepts_on_repetitive_text(models):
+    """On a looping sequence the n-gram draft must actually accept spans
+    (otherwise PLD is dead weight)."""
+    tcfg, tparams, tmodel, _, _ = models
+    # make the model's own greedy continuation the proposal source: feed a
+    # prompt that the tiny model continues repetitively; measure acceptance
+    prompt = [7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8]
+    eng = _pld_engine(models, gamma=4)
+    req = GenerationRequest(list(prompt), SamplingParams(max_len=30))
+    group = eng.add_request(req)
+    while not group.all_done():
+        eng.step()
+    seq = group.seqs[0]
+    assert seq.spec_proposed > 0  # n-gram matches existed
+    # acceptance is model-dependent; just require the machinery counted
+    assert 0 <= seq.spec_accepted <= seq.spec_proposed
+
+
+def test_stochastic_prompt_lookup_runs(models):
+    eng = _pld_engine(models, gamma=3)
+    toks, _ = eng.generate(
+        [3, 4, 5, 3, 4, 5, 3, 4], SamplingParams(max_len=16, temperature=0.8,
+                                                 top_k=40, seed=7))
+    assert len(toks) == 16
