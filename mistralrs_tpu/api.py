@@ -98,7 +98,8 @@ class Runner:
     def __init__(self, model_path: str, *, dtype: Any = None, isq: str | None = None,
                  topology: str | None = None, pipeline_config: Any = None, mesh: Any = None,
                  adapters: list[str] | None = None, ordering: str | None = None,
-                 xlora_path: str | None = None, token_source: str = "cache"):
+                 xlora_path: str | None = None, token_source: str = "cache",
+                 prompt_lookup_gamma: int | None = None):
         """adapters: PEFT adapter dirs to preload (LoRA); ordering: JSON
         ordering file fixing adapter stack order (ref lora/mod.rs Ordering);
         xlora_path: X-LoRA dir with xlora_config.json + classifier weights;
@@ -144,6 +145,11 @@ class Runner:
                                  n_adapters=len(self.adapter_names), mesh=mesh)
         else:
             pipe = TextPipeline(cfg, params, rope, pc, mesh=mesh)
+        if prompt_lookup_gamma:
+            # draftless n-gram speculative decoding (pipeline/speculative.py)
+            from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
+
+            pipe = PromptLookupPipeline(pipe, gamma=prompt_lookup_gamma)
         engine = Engine(
             pipe,
             eos_token_ids=self.tokenizer.eos_token_ids,
@@ -172,7 +178,8 @@ class Runner:
     @classmethod
     def from_parts(cls, cfg, params, rope, tokenizer, pc=None, mesh=None,
                    adapters: list[str] | None = None, ordering: str | None = None,
-                   xlora_path: str | None = None, dtype=None) -> "Runner":
+                   xlora_path: str | None = None, dtype=None,
+                   prompt_lookup_gamma: int | None = None) -> "Runner":
         """Assemble from already-loaded pieces (GGUF/GGML path, tests).
 
         adapters/ordering/xlora_path mirror __init__ — LoRA and X-LoRA wrap
@@ -211,6 +218,10 @@ class Runner:
                                  xcfg=xcfg, n_adapters=len(names), mesh=mesh)
         else:
             pipe = TextPipeline(cfg, params, rope, pc, mesh=mesh)
+        if prompt_lookup_gamma:
+            from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
+
+            pipe = PromptLookupPipeline(pipe, gamma=prompt_lookup_gamma)
         engine = Engine(
             pipe,
             eos_token_ids=tokenizer.eos_token_ids if tokenizer else set(),

@@ -58,6 +58,9 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (per-slot scales): ~2x pages in the "
                         "same HBM, ~half the KV stream at long context")
+    p.add_argument("--prompt-lookup-gamma", type=int, default=None,
+                   help="enable draftless n-gram speculative decoding with "
+                        "this many proposed tokens per step")
     p.add_argument("--compilation-cache-dir",
                    default=os.environ.get("MISTRALRS_COMPILE_CACHE"),
                    help="persist XLA compilations across restarts (first "
@@ -174,6 +177,7 @@ def runner_from_args(args, pc, mesh):
             args.model, dtype=dtype, isq=args.isq, topology=args.topology,
             pipeline_config=pc, mesh=mesh, token_source=args.token_source,
             adapters=adapters, ordering=ordering, xlora_path=xlora_path,
+            prompt_lookup_gamma=args.prompt_lookup_gamma,
         )
         return runner, args.model
     if which in ("gguf", "lora-gguf", "x-lora-gguf"):
@@ -186,6 +190,7 @@ def runner_from_args(args, pc, mesh):
         runner = Runner.from_parts(
             cfg, params, rope, tokenizer, pc=pc, mesh=mesh,
             adapters=adapters, ordering=ordering, xlora_path=xlora_path,
+            prompt_lookup_gamma=args.prompt_lookup_gamma,
         )
         return runner, args.model[0]
     if which in ("ggml", "lora-ggml", "x-lora-ggml"):
@@ -197,6 +202,7 @@ def runner_from_args(args, pc, mesh):
         runner = Runner.from_parts(
             cfg, params, rope, tokenizer, pc=pc, mesh=mesh,
             adapters=adapters, ordering=ordering, xlora_path=xlora_path,
+            prompt_lookup_gamma=args.prompt_lookup_gamma,
         )
         return runner, args.model
     if which == "vision-plain":

@@ -347,3 +347,15 @@ def test_xlora_ambiguous_order_rejected(tiny_ckpt, peft_adapter, tmp_path):
     with pytest.raises(SystemExit, match="order"):
         _parse_and_boot(["x-lora", "--model", tiny_ckpt, "--dtype", "f32",
                          "--xlora-model-id", str(xdir)])
+
+
+def test_cli_prompt_lookup(tiny_ckpt):
+    """--prompt-lookup-gamma wraps the pipeline in draftless n-gram
+    speculative decoding."""
+    from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
+
+    runner, _ = _parse_and_boot(
+        ["--prompt-lookup-gamma", "4", "plain", "--model", tiny_ckpt,
+         "--dtype", "f32"])
+    assert isinstance(runner.handle.engine.pipeline, PromptLookupPipeline)
+    _decodes(runner)
