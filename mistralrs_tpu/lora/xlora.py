@@ -284,8 +284,46 @@ class XLoraPipeline(TextPipeline):
         for attr in ("cache", "cache2"):
             setattr(self, attr, copy_pages(getattr(self, attr), src, dst))
 
-    def run_span(self, *a, **kw):
-        raise NotImplementedError(
-            "speculative decoding over X-LoRA pipelines is not supported "
-            "(the reference nests neither)"
+    def _build_verify_fn(self):
+        """All-positions dual-pass forward: the X-LoRA target's speculative
+        verify (scaling pass on cache2, then the real pass), returning
+        logits at every fed position (ref speculative.rs target step over an
+        XLora pipeline; TextPipeline._build_verify_fn is the plain case)."""
+        cfg, rope, xcfg, n = self.cfg, self.rope, self.xcfg, self.n_adapters
+        L = cfg.num_layers
+        hm = self.head_major
+
+        @functools.partial(jax.jit, donate_argnums=(2, 3))
+        def verify(params, clf, cache, cache2, ids, positions, slot_mapping,
+                   block_tables, kv_lens, active):
+            meta = PagedAttnMeta(
+                positions=positions, slot_mapping=slot_mapping,
+                block_tables=block_tables, kv_lens=kv_lens, active=active,
+                head_major=hm,
+            )
+            B, W = ids.shape
+            dummy = jnp.full((B, W, L, n), xcfg.scaling_pass_value, jnp.float32)
+            h1, cache2 = decoder_forward(
+                params, cfg, rope, ids, cache2, meta, xlora_scalings=dummy
+            )
+            scal = classifier_forward(clf, xcfg, h1, L, n)
+            h, cache = decoder_forward(
+                params, cfg, rope, ids, cache, meta, xlora_scalings=scal
+            )
+            logits = compute_logits(params, cfg, h)  # [B, W, V] f32
+            top = jnp.argmax(logits, axis=-1)
+            chosen = jnp.take_along_axis(logits, top[..., None], axis=-1)[..., 0]
+            return logits, jnp.stack([top.astype(jnp.float32), chosen]), cache, cache2
+
+        return verify
+
+    def _verify(self, ids, positions, slot_mapping, block_tables, kv_lens,
+                active):
+        if self._verify_fn is None:
+            self._verify_fn = self._build_verify_fn()
+        logits, pack, self.cache, self.cache2 = self._verify_fn(
+            self.params, self.clf, self.cache, self.cache2,
+            jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(slot_mapping),
+            jnp.asarray(block_tables), jnp.asarray(kv_lens), jnp.asarray(active),
         )
+        return logits, pack

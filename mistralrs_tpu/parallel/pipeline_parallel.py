@@ -242,6 +242,11 @@ class PPTextPipeline:
             ),
             group_sizes=params.group_sizes,
         )
+        if pc.kv_quant:
+            # the stage-sharded step rebuilds the cache without scale leaves
+            # (pp_decoder_forward) — refuse rather than silently serve bf16
+            raise NotImplementedError(
+                "kv_quant is not supported with pipeline parallelism yet")
         cache = PagedKVCache.create(
             cfg.num_layers, pc.num_pages, pc.page_size, cfg.num_kv_heads,
             cfg.head_dim, pc.dtype, head_major=self.head_major,

@@ -131,13 +131,20 @@ class SpeculativePipeline:
             for i in live:
                 seqs[i].spec_proposed += len(proposals[i])
 
-        # ---- 2. target verify over [last_token, d_0..d_{gi-1}] -----------
+        return self._verify_and_accept(seqs, tables, proposals, qdists, gis,
+                                       rng_for, greedy, update_draft=True)
+
+    def _verify_and_accept(self, seqs, tables, proposals, qdists, gis,
+                           rng_for, greedy, update_draft):
+        """Steps 2-3 of the speculative step, shared with the draftless
+        prompt-lookup variant: one target verify pass over
+        [last_token, d_0..d_{gi-1}] then acceptance + kv_len rewind."""
+        g = self.gamma
         rows = []
         for i, s in enumerate(seqs):
             rows.append(([s.tokens[-1]] + proposals[i], s.kv_len, tables[i]))
         out = self.target.run_span(rows, g + 1, all_positions=True, greedy=greedy)
 
-        # ---- 3. accept / resample ----------------------------------------
         results: list[list[Logprobs]] = []
         for i, s in enumerate(seqs):
             L = len(s.tokens)
@@ -159,7 +166,7 @@ class SpeculativePipeline:
                 emitted, a = self._reject_sample(s, logits, proposals[i], qdists[i], gi, rng_for(s))
             s.spec_accepted += a
             s.kv_len = L + a  # rollback = counter rewind (ref :489-530)
-            if gi > 0:
+            if update_draft and gi > 0:
                 # draft cache holds entries through position L+gi-2; keep only
                 # the prefix consistent with the accepted tokens
                 s.draft_kv_len = min(L + a, L + gi - 1)
@@ -254,6 +261,9 @@ class PromptLookupPipeline(SpeculativePipeline):
     as a point mass (q = one-hot) exactly like a greedy model draft.
     """
 
+    # the target's prefill fast paths survive intact (no draft shadowing)
+    supports_batched_prefill = True
+
     def __init__(self, target: TextPipeline, gamma: int = 4,
                  ngram_max: int = 3, ngram_min: int = 1):
         self.target = target
@@ -271,26 +281,32 @@ class PromptLookupPipeline(SpeculativePipeline):
     def run_prefill_chunk(self, seq: Sequence, chunk: list[int], greedy: bool = False):
         return self.target.run_prefill_chunk(seq, chunk, greedy=greedy)
 
+    def run_prefill_chunks(self, items) -> None:
+        return self.target.run_prefill_chunks(items)
+
     def _propose(self, tokens: list[int], gi: int) -> list[int]:
-        """Longest-suffix n-gram match: scan n = ngram_max..ngram_min for the
-        most recent earlier occurrence of tokens[-n:]; propose up to gi
-        tokens that followed it."""
+        """Longest-suffix n-gram match: for n = ngram_max..ngram_min, find
+        the most recent earlier occurrence of tokens[-n:] and propose up to
+        gi tokens that followed it. Vectorized over the history (O(n*L) in
+        C, not Python) so 100k-token contexts stay sub-ms."""
         L = len(tokens)
+        arr = np.asarray(tokens, dtype=np.int64)
         for n in range(min(self.ngram_max, L - 1), self.ngram_min - 1, -1):
-            suffix = tokens[L - n :]
-            # most recent occurrence strictly before the suffix itself
-            for start in range(L - n - 1, -1, -1):
-                if tokens[start : start + n] == suffix:
-                    cont = tokens[start + n : start + n + gi]
-                    if cont:
-                        return cont
-                    break  # matched but nothing follows; try shorter n
+            suffix = arr[L - n :]
+            # candidate starts 0..L-n-1 (excludes the suffix's own position);
+            # every match has >= 1 following token by construction
+            ok = arr[0 : L - n] == suffix[0]
+            for j in range(1, n):
+                ok &= arr[j : j + L - n] == suffix[j]
+            idx = np.nonzero(ok)[0]
+            if idx.size:
+                start = int(idx[-1])  # most recent occurrence
+                return tokens[start + n : start + n + gi]
         return []
 
     def speculative_step(
         self, seqs: list[Sequence], rng_for, greedy: bool
     ) -> list[list[Logprobs]]:
-        g = self.gamma
         tables = [self.target._tables_row(s) for s in seqs]
         gis = [self._effective_gamma(s) for s in seqs]
         for s in seqs:
@@ -304,34 +320,7 @@ class PromptLookupPipeline(SpeculativePipeline):
             proposals.append(props)
             s.spec_proposed += len(props)
 
-        # ---- 2. target verify over [last_token, d_0..d_{gi-1}] -----------
-        rows = []
-        for i, s in enumerate(seqs):
-            rows.append(([s.tokens[-1]] + proposals[i], s.kv_len, tables[i]))
-        out = self.target.run_span(rows, g + 1, all_positions=True, greedy=greedy)
-
-        # ---- 3. accept / resample (inherited acceptance math) ------------
-        results: list[list[Logprobs]] = []
-        for i, s in enumerate(seqs):
-            L = len(s.tokens)
-            gi = gis[i]
-            if greedy:
-                toks = out[0, i].astype(np.int64)
-                vals = out[1, i]
-                emitted = []
-                for j in range(gi):
-                    tok = int(toks[j])
-                    emitted.append(Logprobs(token=tok, logprob=float(vals[j])))
-                    if tok != proposals[i][j]:
-                        break
-                else:
-                    emitted.append(Logprobs(token=int(toks[gi]), logprob=float(vals[gi])))
-                a = len(emitted) - 1
-            else:
-                logits = out[i]
-                emitted, a = self._reject_sample(
-                    s, logits, proposals[i], [None] * gi, gi, rng_for(s))
-            s.spec_accepted += a
-            s.kv_len = L + a
-            results.append(emitted)
-        return results
+        # ---- 2+3. shared verify + acceptance (point-mass draft) ----------
+        qdists = [[None] * gi for gi in gis]
+        return self._verify_and_accept(seqs, tables, proposals, qdists, gis,
+                                       rng_for, greedy, update_draft=False)

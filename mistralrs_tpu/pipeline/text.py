@@ -367,6 +367,19 @@ class TextPipeline:
 
         return verify
 
+    def _verify(self, ids, positions, slot_mapping, block_tables, kv_lens,
+                active):
+        """The all-positions forward of run_span (speculative target verify);
+        subclasses with extra cache state override (lora/xlora.py)."""
+        if self._verify_fn is None:
+            self._verify_fn = self._build_verify_fn()
+        logits, pack, self.cache = self._verify_fn(
+            self.params, self.cache,
+            jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(slot_mapping),
+            jnp.asarray(block_tables), jnp.asarray(kv_lens), jnp.asarray(active),
+        )
+        return logits, pack
+
     def run_span(
         self,
         rows: list[tuple[list[int], int, np.ndarray]],
@@ -411,13 +424,8 @@ class TextPipeline:
             active[i] = 1.0
             last_idx[i] = m - 1
         if all_positions:
-            if self._verify_fn is None:
-                self._verify_fn = self._build_verify_fn()
-            logits, pack, self.cache = self._verify_fn(
-                self.params, self.cache,
-                jnp.asarray(ids), jnp.asarray(positions), jnp.asarray(slot_mapping),
-                jnp.asarray(block_tables), jnp.asarray(kv_lens), jnp.asarray(active),
-            )
+            logits, pack = self._verify(ids, positions, slot_mapping,
+                                        block_tables, kv_lens, active)
             if greedy:
                 return np.asarray(pack)[:, :n]
             return np.asarray(logits)[:n]

@@ -208,6 +208,9 @@ def runner_from_args(args, pc, mesh):
     if which == "vision-plain":
         from mistralrs_tpu.api import VisionRunner
 
+        if args.prompt_lookup_gamma:
+            raise SystemExit("--prompt-lookup-gamma is not supported for "
+                             "vision models yet")
         dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
         runner = VisionRunner(args.model, args.arch, dtype=dtype,
                               pipeline_config=pc, mesh=mesh)
@@ -215,7 +218,9 @@ def runner_from_args(args, pc, mesh):
     # toml
     from mistralrs_tpu.toml_selector import runner_from_toml
 
-    return runner_from_toml(args.file, pc=pc, mesh=mesh), args.file
+    return (runner_from_toml(args.file, pc=pc, mesh=mesh,
+                             prompt_lookup_gamma=args.prompt_lookup_gamma),
+            args.file)
 
 
 def main(argv=None):

@@ -60,7 +60,7 @@ def _load_base(model: dict[str, Any], pc, dtype, mesh):
 
 
 def runner_from_toml(path_or_text: str, pc=None, dtype=None, mesh=None,
-                     is_file: bool = True):
+                     is_file: bool = True, prompt_lookup_gamma: int | None = None):
     """Build a Runner from a TOML selection (ref TomlSelector -> loaders)."""
     import jax.numpy as jnp
 
@@ -159,7 +159,7 @@ def runner_from_toml(path_or_text: str, pc=None, dtype=None, mesh=None,
 
     if "speculative" in doc:
         sp = doc["speculative"]
-        if sp.get("draft_model") in ("prompt-lookup", "ngram") or not sp.get("draft_model"):
+        if sp.get("draft_model") in ("prompt-lookup", "ngram"):
             # draftless n-gram speculative decoding (no reference equivalent)
             from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
 
@@ -168,12 +168,18 @@ def runner_from_toml(path_or_text: str, pc=None, dtype=None, mesh=None,
                 ngram_max=int(sp.get("ngram_max", 3)),
                 ngram_min=int(sp.get("ngram_min", 1)))
         else:
+            # a present-but-empty draft_model should error loudly below,
+            # not silently fall back to a different decoding mode
             dcfg, dparams, drope, _ = _load_base(sp["draft_model"], pc, dtype, mesh)
             from mistralrs_tpu.pipeline.speculative import SpeculativePipeline
 
             draft = TextPipeline(dcfg, dparams, drope, pc, mesh=mesh)
             pipe = SpeculativePipeline(pipe, draft, gamma=int(sp.get("gamma", 4)))
 
+    if prompt_lookup_gamma and "speculative" not in doc:
+        from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
+
+        pipe = PromptLookupPipeline(pipe, gamma=prompt_lookup_gamma)
     engine = Engine(
         pipe,
         eos_token_ids=tokenizer.eos_token_ids if tokenizer else set(),

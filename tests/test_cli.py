@@ -359,3 +359,50 @@ def test_cli_prompt_lookup(tiny_ckpt):
          "--dtype", "f32"])
     assert isinstance(runner.handle.engine.pipeline, PromptLookupPipeline)
     _decodes(runner)
+
+
+def test_cli_xlora_prompt_lookup(tiny_ckpt, peft_adapter, tmp_path):
+    """PLD over an X-LoRA target: the dual-pass verify fn (XLoraPipeline
+    _build_verify_fn) serves run_span(all_positions=True) — this crashed
+    with NotImplementedError at the first decode step before."""
+    from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
+
+    xdir = _write_xlora_dir(tmp_path, peft_adapter)
+    runner, _ = _parse_and_boot(
+        ["--prompt-lookup-gamma", "3", "x-lora", "--model", tiny_ckpt,
+         "--dtype", "f32", "--xlora-model-id", xdir])
+    pipe = runner.handle.engine.pipeline
+    assert isinstance(pipe, PromptLookupPipeline)
+    _decodes(runner)
+
+
+def test_toml_xlora_speculative(tiny_ckpt, peft_adapter, tmp_path):
+    """Speculative decoding with an X-LoRA target (the composition
+    examples/python/speculative_xlora.py uses; ref TomlSelector XLora +
+    [speculative]). Greedy output must equal the X-LoRA target alone."""
+    import time
+    import uuid
+
+    from mistralrs_tpu.engine.engine import GenerationRequest
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.toml_selector import runner_from_toml
+
+    xdir = _write_xlora_dir(tmp_path, peft_adapter)
+
+    def run(spec: bool):
+        text = f'[model]\nmodel_id = "{tiny_ckpt}"\nxlora_model_id = "{xdir}"\n'
+        if spec:
+            text += (f'[speculative]\ngamma = 3\n'
+                     f'[speculative.draft_model]\nmodel_id = "{tiny_ckpt}"\n')
+        runner = runner_from_toml(text, pc=_pc(), is_file=False)
+        try:
+            req = GenerationRequest([3, 4, 5, 6, 3, 4], SamplingParams(max_len=10),
+                                    request_id=uuid.uuid4().hex)
+            group = runner.handle.submit(req)
+            while not group.all_done():
+                time.sleep(0.02)
+            return list(group.seqs[0].tokens)
+        finally:
+            runner.shutdown()
+
+    assert run(True) == run(False)
