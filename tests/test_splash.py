@@ -16,6 +16,8 @@ import pytest
 import torch
 import transformers as tf
 
+pytestmark = pytest.mark.slow  # interpret-mode model forwards (~1 min)
+
 from mistralrs_tpu.models.config import config_from_hf
 from mistralrs_tpu.models.decoder import decoder_forward
 from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
