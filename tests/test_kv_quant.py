@@ -112,3 +112,67 @@ def test_engine_kv_quant_matches_bf16_greedy(head_major):
         return toks
 
     assert run(True) == run(False)
+
+
+def _tiny_engine(kv_quant, *, sliding_window=None, prefix_cache=False,
+                 seed=3):
+    import json
+
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import (
+        TensorSource, make_rope, params_from_source,
+    )
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(seed)
+    kw = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+              num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+              max_position_embeddings=128)
+    if sliding_window:
+        hf_cfg = tf.MistralConfig(**kw, sliding_window=sliding_window)
+        model = tf.MistralForCausalLM(hf_cfg)
+    else:
+        hf_cfg = tf.LlamaConfig(**kw)
+        model = tf.LlamaForCausalLM(hf_cfg)
+    model = model.eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd),
+                                dtype=jnp.float32)
+    pc = PipelineConfig(page_size=4, num_pages=64, max_seqs=2,
+                        max_model_len=128, prefill_buckets=(16,),
+                        dtype=jnp.float32, kv_quant=kv_quant)
+    return Engine(TextPipeline(cfg, params, make_rope(cfg), pc),
+                  eos_token_ids=set(), prefix_cache=prefix_cache)
+
+
+def test_kv_quant_with_prefix_cache():
+    """Prefix-cache hits reuse int8 pages (page refs are payload-agnostic):
+    a second request sharing the prompt prefix must decode identically."""
+    from mistralrs_tpu.engine.sampler import SamplingParams
+
+    prompt = np.random.default_rng(2).integers(3, 120, size=20).tolist()
+    eng = _tiny_engine(True, prefix_cache=True)
+    first, _ = eng.generate(prompt, SamplingParams(max_len=6))
+    again, _ = eng.generate(prompt, SamplingParams(max_len=6))
+    assert first == again
+    cold = _tiny_engine(True, prefix_cache=False)
+    base, _ = cold.generate(prompt, SamplingParams(max_len=6))
+    assert first == base
+
+
+def test_kv_quant_sliding_window_matches_bf16():
+    """Windowed models under kv_quant: the window-relative table slicing
+    composes with the quantized gather (greedy parity vs f32 cache)."""
+    from mistralrs_tpu.engine.sampler import SamplingParams
+
+    prompt = np.random.default_rng(4).integers(3, 120, size=30).tolist()
+    q, _ = _tiny_engine(True, sliding_window=12).generate(
+        prompt, SamplingParams(max_len=10))
+    f, _ = _tiny_engine(False, sliding_window=12).generate(
+        prompt, SamplingParams(max_len=10))
+    assert q == f
