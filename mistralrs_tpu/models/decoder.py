@@ -277,15 +277,21 @@ def _attention(
     scale = cfg.query_scale if cfg.query_scale is not None else D**-0.5
     if isinstance(meta, PagedAttnMeta):
         hm = meta.head_major
-        # int8-quantized pools arrive as (payload, scale) tuples (see
-        # PagedKVCache.quantized / decoder_forward's scan xs)
+        # int8-quantized pools arrive as (payload, scale) tuples; combined
+        # (ragged-backend) pools arrive with cache_v=None (see
+        # PagedKVCache.quantized/.combined + decoder_forward's scan xs)
         kv_quant = isinstance(cache_k, tuple)
+        kv_combined = cache_v is None
         if kv_quant:
             from mistralrs_tpu.ops.paged_attention import write_paged_kv_q
 
             cache_k, cache_v = write_paged_kv_q(
                 cache_k, cache_v, k, v, meta.slot_mapping, head_major=hm
             )
+        elif kv_combined:
+            from mistralrs_tpu.ops.ragged_attention import write_combined_kv
+
+            cache_k = write_combined_kv(cache_k, k, v, meta.slot_mapping)
         else:
             cache_k, cache_v = write_paged_kv(
                 cache_k, cache_v, k, v, meta.slot_mapping, head_major=hm
@@ -359,9 +365,29 @@ def _attention(
             and meta.block_tables.shape[1] * page <= cfg.sliding_window
         )
         span = meta.block_tables.shape[1] * page
-        # the Pallas decode/continuation kernels stream bf16 pools; int8
-        # pools take the gather+dequant+SDPA path below
-        if hm and not kv_quant and _use_paged_decode_kernel(cfg, T, window_ok, span):
+        if kv_combined and jax.default_backend() == "tpu":
+            # unified ragged-paged-attention: ONE kernel for decode and
+            # continuation chunks, window + softcap native
+            from mistralrs_tpu.ops.ragged_attention import ragged_attention_padded
+
+            out = ragged_attention_padded(
+                q, cache_k, meta, scale=scale,
+                sliding_window=(
+                    cfg.sliding_window
+                    if cfg.sliding_window is not None
+                    and cfg.sliding_window_pattern != "none"
+                    and not window_ok
+                    else None
+                ),
+                logits_softcap=cfg.attn_logit_softcap,
+                use_win=use_win,
+            )
+            out = out * meta.active[:, None, None, None].astype(out.dtype)
+            out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
+            return out, cache_k, cache_v
+        # the Pallas decode/continuation kernels stream bf16 pools; int8 and
+        # combined pools take the gather+dequant+SDPA path below
+        if hm and not kv_quant and not kv_combined and _use_paged_decode_kernel(cfg, T, window_ok, span):
             # fused block-table decode: streams only the named pages
             # (ref paged_attention v1/v2 CUDA kernels)
             out = paged_decode_attention(
@@ -370,14 +396,14 @@ def _attention(
             )
             out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
             return out, cache_k, cache_v
-        if not kv_quant and _use_flash_continuation(cfg, T, meta, span):
+        if not kv_quant and not kv_combined and _use_flash_continuation(cfg, T, meta, span):
             from mistralrs_tpu.ops.paged_attention import flash_prefill_continuation
 
             out = flash_prefill_continuation(q, cache_k, cache_v, meta, scale=scale)
             out = out * meta.active[:, None, None, None].astype(out.dtype)
             out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
             return out, cache_k, cache_v
-        if not kv_quant and _use_blockwise_continuation(cfg, T, meta, span):
+        if not kv_quant and not kv_combined and _use_blockwise_continuation(cfg, T, meta, span):
             from mistralrs_tpu.ops.paged_attention import blockwise_prefill_continuation
 
             out = blockwise_prefill_continuation(
@@ -401,6 +427,15 @@ def _attention(
             ctx_k, ctx_v = gather_paged_kv_q(
                 cache_k, cache_v, meta.block_tables, head_major=hm,
                 dtype=q.dtype,
+            )
+        elif kv_combined:
+            # off-TPU fallback for the ragged backend: split the combined
+            # pool into strided K/V views and take the gather+SDPA path
+            from mistralrs_tpu.ops.ragged_attention import split_combined
+
+            ck_view, cv_view = split_combined(cache_k)
+            ctx_k, ctx_v = gather_paged_kv(
+                ck_view, cv_view, meta.block_tables, head_major=False
             )
         else:
             ctx_k, ctx_v = gather_paged_kv(
@@ -578,6 +613,7 @@ def decoder_forward(
         return h, (ck, cv)
 
     kv_quant = getattr(cache, "quantized", False)
+    kv_combined = getattr(cache, "combined", False)
     new_k_parts, new_v_parts = [], []
     offset = 0
     for gparams, size in zip(params.layer_groups, params.group_sizes):
@@ -585,6 +621,9 @@ def decoder_forward(
         if kv_quant:
             # int8 pools travel the scan as (payload, scale) leaf tuples
             ck, cv = (sl(cache.k), sl(cache.k_scale)), (sl(cache.v), sl(cache.v_scale))
+        elif kv_combined:
+            # ragged-backend pools: one interleaved array, cv=None sentinel
+            ck, cv = sl(cache.k), None
         else:
             ck, cv = sl(cache.k), sl(cache.v)
         xs = (gparams, ck, cv, sl(window_flags))
@@ -604,7 +643,7 @@ def decoder_forward(
         if kv_quant:
             new_cache = type(cache)(k=new_k[0], v=new_v[0], k_scale=new_k[1],
                                     v_scale=new_v[1], head_major=cache.head_major)
-        else:
+        else:  # new_v is None for combined pools
             new_cache = type(cache)(k=new_k, v=new_v, head_major=cache.head_major)
     else:
         new_cache = type(cache)(k=new_k, v=new_v)

@@ -55,7 +55,14 @@ class PagedKVCache:
     @classmethod
     def create(cls, num_layers, num_pages, page_size, kv_heads, head_dim,
                dtype=jnp.bfloat16, head_major: bool = False,
-               quant: bool = False):
+               quant: bool = False, combined: bool = False):
+        if combined:
+            # the ragged-paged-attention kernel's layout: ONE pool with K at
+            # even and V at odd head indices (ops/ragged_attention.py);
+            # token-major by construction, stored in `k` with v=None
+            assert not head_major and not quant
+            shape = (num_layers, num_pages, page_size, 2 * kv_heads, head_dim)
+            return cls(k=jnp.zeros(shape, dtype), v=None, head_major=False)
         if head_major:
             shape = (num_layers, kv_heads, num_pages, page_size, head_dim)
         else:
@@ -73,6 +80,10 @@ class PagedKVCache:
     @property
     def quantized(self) -> bool:
         return self.k_scale is not None
+
+    @property
+    def combined(self) -> bool:
+        return self.v is None
 
     @property
     def page_size(self) -> int:
@@ -469,8 +480,11 @@ def blockwise_prefill_continuation(
 
 def _pool_leaves(cache: PagedKVCache) -> dict[str, jax.Array]:
     """The cache's page-indexed arrays (payloads + quant scales if any);
-    every leaf shares the same page axis (cache.page_axis)."""
-    leaves = {"k": cache.k, "v": cache.v}
+    every leaf shares the same page axis (cache.page_axis). Combined pools
+    have a single leaf (k holds interleaved K/V)."""
+    leaves = {"k": cache.k}
+    if not cache.combined:
+        leaves["v"] = cache.v
     if cache.quantized:
         leaves["k_scale"] = cache.k_scale
         leaves["v_scale"] = cache.v_scale
@@ -478,7 +492,7 @@ def _pool_leaves(cache: PagedKVCache) -> dict[str, jax.Array]:
 
 
 def _rebuild(cache: PagedKVCache, leaves: dict[str, jax.Array]) -> PagedKVCache:
-    return PagedKVCache(k=leaves["k"], v=leaves["v"],
+    return PagedKVCache(k=leaves["k"], v=leaves.get("v"),
                         k_scale=leaves.get("k_scale"),
                         v_scale=leaves.get("v_scale"),
                         head_major=cache.head_major)

@@ -22,6 +22,28 @@ import jax
 import jax.numpy as jnp
 
 
+def write_combined_kv(
+    pool: jax.Array,  # one layer [P, page, 2*Hkv, D] (K even / V odd)
+    new_k: jax.Array,  # [B, T, Hkv, D]
+    new_v: jax.Array,
+    slot_mapping: jax.Array,  # [B, T]
+) -> jax.Array:
+    """reshape_and_cache into the combined pool (padding slots hit page 0)."""
+    P, page, H2, D = pool.shape
+    B, T, H, _ = new_k.shape
+    idx = slot_mapping.reshape(-1)
+    flat = pool.reshape(P * page, H2, D)
+    inter = jnp.stack([new_k, new_v], axis=3).reshape(B * T, H2, D)
+    return flat.at[idx].set(inter.astype(pool.dtype), mode="drop").reshape(
+        pool.shape)
+
+
+def split_combined(pool: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Combined pool -> (k, v) token-major views [.., page, Hkv, D] (strided
+    head slices; XLA lowers these without a copy on the gather paths)."""
+    return pool[..., 0::2, :], pool[..., 1::2, :]
+
+
 def combine_kv(k_hm: jax.Array, v_hm: jax.Array) -> jax.Array:
     """Head-major per-layer pools [Hkv, P, page, D] -> combined kernel pool
     [P, page, 2*Hkv, D] (K even / V odd). A materializing transpose — stage-1
@@ -48,6 +70,47 @@ def flatten_queries(q: jax.Array, q_lens: jax.Array) -> tuple[jax.Array, jax.Arr
     cu = jnp.concatenate([jnp.zeros((1,), jnp.int32),
                           jnp.cumsum(q_lens.astype(jnp.int32))])
     return out, cu
+
+
+def ragged_attention_padded(
+    q: jax.Array,  # [B, T, Hq, D] padded per-row queries
+    pool: jax.Array,  # combined per-layer pool [P, page, 2*Hkv, D]
+    meta,  # PagedAttnMeta
+    *,
+    scale: float,
+    sliding_window: int | None = None,
+    logits_softcap: float | None = None,
+    use_win: jax.Array | None = None,  # traced per-layer gate (alternation)
+) -> jax.Array:
+    """The decoder-facing call (MISTRALRS_ATTN_BACKEND=ragged, TPU): packs
+    the padded batch into the kernel's ragged convention and scatters the
+    output back. Padding tokens are identified by their page-0 slots; live
+    rows precede padding rows in the static batch (pipeline/text.py row
+    packing), which the kernel's num_seqs prefix contract requires."""
+    B, T, Hq, D = q.shape
+    page = pool.shape[1]
+    q_lens = jnp.sum(meta.slot_mapping // page != 0, axis=1).astype(jnp.int32)
+    num_seqs = jnp.sum(meta.active > 0).astype(jnp.int32)[None]
+    q_flat, cu = flatten_queries(q, q_lens)
+    kv_lens = jnp.maximum(meta.kv_lens.astype(jnp.int32), 1)
+
+    def call(window):
+        return ragged_attention(
+            q_flat, pool, kv_lens, meta.block_tables, cu, num_seqs,
+            scale=scale, sliding_window=window,
+            logits_softcap=logits_softcap)
+
+    if use_win is None or sliding_window is None:
+        out_flat = call(sliding_window)
+    else:
+        out_flat = jax.lax.cond(
+            use_win, lambda: call(sliding_window), lambda: call(None))
+    # scatter back: packed row r -> its original (b, t); padding tokens zero
+    valid = (jnp.arange(T)[None, :] < q_lens[:, None]).reshape(-1)
+    dest = jnp.cumsum(valid.astype(jnp.int32)) - 1
+    out = out_flat[jnp.where(valid, dest, 0)]
+    out = jnp.where(valid[:, None, None], out, 0).astype(q.dtype)
+    return out.reshape(B, T, Hq, D)
 
 
 def ragged_attention(

@@ -179,6 +179,10 @@ def cache_spec(head_major: bool = True) -> P:
 def shard_cache(cache, mesh: Mesh):
     hm = getattr(cache, "head_major", True)
     ns = NamedSharding(mesh, cache_spec(hm))
+    if getattr(cache, "combined", False):
+        # combined pool [L, P, page, 2*Hkv, D]: same head-axis shard
+        return type(cache)(k=jax.device_put(cache.k, ns), v=None,
+                           head_major=hm)
     if getattr(cache, "quantized", False):
         # int8 pools: scales drop the trailing D axis, same head-axis shard
         sspec = P(None, "tp", None, None) if hm else P(None, None, None, "tp")

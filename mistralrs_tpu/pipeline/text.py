@@ -129,10 +129,20 @@ class TextPipeline:
             pc.kv_head_major if pc.kv_head_major is not None
             else pc.max_model_len >= 4096
         )
+        import os as _os
+
+        self.kv_combined = (
+            _os.environ.get("MISTRALRS_ATTN_BACKEND") == "ragged"
+            and not pc.kv_quant
+        )
+        if self.kv_combined:
+            # unified ragged-paged-attention backend: interleaved K/V pool,
+            # token-major by construction (ops/ragged_attention.py)
+            self.head_major = False
         cache = PagedKVCache.create(
             cfg.num_layers, pc.num_pages, pc.page_size, cfg.num_kv_heads,
             cfg.head_dim, pc.dtype, head_major=self.head_major,
-            quant=pc.kv_quant,
+            quant=pc.kv_quant, combined=self.kv_combined,
         )
         if mesh is not None:
             from mistralrs_tpu.parallel.mesh import shard_cache, shard_params

@@ -82,3 +82,74 @@ def test_flatten_queries_packing():
     np.testing.assert_array_equal(np.asarray(flat[0]), np.asarray(q[0, 0]))
     np.testing.assert_array_equal(np.asarray(flat[1:5]), np.asarray(q[1, :4]))
     np.testing.assert_array_equal(np.asarray(flat[5:7]), np.asarray(q[2, :2]))
+
+
+def test_combined_pool_write_split_roundtrip():
+    """write_combined_kv + split_combined: interleaved storage is exact."""
+    from mistralrs_tpu.ops.ragged_attention import split_combined, write_combined_kv
+
+    rng = np.random.default_rng(3)
+    P, page, H, D, B, T = 6, 4, 2, 8, 2, 5
+    pool = jnp.zeros((P, page, 2 * H, D), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, T, H, D)), jnp.float32)
+    tables = np.array([[1, 2], [3, 4]], np.int32)
+    pos = np.tile(np.arange(T), (B, 1))
+    slots = tables[np.arange(B)[:, None], pos // page] * page + pos % page
+    pool = write_combined_kv(pool, k, v, jnp.asarray(slots))
+    kv, vv = split_combined(pool)
+    got_k = np.asarray(kv).reshape(P * page, H, D)[slots.reshape(-1)]
+    got_v = np.asarray(vv).reshape(P * page, H, D)[slots.reshape(-1)]
+    np.testing.assert_array_equal(got_k, np.asarray(k).reshape(-1, H, D))
+    np.testing.assert_array_equal(got_v, np.asarray(v).reshape(-1, H, D))
+
+
+@pytest.mark.parametrize("window", [None, 12])
+def test_engine_ragged_backend_matches_default(window, monkeypatch):
+    """MISTRALRS_ATTN_BACKEND=ragged end-to-end on CPU: the combined pool +
+    split-view gather path must greedy-match the default backend. (On TPU
+    the same branch routes through the ragged kernel —
+    tests/test_tpu_paths.py::test_ragged_kernel_on_chip validates that.)"""
+    import json
+
+    import torch
+    import transformers as tf
+
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import (
+        TensorSource, make_rope, params_from_source,
+    )
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(3)
+    kw = dict(hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+              num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+              max_position_embeddings=128)
+    if window:
+        model = tf.MistralForCausalLM(tf.MistralConfig(**kw, sliding_window=window))
+    else:
+        model = tf.LlamaForCausalLM(tf.LlamaConfig(**kw))
+    model = model.eval().float()
+    cfg = config_from_hf(json.loads(model.config.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    rope = make_rope(cfg)
+    prompts = [np.random.default_rng(s).integers(3, 120, size=n).tolist()
+               for s, n in ((1, 20), (2, 9))]
+
+    def run(backend):
+        if backend:
+            monkeypatch.setenv("MISTRALRS_ATTN_BACKEND", backend)
+        else:
+            monkeypatch.delenv("MISTRALRS_ATTN_BACKEND", raising=False)
+        pc = PipelineConfig(page_size=4, num_pages=64, max_seqs=2,
+                            max_model_len=128, prefill_buckets=(16,),
+                            dtype=jnp.float32)
+        pipe = TextPipeline(cfg, params, rope, pc)
+        assert pipe.kv_combined == (backend == "ragged")
+        eng = Engine(pipe, eos_token_ids=set())
+        return [eng.generate(p, SamplingParams(max_len=8))[0] for p in prompts]
+
+    assert run("ragged") == run(None)

@@ -253,3 +253,35 @@ def test_ragged_kernel_on_chip():
             *args, sm_scale=D**-0.5, sliding_window=window, soft_cap=cap),
             np.float32)
         np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
+
+
+def test_ragged_backend_serving_on_chip(monkeypatch):
+    """MISTRALRS_ATTN_BACKEND=ragged through the ENGINE on hardware: the
+    combined-pool pipeline must greedy-match the default backend end-to-end
+    (decode + continuation chunks route through ragged_attention_padded).
+    Passing + a ragged_ab.py win = flip the backend default."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models.loader import make_rope
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    cfg, params = _tiny(dtype_name="bfloat16")
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(3, 250, size=150).tolist()
+
+    def run(backend):
+        if backend:
+            monkeypatch.setenv("MISTRALRS_ATTN_BACKEND", backend)
+        else:
+            monkeypatch.delenv("MISTRALRS_ATTN_BACKEND", raising=False)
+        from mistralrs_tpu.models.loader import make_rope as mk
+        pc = PipelineConfig(page_size=16, num_pages=128, max_seqs=2,
+                            max_model_len=512, prefill_buckets=(128,))
+        eng = Engine(TextPipeline(cfg, params, mk(cfg, 512), pc),
+                     eos_token_ids=set())
+        toks, _ = eng.generate(prompt, SamplingParams(max_len=12))
+        return toks
+
+    assert run("ragged") == run(None)
