@@ -331,3 +331,40 @@ def test_gptq_ragged_act_order_has_specs():
         spec = _lin_spec(lin.kind, col, stacked=True)
         missing = [k for k in lin.data if k not in spec]
         assert not missing, missing
+
+
+def test_sharded_kv_quant_decode_matches_unsharded():
+    """int8 KV pools under dp x tp: scale pools shard on the head axis
+    alongside the payloads (shard_cache quantized branch)."""
+    _, cfg, params = _tiny_llama(kv_heads=2)
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(3, 120, size=9).tolist()
+
+    def pipe(mesh):
+        pc = PipelineConfig(page_size=4, num_pages=64, max_seqs=2,
+                            max_model_len=128, prefill_buckets=(8, 16),
+                            dtype=jnp.float32, kv_quant=True)
+        return TextPipeline(cfg, params, make_rope(cfg), pc, mesh=mesh)
+
+    want, _ = Engine(pipe(None), eos_token_ids=set()).generate(
+        prompt, SamplingParams(max_len=6))
+    got, _ = Engine(pipe(make_mesh(dp=4, tp=2)), eos_token_ids=set()).generate(
+        prompt, SamplingParams(max_len=6))
+    assert got == want
+
+
+def test_sharded_ragged_backend_matches_unsharded(monkeypatch):
+    """MISTRALRS_ATTN_BACKEND=ragged under dp x tp: the combined pool's
+    interleaved head axis (2*Hkv) shards over tp like the separate pools."""
+    _, cfg, params = _tiny_llama(kv_heads=2)
+    rng = np.random.default_rng(12)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    monkeypatch.setenv("MISTRALRS_ATTN_BACKEND", "ragged")
+
+    def run(mesh):
+        pipe = _pipe(cfg, params, mesh)
+        assert pipe.kv_combined
+        return Engine(pipe, eos_token_ids=set()).generate(
+            prompt, SamplingParams(max_len=6))[0]
+
+    assert run(make_mesh(dp=4, tp=2)) == run(None)
