@@ -322,11 +322,22 @@ def test_multistep_then_sampling_request_coexist():
     assert len(g2.seqs[0].generated_tokens) == 6
 
 
-def test_engine_stress_mixed_workload():
+import pytest as _pytest
+
+
+@_pytest.mark.parametrize("variant", ["default", "kv_quant", "ragged"])
+def test_engine_stress_mixed_workload(variant, monkeypatch):
     """Mixed greedy/sampled/constrained/multi-choice requests arriving while
     the engine runs, under page pressure (preemption) - everything must
-    complete, and greedy requests must match isolated runs exactly."""
+    complete, and greedy requests must match isolated runs exactly. Runs
+    under the default cache, the int8 KV cache, and the combined ragged
+    backend (determinism within a config, not across them)."""
     import jax.numpy as jnp
+
+    if variant == "ragged":
+        monkeypatch.setenv("MISTRALRS_ATTN_BACKEND", "ragged")
+    else:
+        monkeypatch.delenv("MISTRALRS_ATTN_BACKEND", raising=False)
 
     from mistralrs_tpu.grammar.recognizer import Constraint
     from mistralrs_tpu.models.config import config_from_hf
@@ -351,7 +362,8 @@ def test_engine_stress_mixed_workload():
     def make(decode_steps=4, num_pages=48):
         pc = PipelineConfig(page_size=4, num_pages=num_pages, max_seqs=3,
                             max_model_len=160, prefill_buckets=(8, 32),
-                            dtype=jnp.float32, decode_steps=decode_steps)
+                            dtype=jnp.float32, decode_steps=decode_steps,
+                            kv_quant=(variant == "kv_quant"))
         return Engine(TextPipeline(cfg, params, make_rope(cfg), pc),
                       eos_token_ids={127}, grammar_vocab=vocab)
 
