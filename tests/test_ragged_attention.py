@@ -153,3 +153,24 @@ def test_engine_ragged_backend_matches_default(window, monkeypatch):
         return [eng.generate(p, SamplingParams(max_len=8))[0] for p in prompts]
 
     assert run("ragged") == run(None)
+
+
+def test_combined_pool_page_ops():
+    """COW copies and host swap on combined pools (single interleaved leaf)."""
+    from mistralrs_tpu.ops.paged_attention import (
+        PagedKVCache, copy_pages, swap_in_pages, swap_out_pages,
+    )
+
+    rng = np.random.default_rng(4)
+    cache = PagedKVCache.create(1, 6, 2, 2, 8, dtype=jnp.float32, combined=True)
+    assert cache.combined and cache.v is None
+    pool = cache.k.at[:, 1].set(
+        jnp.asarray(rng.standard_normal((1, 2, 4, 8)), jnp.float32))
+    cache = PagedKVCache(k=pool, v=None)
+    c2 = copy_pages(cache, [1], [4])
+    np.testing.assert_array_equal(np.asarray(c2.k[:, 4]), np.asarray(c2.k[:, 1]))
+    host = swap_out_pages(c2, [1])
+    assert len(host) == 1
+    zeroed = PagedKVCache(k=c2.k.at[:, 1].set(0), v=None)
+    c3 = swap_in_pages(zeroed, host, [1])
+    np.testing.assert_array_equal(np.asarray(c3.k[:, 1]), np.asarray(c2.k[:, 1]))
