@@ -71,6 +71,7 @@ def test_quant_page_ops_carry_scales():
                                   np.asarray(c2.k_scale[:, 1]))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("head_major", [False, True])
 def test_engine_kv_quant_matches_bf16_greedy(head_major):
     """End-to-end: a tiny model served with kv_quant=True must greedy-decode
@@ -150,6 +151,7 @@ def _tiny_engine(kv_quant, *, sliding_window=None, prefix_cache=False,
                   eos_token_ids=set(), prefix_cache=prefix_cache)
 
 
+@pytest.mark.slow
 def test_kv_quant_with_prefix_cache():
     """Prefix-cache hits reuse int8 pages (page refs are payload-agnostic):
     a second request sharing the prompt prefix must decode identically."""
@@ -165,6 +167,7 @@ def test_kv_quant_with_prefix_cache():
     assert first == base
 
 
+@pytest.mark.slow
 def test_kv_quant_sliding_window_matches_bf16():
     """Windowed models under kv_quant: the window-relative table slicing
     composes with the quantized gather (greedy parity vs f32 cache)."""

@@ -104,6 +104,7 @@ def test_combined_pool_write_split_roundtrip():
     np.testing.assert_array_equal(got_v, np.asarray(v).reshape(-1, H, D))
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("window", [None, 12])
 def test_engine_ragged_backend_matches_default(window, monkeypatch):
     """MISTRALRS_ATTN_BACKEND=ragged end-to-end on CPU: the combined pool +
