@@ -99,7 +99,10 @@ class Runner:
                  topology: str | None = None, pipeline_config: Any = None, mesh: Any = None,
                  adapters: list[str] | None = None, ordering: str | None = None,
                  xlora_path: str | None = None, token_source: str = "cache",
-                 prompt_lookup_gamma: int | None = None):
+                 prompt_lookup_gamma: int | None = None,
+                 truncate_sequence: bool = True,
+                 prefix_cache: bool = True,
+                 prefix_cache_pages: int | None = None):
         """adapters: PEFT adapter dirs to preload (LoRA); ordering: JSON
         ordering file fixing adapter stack order (ref lora/mod.rs Ordering);
         xlora_path: X-LoRA dir with xlora_config.json + classifier weights;
@@ -155,6 +158,9 @@ class Runner:
             eos_token_ids=self.tokenizer.eos_token_ids,
             detokenizer=self.tokenizer.detokenizer(),
             grammar_vocab=self.tokenizer.grammar_vocab(),
+            truncate_sequence=truncate_sequence,
+            prefix_cache=prefix_cache,
+            prefix_cache_pages=prefix_cache_pages,
         )
         self.handle = EngineHandle(engine)
         self.cfg = cfg
@@ -179,7 +185,10 @@ class Runner:
     def from_parts(cls, cfg, params, rope, tokenizer, pc=None, mesh=None,
                    adapters: list[str] | None = None, ordering: str | None = None,
                    xlora_path: str | None = None, dtype=None,
-                   prompt_lookup_gamma: int | None = None) -> "Runner":
+                   prompt_lookup_gamma: int | None = None,
+                   truncate_sequence: bool = True,
+                   prefix_cache: bool = True,
+                   prefix_cache_pages: int | None = None) -> "Runner":
         """Assemble from already-loaded pieces (GGUF/GGML path, tests).
 
         adapters/ordering/xlora_path mirror __init__ — LoRA and X-LoRA wrap
@@ -227,6 +236,9 @@ class Runner:
             eos_token_ids=tokenizer.eos_token_ids if tokenizer else set(),
             detokenizer=tokenizer.detokenizer() if tokenizer else None,
             grammar_vocab=tokenizer.grammar_vocab() if tokenizer else None,
+            truncate_sequence=truncate_sequence,
+            prefix_cache=prefix_cache,
+            prefix_cache_pages=prefix_cache_pages,
         )
         self = cls.from_engine(engine, tokenizer)
         self.adapter_names = names
@@ -362,6 +374,9 @@ class VisionRunner(Runner):
             eos_token_ids=self.tokenizer.eos_token_ids,
             detokenizer=self.tokenizer.detokenizer(),
             grammar_vocab=self.tokenizer.grammar_vocab(),
+            truncate_sequence=truncate_sequence,
+            prefix_cache=prefix_cache,
+            prefix_cache_pages=prefix_cache_pages,
         )
         self.handle = EngineHandle(engine)
         self.cfg = cfg

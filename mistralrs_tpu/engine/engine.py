@@ -63,6 +63,7 @@ class Engine:
         prefix_cache: bool = True,
         prefix_cache_pages: int | None = None,
         grammar_vocab: list[bytes] | None = None,
+        truncate_sequence: bool = True,
     ):
         """grammar_vocab: per-token byte strings enabling grammar-constrained
         decoding (built lazily into a TokTrie on the first constrained
@@ -75,6 +76,7 @@ class Engine:
             # (ref disables prefix caching in composite pipelines too)
             prefix_cache = False
         self.block_manager = make_block_manager(pc.num_pages, pc.page_size)
+        self.truncate_sequence = truncate_sequence
         self.prefix_cacher = (
             PrefixCacheManager(self.block_manager, max_pages=prefix_cache_pages)
             if prefix_cache
@@ -144,7 +146,23 @@ class Engine:
     def add_request(self, req: GenerationRequest) -> SequenceGroup:
         rid = req.request_id or f"req-{int(time.time()*1e6)}"
         group = SequenceGroup(rid, req.sampling.n_choices)
-        if len(req.prompt_tokens) >= self.max_model_len:
+        too_long = len(req.prompt_tokens) >= self.max_model_len
+        if too_long and not self.truncate_sequence:
+            # ref main.rs --truncate-sequence default: refuse over-length
+            # prompts with an error response instead of silently truncating
+            for _ in range(req.sampling.n_choices):
+                seq = Sequence(req.prompt_tokens[: self.max_model_len - 1],
+                               req.sampling, eos_token_ids=self.eos_token_ids,
+                               max_model_len=self.max_model_len, group=group)
+                seq.finish_error = (
+                    f"prompt ({len(req.prompt_tokens)} tokens) exceeds "
+                    f"max_model_len ({self.max_model_len}) and "
+                    "truncate_sequence is off")
+                seq.finish(StopReason.ERROR)
+                group.add(seq)
+            self._groups[rid] = group
+            return group
+        if too_long:
             # ref engine/mod.rs:537-561 truncation policy: keep the tail,
             # leaving room to generate
             keep = self.max_model_len - max(self.prefill_chunk // 4, 16)

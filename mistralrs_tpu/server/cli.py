@@ -66,6 +66,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="persist XLA compilations across restarts (first "
                         "TPU compile is 20-40s; reboots become instant)")
     p.add_argument("--prefill-chunk", type=int, default=512)
+    p.add_argument("--truncate-sequence", action="store_true",
+                   help="truncate over-length prompts to fit max-model-len "
+                        "instead of refusing them (ref main.rs:60)")
+    p.add_argument("--prefix-cache-n", type=int, default=16,
+                   help="device prefix-cache budget, in max-length sequences "
+                        "(0 disables; ref main.rs:94 --prefix-cache-n)")
     p.add_argument("--chat-template", default=None,
                    help="override/fallback chat template: a bundled name "
                         "(chatml, llama2, llama3, mistral, phi3, vicuna, "
@@ -135,6 +141,14 @@ def runner_from_args(args, pc, mesh):
     from mistralrs_tpu.api import Runner
 
     which = args.which
+    eng_kw = dict(truncate_sequence=args.truncate_sequence)
+    if args.prefix_cache_n <= 0:
+        eng_kw["prefix_cache"] = False
+    else:
+        # ref --prefix-cache-n counts held caches; translate to a page
+        # budget of n max-length sequences
+        eng_kw["prefix_cache_pages"] = (
+            args.prefix_cache_n * -(-args.max_model_len // args.page_size))
     adapters = getattr(args, "adapters_model_id", None)
     ordering = getattr(args, "order", None)
     xlora_path = getattr(args, "xlora_model_id", None)
@@ -177,7 +191,7 @@ def runner_from_args(args, pc, mesh):
             args.model, dtype=dtype, isq=args.isq, topology=args.topology,
             pipeline_config=pc, mesh=mesh, token_source=args.token_source,
             adapters=adapters, ordering=ordering, xlora_path=xlora_path,
-            prompt_lookup_gamma=args.prompt_lookup_gamma,
+            prompt_lookup_gamma=args.prompt_lookup_gamma, **eng_kw,
         )
         return runner, args.model
     if which in ("gguf", "lora-gguf", "x-lora-gguf"):
@@ -190,7 +204,7 @@ def runner_from_args(args, pc, mesh):
         runner = Runner.from_parts(
             cfg, params, rope, tokenizer, pc=pc, mesh=mesh,
             adapters=adapters, ordering=ordering, xlora_path=xlora_path,
-            prompt_lookup_gamma=args.prompt_lookup_gamma,
+            prompt_lookup_gamma=args.prompt_lookup_gamma, **eng_kw,
         )
         return runner, args.model[0]
     if which in ("ggml", "lora-ggml", "x-lora-ggml"):
@@ -202,7 +216,7 @@ def runner_from_args(args, pc, mesh):
         runner = Runner.from_parts(
             cfg, params, rope, tokenizer, pc=pc, mesh=mesh,
             adapters=adapters, ordering=ordering, xlora_path=xlora_path,
-            prompt_lookup_gamma=args.prompt_lookup_gamma,
+            prompt_lookup_gamma=args.prompt_lookup_gamma, **eng_kw,
         )
         return runner, args.model
     if which == "vision-plain":

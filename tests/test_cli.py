@@ -406,3 +406,31 @@ def test_toml_xlora_speculative(tiny_ckpt, peft_adapter, tmp_path):
             runner.shutdown()
 
     assert run(True) == run(False)
+
+
+def test_cli_truncate_and_prefix_flags(tiny_ckpt):
+    """--truncate-sequence off (reference default): over-length prompts get
+    an error response instead of silent tail truncation; --prefix-cache-n 0
+    disables the prefix cacher."""
+    import time
+    import uuid
+
+    from mistralrs_tpu.engine.engine import GenerationRequest
+    from mistralrs_tpu.engine.sampler import SamplingParams
+
+    runner, _ = _parse_and_boot(
+        ["--prefix-cache-n", "0", "plain", "--model", tiny_ckpt,
+         "--dtype", "f32"])
+    eng = runner.handle.engine
+    assert eng.prefix_cacher is None
+    assert not eng.truncate_sequence  # CLI default matches the reference
+    long_prompt = list(np.random.default_rng(0).integers(3, 120, size=200))
+    g = runner.handle.submit(GenerationRequest(
+        long_prompt, SamplingParams(max_len=4), request_id=uuid.uuid4().hex))
+    for _ in range(200):
+        if g.all_done():
+            break
+        time.sleep(0.02)
+    assert g.all_done()
+    assert "exceeds max_model_len" in (g.seqs[0].finish_error or "")
+    runner.shutdown()
