@@ -319,7 +319,9 @@ class VisionRunner(Runner):
     arch: "llava" | "llava_next" | "idefics2" | "phi3v"."""
 
     def __init__(self, model_path: str, arch: str, *, dtype: Any = None,
-                 pipeline_config: Any = None, mesh: Any = None):
+                 pipeline_config: Any = None, mesh: Any = None,
+                 truncate_sequence: bool = True, prefix_cache: bool = True,
+                 prefix_cache_pages: int | None = None):
         import jax.numpy as jnp
 
         from mistralrs_tpu.pipeline.text import PipelineConfig

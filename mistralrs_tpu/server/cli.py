@@ -82,6 +82,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="hub auth source: literal:<t> | env:<VAR> | "
                         "path:<file> | cache | none (ref main.rs:82)")
     p.add_argument("--interactive", action="store_true", help="terminal chat instead of server")
+    p.add_argument("--vi", action="store_true",
+                   help="vision interactive mode (ref main.rs --vi): "
+                        "\\image <path> attaches images in the REPL")
     p.add_argument("--throughput", action="store_true",
                    help="per-step throughput logging (ref --throughput)")
     p.add_argument("--log", default=None, help="request/response JSONL log file")
@@ -304,7 +307,11 @@ def main(argv=None):
 
         prof = jax.profiler.trace(args.profile_dir)
     with prof:
-        if args.interactive:
+        if args.vi:
+            from mistralrs_tpu.server.interactive import vision_interactive_chat
+
+            vision_interactive_chat(runner)
+        elif args.interactive:
             from mistralrs_tpu.server.interactive import interactive_chat
 
             interactive_chat(runner)
