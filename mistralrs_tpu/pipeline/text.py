@@ -68,6 +68,10 @@ class PipelineConfig:
     # per-element quantization error (no reference equivalent). Attention
     # takes the gather+dequant+SDPA path (Pallas pool kernels stream bf16).
     kv_quant: bool = False
+    # absolute page-pool budget / context-length sizing (override
+    # kv_mem_fraction; ref --pa-gpu-mem / --pa-ctxt-len)
+    kv_mem_bytes: int | None = None
+    kv_ctxt_len: int | None = None
 
 
 class TextPipeline:
@@ -93,7 +97,10 @@ class TextPipeline:
             from mistralrs_tpu.utils.memory import PagedCacheConfig, calculate_num_pages
 
             n = calculate_num_pages(
-                PagedCacheConfig(mem_fraction=pc.kv_mem_fraction, page_size=pc.page_size),
+                PagedCacheConfig(mem_fraction=pc.kv_mem_fraction,
+                                 mem_bytes=pc.kv_mem_bytes,
+                                 context_len=pc.kv_ctxt_len,
+                                 page_size=pc.page_size),
                 cfg.num_layers, cfg.num_kv_heads, cfg.head_dim,
                 # int8 payload + f32/D per-slot scale ~= 1 byte + 4/head_dim
                 dtype_bytes=(1 + 4 / cfg.head_dim) if pc.kv_quant

@@ -55,6 +55,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--kv-pages", type=int, default=None, help="override number of KV pages")
     p.add_argument("--kv-mem-fraction", type=float, default=0.9,
                    help="fraction of free HBM for KV pages (ref: 90%% default)")
+    p.add_argument("--kv-mem-mb", type=int, default=None,
+                   help="absolute KV pool budget in MB (ref --pa-gpu-mem)")
+    p.add_argument("--kv-ctxt-len", type=int, default=None,
+                   help="size the KV pool for this many total cached tokens "
+                        "per running sequence (ref --pa-ctxt-len)")
     p.add_argument("--kv-quant", action="store_true",
                    help="int8 KV cache (per-slot scales): ~2x pages in the "
                         "same HBM, ~half the KV stream at long context")
@@ -270,6 +275,8 @@ def main(argv=None):
             b for b in (16, 64, 256, 512, 1024, 2048) if b <= args.prefill_chunk
         ) or (args.prefill_chunk,),
         kv_quant=args.kv_quant,
+        kv_mem_bytes=args.kv_mem_mb * (1 << 20) if args.kv_mem_mb else None,
+        kv_ctxt_len=args.kv_ctxt_len,
     )
     mesh = None
     if args.tp or args.dp > 1 or args.sp > 1:
