@@ -37,4 +37,7 @@ timeout 580 python -u scripts/splash_ab.py 2>&1 | tee "$OUT/splash_ab.log"
 echo "== unified ragged-paged-attention decode A/B =="
 timeout 580 python -u scripts/ragged_ab.py 2>&1 | tee "$OUT/ragged_ab.log"
 
+echo "== dequant kernel block-size sweep (q4k/q5k/q6k/q8_0/q2k) =="
+timeout 580 python -u scripts/kernel_sweep.py 2>&1 | tee "$OUT/kernel_sweep.log"
+
 echo "== done; inspect $OUT =="
