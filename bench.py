@@ -267,9 +267,11 @@ def _run():
     pc = PipelineConfig(
         page_size=16, num_pages=512, max_seqs=batch, max_model_len=2048,
         prefill_buckets=(64,), decode_steps=16,
-        # A/B knob: MISTRALRS_BENCH_KV_QUANT=1 serves the int8 KV cache
-        # (MISTRALRS_ATTN_BACKEND=ragged already applies via TextPipeline)
+        # A/B knobs: MISTRALRS_BENCH_KV_QUANT=1 serves the int8 KV cache;
+        # MISTRALRS_ATTN_BACKEND=ragged serves the combined-pool kernel.
+        # The two are mutually exclusive (TextPipeline warns and keeps int8)
         kv_quant=os.environ.get("MISTRALRS_BENCH_KV_QUANT") == "1",
+        attn_backend=os.environ.get("MISTRALRS_ATTN_BACKEND"),
     )
     # prefix cache off: every request shares one prompt here, and cache-hit
     # TTFT would misrepresent the prefill path the metric claims to measure

@@ -151,16 +151,23 @@ class Engine:
             # ref main.rs --truncate-sequence default: refuse over-length
             # prompts with an error response instead of silently truncating
             for _ in range(req.sampling.n_choices):
-                seq = Sequence(req.prompt_tokens[: self.max_model_len - 1],
+                seq = Sequence(list(req.prompt_tokens),
                                req.sampling, eos_token_ids=self.eos_token_ids,
-                               max_model_len=self.max_model_len, group=group)
+                               max_model_len=len(req.prompt_tokens) + 1,
+                               group=group)
                 seq.finish_error = (
                     f"prompt ({len(req.prompt_tokens)} tokens) exceeds "
                     f"max_model_len ({self.max_model_len}) and "
                     "truncate_sequence is off")
                 seq.finish(StopReason.ERROR)
                 group.add(seq)
+                if req.stream:
+                    seq.stream = req.stream
+                    req.stream(seq, "", StopReason.ERROR.value)
             self._groups[rid] = group
+            self._log_event({"event": "request_refused", "id": rid,
+                             "prompt_tokens": len(req.prompt_tokens),
+                             "reason": "prompt exceeds max_model_len"})
             return group
         if too_long:
             # ref engine/mod.rs:537-561 truncation policy: keep the tail,

@@ -72,6 +72,24 @@ def flatten_queries(q: jax.Array, q_lens: jax.Array) -> tuple[jax.Array, jax.Arr
     return out, cu
 
 
+def pack_ragged_meta(q: jax.Array, meta, page: int):
+    """Padded PagedAttnMeta batch -> the kernel's ragged convention:
+    (q_flat, cu_q_lens, kv_lens, num_seqs, q_lens).
+
+    q_lens counts each row's REAL tokens (padding slots point into page 0).
+    meta.kv_lens uses the padded-width convention (kv_len = start + T so the
+    SDPA paths get q_offset = kv_lens - T); the kernel derives query
+    positions as kv_len - q_len + i from the UNPADDED q_len, so the padding
+    (T - q_len) must come off kv_lens or real queries shift up and attend
+    unwritten slots."""
+    B, T, _, _ = q.shape
+    q_lens = jnp.sum(meta.slot_mapping // page != 0, axis=1).astype(jnp.int32)
+    num_seqs = jnp.sum(meta.active > 0).astype(jnp.int32)[None]
+    q_flat, cu = flatten_queries(q, q_lens)
+    kv_lens = jnp.maximum(meta.kv_lens.astype(jnp.int32) - (T - q_lens), 1)
+    return q_flat, cu, kv_lens, num_seqs, q_lens
+
+
 def ragged_attention_padded(
     q: jax.Array,  # [B, T, Hq, D] padded per-row queries
     pool: jax.Array,  # combined per-layer pool [P, page, 2*Hkv, D]
@@ -89,10 +107,7 @@ def ragged_attention_padded(
     packing), which the kernel's num_seqs prefix contract requires."""
     B, T, Hq, D = q.shape
     page = pool.shape[1]
-    q_lens = jnp.sum(meta.slot_mapping // page != 0, axis=1).astype(jnp.int32)
-    num_seqs = jnp.sum(meta.active > 0).astype(jnp.int32)[None]
-    q_flat, cu = flatten_queries(q, q_lens)
-    kv_lens = jnp.maximum(meta.kv_lens.astype(jnp.int32), 1)
+    q_flat, cu, kv_lens, num_seqs, q_lens = pack_ragged_meta(q, meta, page)
 
     def call(window):
         return ragged_attention(

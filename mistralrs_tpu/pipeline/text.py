@@ -72,6 +72,10 @@ class PipelineConfig:
     # kv_mem_fraction; ref --pa-gpu-mem / --pa-ctxt-len)
     kv_mem_bytes: int | None = None
     kv_ctxt_len: int | None = None
+    # paged attention backend: None/"default" = the dispatch zoo in
+    # models/decoder.py; "ragged" = combined-pool unified kernel
+    # (ops/ragged_attention.py). None falls back to MISTRALRS_ATTN_BACKEND.
+    attn_backend: str | None = None
 
 
 class TextPipeline:
@@ -138,10 +142,14 @@ class TextPipeline:
         )
         import os as _os
 
-        self.kv_combined = (
-            _os.environ.get("MISTRALRS_ATTN_BACKEND") == "ragged"
-            and not pc.kv_quant
-        )
+        backend = pc.attn_backend or _os.environ.get("MISTRALRS_ATTN_BACKEND")
+        self.kv_combined = backend == "ragged" and not pc.kv_quant
+        if backend == "ragged" and pc.kv_quant:
+            import logging
+
+            logging.getLogger(__name__).warning(
+                "attn_backend=ragged is incompatible with kv_quant; serving "
+                "the int8 cache over the default attention paths")
         if self.kv_combined:
             # unified ragged-paged-attention backend: interleaved K/V pool,
             # token-major by construction (ops/ragged_attention.py)

@@ -235,13 +235,14 @@ def runner_from_args(args, pc, mesh):
                              "vision models yet")
         dtype = jnp.bfloat16 if args.dtype == "bf16" else jnp.float32
         runner = VisionRunner(args.model, args.arch, dtype=dtype,
-                              pipeline_config=pc, mesh=mesh)
+                              pipeline_config=pc, mesh=mesh, **eng_kw)
         return runner, args.model
     # toml
     from mistralrs_tpu.toml_selector import runner_from_toml
 
     return (runner_from_toml(args.file, pc=pc, mesh=mesh,
-                             prompt_lookup_gamma=args.prompt_lookup_gamma),
+                             prompt_lookup_gamma=args.prompt_lookup_gamma,
+                             **eng_kw),
             args.file)
 
 

@@ -64,9 +64,14 @@ def vision_interactive_chat(runner, max_tokens: int = 512) -> None:
         content.append({"type": "text", "text": user})
         pending_images = []
         history.append({"role": "user", "content": content})
-        resp = runner.send_chat_completion_request(
-            history, SamplingParams(temperature=0.7, top_p=0.9,
-                                    max_len=max_tokens))
+        try:
+            resp = runner.send_chat_completion_request(
+                history, SamplingParams(temperature=0.7, top_p=0.9,
+                                        max_len=max_tokens))
+        except Exception as e:  # bad image path/payload: keep the session
+            history.pop()
+            print(f"[error] {e}")
+            continue
         text = resp.choices[0].text
         print(text)
         history.append({"role": "assistant", "content": text})

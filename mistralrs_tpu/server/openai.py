@@ -343,7 +343,8 @@ class OpenAIServer:
         if chat:
             choices = []
             for i, s in enumerate(group.seqs):
-                text = s.final_text()
+                # .output() substitutes the error detail for errored seqs
+                text = s.output().text
                 msg = {"role": "assistant", "content": text}
                 finish = s.stop_reason.value if s.stop_reason else "stop"
                 calls = matcher.get_calls(text) if matcher is not None else []
@@ -373,7 +374,7 @@ class OpenAIServer:
                 {
                     "index": i,
                     # echo_prompt prepends the prompt text (ref engine/mod.rs:706)
-                    "text": (echo_text or "") + s.final_text(),
+                    "text": (echo_text or "") + s.output().text,
                     "finish_reason": s.stop_reason.value if s.stop_reason else "stop",
                     "logprobs": self._logprobs_json(s),
                 }

@@ -60,7 +60,9 @@ def _load_base(model: dict[str, Any], pc, dtype, mesh):
 
 
 def runner_from_toml(path_or_text: str, pc=None, dtype=None, mesh=None,
-                     is_file: bool = True, prompt_lookup_gamma: int | None = None):
+                     is_file: bool = True, prompt_lookup_gamma: int | None = None,
+                     truncate_sequence: bool = True, prefix_cache: bool = True,
+                     prefix_cache_pages: int | None = None):
     """Build a Runner from a TOML selection (ref TomlSelector -> loaders)."""
     import jax.numpy as jnp
 
@@ -185,6 +187,9 @@ def runner_from_toml(path_or_text: str, pc=None, dtype=None, mesh=None,
         eos_token_ids=tokenizer.eos_token_ids if tokenizer else set(),
         detokenizer=tokenizer.detokenizer() if tokenizer else None,
         grammar_vocab=tokenizer.grammar_vocab() if tokenizer else None,
+        truncate_sequence=truncate_sequence,
+        prefix_cache=prefix_cache,
+        prefix_cache_pages=prefix_cache_pages,
     )
     runner = Runner.from_engine(engine, tokenizer)
     runner.adapter_names = adapter_names

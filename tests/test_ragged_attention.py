@@ -175,3 +175,71 @@ def test_combined_pool_page_ops():
     zeroed = PagedKVCache(k=c2.k.at[:, 1].set(0), v=None)
     c3 = swap_in_pages(zeroed, host, [1])
     np.testing.assert_array_equal(np.asarray(c3.k[:, 1]), np.asarray(c2.k[:, 1]))
+
+
+def test_pack_ragged_meta_padded_continuation():
+    """The padded-width convention (meta.kv_lens = start + T) must be
+    unwound before the kernel: a continuation chunk with n real tokens
+    padded to T shifts query positions by T - n unless kv_lens is adjusted
+    (was a silent wrong-attention bug on the TPU path). Validates the full
+    packed call against the repo's sdpa on the same combined pool."""
+    from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
+        ref_ragged_paged_attention,
+    )
+
+    from mistralrs_tpu.ops.paged_attention import PagedAttnMeta
+    from mistralrs_tpu.ops.ragged_attention import (
+        pack_ragged_meta, split_combined, write_combined_kv,
+    )
+
+    rng = np.random.default_rng(7)
+    Hq, Hkv, D, page, P = 4, 2, 16, 4, 32
+    start, n, T = 12, 5, 8  # 12 cached tokens + 5 real new ones padded to 8
+    B = 2  # row 1 is an inactive padding row
+    pages_per_seq = 8
+    tables = np.zeros((B, pages_per_seq), np.int32)
+    tables[0, : -(-(start + n) // page)] = np.arange(1, 6)
+    pos = np.arange(start, start + T)
+    slots = np.zeros((B, T), np.int32)
+    slots[0, :n] = tables[0, pos[:n] // page] * page + pos[:n] % page
+    meta = PagedAttnMeta(
+        positions=jnp.asarray(np.tile(pos, (B, 1))),
+        slot_mapping=jnp.asarray(slots),
+        block_tables=jnp.asarray(tables),
+        # padded-width convention: start + T, NOT start + n
+        kv_lens=jnp.asarray([start + T, 1], jnp.int32),
+        active=jnp.asarray([1.0, 0.0]),
+    )
+    pool = jnp.zeros((P, page, 2 * Hkv, D), jnp.float32)
+    # pre-existing context in pages 1..3 (tokens 0..start-1)
+    ctx_slots = tables[0, np.arange(start) // page] * page + np.arange(start) % page
+    ctx_k = jnp.asarray(rng.standard_normal((1, start, Hkv, D)), jnp.float32)
+    ctx_v = jnp.asarray(rng.standard_normal((1, start, Hkv, D)), jnp.float32)
+    pool = write_combined_kv(pool, ctx_k, ctx_v, jnp.asarray(ctx_slots[None]))
+    # this chunk's K/V
+    new_k = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    new_v = jnp.asarray(rng.standard_normal((B, T, Hkv, D)), jnp.float32)
+    pool = write_combined_kv(pool, new_k, new_v, meta.slot_mapping)
+
+    q = jnp.asarray(rng.standard_normal((B, T, Hq, D)), jnp.float32)
+    q_flat, cu, kv_lens, num_seqs, q_lens = pack_ragged_meta(q, meta, page)
+    assert list(np.asarray(q_lens)) == [n, 0]
+    assert list(np.asarray(kv_lens))[0] == start + n
+    assert int(np.asarray(num_seqs)[0]) == 1
+    got = np.asarray(ref_ragged_paged_attention(
+        q_flat[: n], pool, kv_lens, meta.block_tables, cu,
+        jnp.asarray(num_seqs), sm_scale=D**-0.5), np.float32)
+
+    # reference: dense sdpa over the gathered context with absolute offsets
+    from mistralrs_tpu.ops import attention as attn_ops
+
+    kv, vv = split_combined(pool)
+    S = start + n
+    flat_idx = tables[0, np.arange(S) // page] * page + np.arange(S) % page
+    k_seq = np.asarray(kv).reshape(P * page, Hkv, D)[flat_idx]
+    v_seq = np.asarray(vv).reshape(P * page, Hkv, D)[flat_idx]
+    bias = attn_ops.causal_mask_bias(n, S, q_offsets=jnp.asarray([S - n]))
+    want = np.asarray(attn_ops.sdpa(
+        q[0:1, :n], jnp.asarray(k_seq)[None], jnp.asarray(v_seq)[None],
+        scale=D**-0.5, mask=bias), np.float32)
+    np.testing.assert_allclose(got, want[0], rtol=2e-5, atol=2e-5)
