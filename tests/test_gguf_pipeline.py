@@ -360,3 +360,30 @@ def test_gguf_mixtral_moe(tmp_path, monkeypatch, naming):
         logits_of(cfg, params, rope), logits_of(dcfg, dparams, drope),
         rtol=2e-4, atol=2e-4,
     )
+
+
+def test_gguf_reader_rejects_malformed_files(tmp_path):
+    """Malformed GGUF inputs must raise clean ValueErrors (a serving CLI
+    pointed at a bad file should print the reason, not crash deep in
+    struct unpacking or allocate absurd buffers)."""
+    import pytest
+
+    from mistralrs_tpu.gguf.reader import GGUFFile
+
+    bad_magic = tmp_path / "bad_magic.gguf"
+    bad_magic.write_bytes(b"GGML" + b"\x00" * 64)
+    with pytest.raises(ValueError, match="magic"):
+        GGUFFile(str(bad_magic))
+
+    empty = tmp_path / "empty.gguf"
+    empty.write_bytes(b"")
+    with pytest.raises((ValueError, EOFError, OSError)):
+        GGUFFile(str(empty))
+
+    truncated = tmp_path / "trunc.gguf"
+    # valid magic + v3 header claiming tensors, then nothing
+    import struct
+
+    truncated.write_bytes(b"GGUF" + struct.pack("<IQQ", 3, 5, 5))
+    with pytest.raises((ValueError, EOFError, OSError, struct.error)):
+        GGUFFile(str(truncated))
