@@ -24,6 +24,26 @@ from mistralrs_tpu.engine.engine import GenerationRequest
 from mistralrs_tpu.engine.sampler import SamplingParams
 
 
+def _num(body: dict, key: str, lo=None, hi=None, integer=False):
+    """Validated numeric request field -> value or None (absent). Raises
+    ValueError (-> HTTP 400) instead of letting a hostile value reach the
+    engine thread, where a type error would fail the whole running batch."""
+    v = body.get(key)
+    if v is None:
+        return None
+    if isinstance(v, bool) or not isinstance(v, (int, float)):
+        raise ValueError(f"{key} must be a number, got {type(v).__name__}")
+    if integer:
+        if v != int(v):
+            raise ValueError(f"{key} must be an integer, got {v}")
+        v = int(v)
+    if lo is not None and v < lo:
+        raise ValueError(f"{key} must be >= {lo}, got {v}")
+    if hi is not None and v > hi:
+        raise ValueError(f"{key} must be <= {hi}, got {v}")
+    return v
+
+
 def _parse_sampling(body: dict[str, Any]) -> SamplingParams:
     """OpenAI request body -> SamplingParams (ref chat_completion.rs:153-263)."""
     stop = body.get("stop")
@@ -35,20 +55,22 @@ def _parse_sampling(body: dict[str, Any]) -> SamplingParams:
     logit_bias = None
     if body.get("logit_bias"):
         logit_bias = {int(k): float(v) for k, v in body["logit_bias"].items()}
-    top_logprobs = body.get("top_logprobs") or 0
+    top_logprobs = _num(body, "top_logprobs", lo=0, hi=64, integer=True) or 0
+    if "max_tokens" not in body and "max_completion_tokens" in body:
+        body = {**body, "max_tokens": body["max_completion_tokens"]}
     return SamplingParams(
-        temperature=body.get("temperature"),
-        top_k=body.get("top_k"),
-        top_p=body.get("top_p"),
-        min_p=body.get("min_p"),
+        temperature=_num(body, "temperature", lo=0.0),
+        top_k=_num(body, "top_k", lo=1, integer=True),
+        top_p=_num(body, "top_p", lo=0.0, hi=1.0),
+        min_p=_num(body, "min_p", lo=0.0, hi=1.0),
         top_n_logprobs=top_logprobs,
-        frequency_penalty=body.get("frequency_penalty"),
-        presence_penalty=body.get("presence_penalty"),
+        frequency_penalty=_num(body, "frequency_penalty", lo=-2.0, hi=2.0),
+        presence_penalty=_num(body, "presence_penalty", lo=-2.0, hi=2.0),
         stop_strings=stop_strings,
-        max_len=body.get("max_tokens", body.get("max_completion_tokens")),
+        max_len=_num(body, "max_tokens", lo=1, integer=True),
         logits_bias=logit_bias,
-        n_choices=body.get("n", 1),
-        seed=body.get("seed"),
+        n_choices=_num(body, "n", lo=1, integer=True) or 1,
+        seed=_num(body, "seed", integer=True),
     )
 
 

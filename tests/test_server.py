@@ -376,3 +376,25 @@ def test_completions_token_prompt_echo_and_int_logprobs(client_and_runner):
         assert len(lp["content"][0]["top_logprobs"]) == 2
 
     _run(loop, go())
+
+
+def test_request_validation_rejects_hostile_values(client_and_runner):
+    """Invalid sampling fields must 400 at parse time — a string max_tokens
+    used to reach the engine thread and fail the whole running batch."""
+    client, runner, loop = client_and_runner
+
+    def post(body):
+        body = {"model": "m",
+                "messages": [{"role": "user", "content": "hi"}], **body}
+        return loop.run_until_complete(
+            client.post("/v1/chat/completions", json=body))
+
+    for body in ({"max_tokens": -5}, {"max_tokens": "ten"},
+                 {"max_tokens": 2, "n": 0},
+                 {"max_tokens": 2, "temperature": -1.0},
+                 {"max_tokens": 2, "top_p": 5.0},
+                 {"max_tokens": 2, "temperature": True}):
+        resp = post(body)
+        assert resp.status == 400, body
+    assert post({"max_tokens": 2, "top_k": 10**9}).status == 200
+    assert post({"max_completion_tokens": 2}).status == 200
