@@ -144,8 +144,42 @@ class Engine:
 
     # ------------------------------------------------------------- intake
     def add_request(self, req: GenerationRequest) -> SequenceGroup:
+        """Never raises: intake failures (bad grammar, out-of-vocab ids,
+        refused over-length prompts) come back as an already-finished group
+        with finish_reason=error — an exception here would kill the engine
+        thread and hang the caller (EngineHandle.submit waits on _groups)."""
         rid = req.request_id or f"req-{int(time.time()*1e6)}"
         group = SequenceGroup(rid, req.sampling.n_choices)
+        try:
+            return self._add_request(req, rid, group)
+        except Exception as e:  # noqa: BLE001 — engine thread must survive
+            while len(group.seqs) < req.sampling.n_choices:
+                seq = Sequence(list(req.prompt_tokens)[:8] or [0], req.sampling,
+                               eos_token_ids=self.eos_token_ids,
+                               max_model_len=self.max_model_len, group=group)
+                group.add(seq)
+            for seq in group.seqs:
+                if not seq.is_finished():
+                    seq.finish_error = f"{type(e).__name__}: {e}"
+                    seq.finish(StopReason.ERROR)
+                    if req.stream:
+                        seq.stream = req.stream
+                        req.stream(seq, "", StopReason.ERROR.value)
+            self._groups[rid] = group
+            self._log_event({"event": "request_rejected", "id": rid,
+                             "reason": f"{type(e).__name__}: {e}"})
+            return group
+
+    def _add_request(self, req: GenerationRequest, rid: str,
+                     group: SequenceGroup) -> SequenceGroup:
+        vocab = getattr(getattr(self.pipeline, "cfg", None), "vocab_size", None)
+        if vocab and req.prompt_tokens:
+            lo, hi = min(req.prompt_tokens), max(req.prompt_tokens)
+            if lo < 0 or hi >= vocab:
+                # device-side jnp.take would silently CLAMP bad ids
+                raise ValueError(
+                    f"prompt token id {lo if lo < 0 else hi} outside the "
+                    f"model vocabulary [0, {vocab})")
         too_long = len(req.prompt_tokens) >= self.max_model_len
         if too_long and not self.truncate_sequence:
             # ref main.rs --truncate-sequence default: refuse over-length
@@ -174,7 +208,11 @@ class Engine:
             # leaving room to generate
             keep = self.max_model_len - max(self.prefill_chunk // 4, 16)
             req.prompt_tokens = req.prompt_tokens[-keep:]
-        for _ in range(req.sampling.n_choices):
+        # build the recognizer BEFORE any scheduler admission: a failure
+        # (bad regex/grammar) must not leave earlier choices queued
+        recognizers = [self._recognizer_for(req.constraint)
+                       for _ in range(req.sampling.n_choices)]
+        for recognizer in recognizers:
             seq = Sequence(
                 req.prompt_tokens,
                 req.sampling,
@@ -183,7 +221,7 @@ class Engine:
                 detokenizer=self.detokenizer,
                 return_logprobs=req.return_logprobs,
                 group=group,
-                recognizer=self._recognizer_for(req.constraint),
+                recognizer=recognizer,
             )
             seq.stream = req.stream
             if req.images:
