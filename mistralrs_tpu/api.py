@@ -42,12 +42,45 @@ class EngineHandle:
     def __init__(self, engine: Engine, queue_size: int = 10_000):
         self.engine = engine
         self._requests: queue.Queue = queue.Queue(maxsize=queue_size)
+        # control ops (re-ISQ, adapter swap) run ON the engine thread
+        # between steps — they mutate pipeline params, which would race a
+        # concurrent step if run from the HTTP thread (ref Request::ReIsq /
+        # ActivateAdapters are engine-loop messages, engine/mod.rs:434)
+        self._controls: queue.Queue = queue.Queue()
         self._shutdown = threading.Event()
         self._thread = threading.Thread(target=self._run, daemon=True, name="engine")
         self._thread.start()
 
+    def _drain_controls(self) -> None:
+        try:
+            while True:
+                fn, box, done_evt = self._controls.get_nowait()
+                try:
+                    box.append(fn())
+                except Exception as e:  # noqa: BLE001
+                    box.append(e)
+                done_evt.set()
+        except queue.Empty:
+            pass
+
+    def run_control(self, fn):
+        """Run fn() on the engine thread between steps; returns its result
+        (re-raising its exception here on the calling thread)."""
+        if not self._thread.is_alive() and not self._shutdown.is_set():
+            self._thread = threading.Thread(target=self._run, daemon=True,
+                                            name="engine")
+            self._thread.start()
+        evt = threading.Event()
+        box: list = []
+        self._controls.put((fn, box, evt))
+        evt.wait()
+        if box and isinstance(box[0], Exception):
+            raise box[0]
+        return box[0] if box else None
+
     def _run(self) -> None:
         while not self._shutdown.is_set():
+            self._drain_controls()
             # drain incoming requests without blocking the step loop
             try:
                 while True:

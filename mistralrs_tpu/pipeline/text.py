@@ -459,6 +459,73 @@ class TextPipeline:
             return np.asarray(self.last_greedy_pack)[:, :n]
         return np.asarray(logits)[:n]
 
+    def re_isq(self, ggml_type: str) -> None:
+        """Runtime re-quantization of every linear to `ggml_type` (ref
+        pipeline/isq.rs quantize + the /re_isq route). Weights are
+        dequantized through their own forward (identity input — exact) and
+        re-packed; step functions rebuild, so the next step recompiles.
+        MUST run on the engine thread (EngineHandle.run_control) — it
+        mutates params under the step loop."""
+        from mistralrs_tpu.models.loader import _maybe_quantize, group_layers
+        from mistralrs_tpu.quant.isq import parse_isq
+        from mistralrs_tpu.quant.qlinear import Linear, linear
+
+        gtype = parse_isq(ggml_type)
+        is_lin = lambda x: isinstance(x, Linear)
+
+        def requant(lin: Linear) -> Linear:
+            if not isinstance(lin, Linear) or lin.kind == "lora":
+                return lin  # adapter banks stay; base requant would detach them
+            in_f, out_f = lin.shape
+            b = lin.data.get("b")
+            eye = jnp.eye(in_f, dtype=jnp.float32)
+            w = np.asarray(linear(lin, eye), np.float32)  # [in, out]
+            if b is not None:
+                b = np.asarray(b, np.float32)
+                w = w - b[None, :]
+            q = _maybe_quantize(np.ascontiguousarray(w.T), b, gtype, self.pc.dtype)
+            if q is None:  # not quantizable at this shape: keep dense
+                data = {"w": jnp.asarray(w, self.pc.dtype)}
+                if b is not None:
+                    data["b"] = jnp.asarray(b, self.pc.dtype)
+                return Linear(kind="dense", shape=lin.shape, data=data, meta=None)
+            return q
+
+        def take_layer(leaf, i):
+            """Leaf of a STACKED group (Linear with leading [L] data axes,
+            or a bare [L, ...] array) -> that layer's unstacked leaf."""
+            if isinstance(leaf, Linear):
+                return Linear(kind=leaf.kind, shape=leaf.shape,
+                              data={k: v[i] for k, v in leaf.data.items()},
+                              meta=leaf.meta)
+            return leaf[i]
+
+        # per-layer requant needs UNSTACKED Linears: rebuild layer dicts,
+        # requant each Linear leaf, then regroup (kinds may change -> new
+        # scan groups)
+        layers = []
+        for group, size in zip(self.params.layer_groups,
+                               self.params.group_sizes):
+            for i in range(size):
+                lp = jax.tree.map(lambda leaf, i=i: take_layer(leaf, i),
+                                  group, is_leaf=is_lin)
+                layers.append(jax.tree.map(requant, lp, is_leaf=is_lin))
+        groups, sizes = group_layers(layers)
+        lm_head = (None if self.params.lm_head is None
+                   else requant(self.params.lm_head))
+        self.params = dataclasses.replace(
+            self.params, layer_groups=groups, group_sizes=sizes,
+            lm_head=lm_head)
+        if self.mesh is not None:
+            from mistralrs_tpu.parallel.mesh import shard_params
+
+            self.params = shard_params(self.params, self.cfg, self.mesh)
+        # step functions capture nothing about kinds, but jit caches key on
+        # pytree structure — rebuilding keeps the cache small after regroup
+        self._step_fn = self._build_step_fn()
+        self._verify_fn = None
+        self._multistep_fn = None
+
     def apply_copies(self, ops: list[tuple[int, int]]) -> None:
         """COW page copies (ref cache_engine.rs copy :205)."""
         from mistralrs_tpu.ops.paged_attention import copy_pages

@@ -190,7 +190,9 @@ class OpenAIServer:
         pipe = self.runner.handle.engine.pipeline
         if not hasattr(pipe, "re_isq"):
             return False
-        pipe.re_isq(ggml_type)
+        # params mutate under the step loop: run on the engine thread
+        # between steps (ref Request::ReIsq is an engine-loop message)
+        self.runner.handle.run_control(lambda: pipe.re_isq(ggml_type))
         return True
 
     # ------------------------------------------------------------- chat
