@@ -200,11 +200,16 @@ class Runner:
 
     def activate_adapters(self, names: list[str]) -> None:
         """Runtime adapter swap — a data-only gates update, no recompile
-        (ref /activate_adapters route + AdapterSwapper)."""
+        (ref /activate_adapters route + AdapterSwapper). Runs on the engine
+        thread between steps like every params mutation."""
         from mistralrs_tpu.lora import activate_adapters as _act
 
         pipe = self.handle.engine.pipeline
-        pipe.params = _act(pipe.params, self.adapter_names, names)
+
+        def _swap():
+            pipe.params = _act(pipe.params, self.adapter_names, names)
+
+        self.handle.run_control(_swap)
 
     @classmethod
     def from_engine(cls, engine: Engine, tokenizer) -> "Runner":
