@@ -198,6 +198,15 @@ class Runner:
         self.handle = EngineHandle(engine)
         self.cfg = cfg
 
+    def send_re_isq(self, dtype: str) -> None:
+        """Runtime re-quantization (ref pyo3 Runner.send_re_isq lib.rs:935):
+        re-packs every linear to `dtype` (e.g. "Q4K", "Q8_0") on the engine
+        thread; the next step recompiles against the new formats."""
+        pipe = self.handle.engine.pipeline
+        if not hasattr(pipe, "re_isq"):
+            raise ValueError("this pipeline does not support re-ISQ")
+        self.handle.run_control(lambda: pipe.re_isq(dtype))
+
     def activate_adapters(self, names: list[str]) -> None:
         """Runtime adapter swap — a data-only gates update, no recompile
         (ref /activate_adapters route + AdapterSwapper). Runs on the engine
