@@ -670,3 +670,47 @@ def test_decode_image_rejects_local_paths_for_remote_clients(tmp_path):
     assert decode_image(b64, allow_local_files=False).size == (8, 8)
     assert decode_image("data:image/png;base64," + b64,
                         allow_local_files=False).size == (8, 8)
+
+
+def test_vision_interactive_repl(tmp_path, monkeypatch, capsys):
+    """--vi REPL: \\image attaches, bad paths don't kill the session, and a
+    multi-turn chat decodes (scripted stdin)."""
+    import builtins
+    import json as _json
+
+    from safetensors.torch import save_file
+    from tokenizers import Tokenizer, models, pre_tokenizers
+
+    cfg, hfm = _tiny_llava(seed=3)
+    d = tmp_path / "llava_repl"
+    d.mkdir()
+    save_file({k: v.contiguous() for k, v in hfm.state_dict().items()},
+              str(d / "model.safetensors"))
+    (d / "config.json").write_text(cfg.to_json_string())
+    tok = Tokenizer(models.WordLevel({f"w{i}": i for i in range(128)},
+                                     unk_token="w0"))
+    tok.pre_tokenizer = pre_tokenizers.Whitespace()
+    tok.save(str(d / "tokenizer.json"))
+    (d / "tokenizer_config.json").write_text("{}")
+
+    from mistralrs_tpu.api import VisionRunner
+    from mistralrs_tpu.pipeline.text import PipelineConfig
+    from mistralrs_tpu.server.interactive import vision_interactive_chat
+
+    pc = PipelineConfig(page_size=4, num_pages=128, max_seqs=2,
+                        max_model_len=256, prefill_buckets=(16, 32, 64),
+                        dtype=jnp.float32)
+    r = VisionRunner(str(d), "llava", dtype=jnp.float32, pipeline_config=pc)
+    img_path = tmp_path / "img.png"
+    Image.fromarray(np.random.default_rng(9).integers(
+        0, 255, (40, 50, 3), dtype=np.uint8)).save(img_path)
+    inputs = iter([
+        f"\\image {tmp_path}/nope.png", "w1 w2",  # bad path: error, survive
+        f"\\image {img_path}", "w5 w6 w7",        # good image turn
+        "exit",
+    ])
+    monkeypatch.setattr(builtins, "input", lambda prompt="": next(inputs))
+    vision_interactive_chat(r, max_tokens=4)
+    r.shutdown()
+    out = capsys.readouterr().out
+    assert "[error]" in out  # bad path reported, session continued
