@@ -262,3 +262,23 @@ def test_stochastic_prompt_lookup_runs(models):
         [3, 4, 5, 3, 4, 5, 3, 4], SamplingParams(max_len=16, temperature=0.8,
                                                  top_k=40, seed=7))
     assert len(toks) == 16
+
+
+def test_prompt_lookup_with_kv_quant(models):
+    """PLD over an int8 KV cache: verify spans run against quantized pools
+    (decoder handles (payload, scale) tuples in run_span too); greedy must
+    match the plain int8 engine."""
+    from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
+
+    tcfg, tparams, _, _, _ = models
+    prompt = [3, 4, 5, 6, 3, 4, 5, 6, 3, 4]
+
+    def pipe():
+        return _pipe(tcfg, tparams, kv_quant=True)
+
+    want, _ = Engine(pipe(), eos_token_ids=set()).generate(
+        prompt, SamplingParams(max_len=16))
+    got, _ = Engine(PromptLookupPipeline(pipe(), gamma=4),
+                    eos_token_ids=set()).generate(
+        prompt, SamplingParams(max_len=16))
+    assert got == want
