@@ -282,3 +282,25 @@ def test_prompt_lookup_with_kv_quant(models):
                     eos_token_ids=set()).generate(
         prompt, SamplingParams(max_len=16))
     assert got == want
+
+
+def test_prompt_lookup_with_ragged_backend(models):
+    """PLD over the combined ragged-backend pool (attn_backend=ragged):
+    verify spans write/read the interleaved pool; greedy must match the
+    plain ragged engine."""
+    from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
+
+    tcfg, tparams, _, _, _ = models
+    prompt = [3, 4, 5, 6, 3, 4, 5, 6, 3, 4]
+
+    def pipe():
+        p = _pipe(tcfg, tparams, attn_backend="ragged")
+        assert p.kv_combined
+        return p
+
+    want, _ = Engine(pipe(), eos_token_ids=set()).generate(
+        prompt, SamplingParams(max_len=16))
+    got, _ = Engine(PromptLookupPipeline(pipe(), gamma=4),
+                    eos_token_ids=set()).generate(
+        prompt, SamplingParams(max_len=16))
+    assert got == want
