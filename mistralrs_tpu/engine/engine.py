@@ -32,7 +32,6 @@ from mistralrs_tpu.engine.sequence import (
     SequenceGroup,
     SequenceState,
     StopReason,
-    Usage,
 )
 
 # stream callback: (seq, new_text_delta, finished_reason_or_None)
