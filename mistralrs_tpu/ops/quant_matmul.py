@@ -404,22 +404,21 @@ def _q6k_kernel(x_ref, ql_ref, qh_ref, scale_ref, o_ref, acc_ref, *, G: int):
 
     dt = x_ref.dtype
     To = o_ref.shape[1]
-    ql = ql_ref[...].astype(jnp.int32)  # [2G, To]  (Mosaic: no uint8->float cast)
     h = qh_ref[...].astype(jnp.int32)  # [G, To]
-    lo = ql & 0xF
-    hi = ql >> 4
-    q0 = lo[0:G] | ((h & 3) << 4)
-    q1 = lo[G : 2 * G] | (((h >> 2) & 3) << 4)
-    q2 = hi[0:G] | (((h >> 4) & 3) << 4)
-    q3 = hi[G : 2 * G] | ((h >> 6) << 4)
-    s = scale_ref[...]  # [G/4, To] per-16 sub-scales, permuted order
-    srep = jnp.broadcast_to(s[:, None, :], (G // 4, 16, To)).reshape(4 * G, To).astype(dt)
-    x = x_ref[...]  # [B, 4G] permuted activations
     acc = acc_ref[...]
-    for j, qj in enumerate((q0, q1, q2, q3)):
-        w = qj.astype(dt) * srep[j * G : (j + 1) * G]
+    # Unpack one span at a time so the live int32 temporaries are [G, To]
+    # rather than [2G, To]×2 + 4×[G, To] at once — peak scoped-VMEM stack
+    # stays bounded (prefill-sized calls used to OOM the 16 MiB default).
+    for j in range(4):
+        rows = pl.dslice((j % 2) * G, G)  # spans 0/2 in rows [0,G), 1/3 in [G,2G)
+        qlj = ql_ref[rows, :].astype(jnp.int32)
+        nib = (qlj & 0xF) if j < 2 else (qlj >> 4)
+        qj = nib | (((h >> (2 * j)) & 3) << 4)
+        sj = scale_ref[pl.dslice(j * (G // 16), G // 16), :]
+        srep = jnp.broadcast_to(sj[:, None, :], (G // 16, 16, To)).reshape(G, To).astype(dt)
+        w = qj.astype(dt) * srep
         acc = acc + jnp.dot(
-            x[:, j * G : (j + 1) * G], w, preferred_element_type=jnp.float32
+            x_ref[:, pl.dslice(j * G, G)], w, preferred_element_type=jnp.float32
         )
     acc_ref[...] = acc
 
@@ -453,6 +452,9 @@ def _q6k_matmul_padded(x_perm, ql, qh, scale, *, block_o: int, G: int):
         ),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
+            # the 16 MiB default scoped limit is conservative; the unpack
+            # temporaries + resident x tile need headroom at larger B
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * O * K,
@@ -472,7 +474,14 @@ def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512) -> jax.Array:
     bo = min(block_o, out_f)
     while out_f % bo:
         bo //= 2
-    if G is None or G < 64 or bo < 128:
+    n_rows = 1
+    for d in lead:
+        n_rows *= d
+    if G is None or G < 64 or bo < 128 or n_rows > 256:
+        # n_rows > 256 = prefill-sized calls: those are compute-bound, so the
+        # dequant-then-XLA-dot path is the right one (weight expansion
+        # amortizes over many tokens) and the GEMV kernel's resident x tile
+        # [B, 4G] would crowd VMEM.
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
         return _ref_forward(lin, x)
