@@ -64,9 +64,9 @@ def _q4k_kernel(x_ref, qs_ref, scale_ref, o_ref, acc_ref, *, block_k: int):
     acc = acc_ref[...]
     for i in range(nsub):
         p1 = jnp.dot(x1[:, 32 * i : 32 * i + 32], lo[32 * i : 32 * i + 32],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         p2 = jnp.dot(x2[:, 32 * i : 32 * i + 32], hi[32 * i : 32 * i + 32],
-                     preferred_element_type=jnp.float32)
+                     preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
         acc = acc + p1 * s1[i][None, :] + p2 * s2[i][None, :]
     acc_ref[...] = acc
 
@@ -184,7 +184,7 @@ def _affine_kernel(x_ref, q_ref, scale_ref, o_ref, acc_ref, *, bits: int,
         sj = scale_ref[pl.dslice(off // group, nsub), :].astype(dt)
         srep = jnp.broadcast_to(sj[:, None, :], (nsub, group, To)).reshape(block_k, To)
         xj = x_ref[:, pl.dslice(pl.multiple_of(off, 32), block_k)]
-        acc = acc + jnp.dot(xj, vals * srep, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(xj, vals * srep, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     acc_ref[...] = acc
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
@@ -289,7 +289,7 @@ def _q5k_hbit_kernel(x_ref, qh_ref, scale_ref, o_ref, acc_ref, *, block_k: int):
         sj = scale_ref[pl.dslice(off // 32, nsub), :].astype(dt)
         srep = jnp.broadcast_to(sj[:, None, :], (nsub, 32, To)).reshape(block_k, To)
         xj = x_ref[:, pl.dslice(pl.multiple_of(off, 32), block_k)]
-        acc = acc + jnp.dot(xj, bits * srep, preferred_element_type=jnp.float32)
+        acc = acc + jnp.dot(xj, bits * srep, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     acc_ref[...] = acc
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
@@ -418,7 +418,7 @@ def _q6k_kernel(x_ref, ql_ref, qh_ref, scale_ref, o_ref, acc_ref, *, G: int):
         srep = jnp.broadcast_to(sj[:, None, :], (G // 16, 16, To)).reshape(G, To).astype(dt)
         w = qj.astype(dt) * srep
         acc = acc + jnp.dot(
-            x_ref[:, pl.dslice(j * G, G)], w, preferred_element_type=jnp.float32
+            x_ref[:, pl.dslice(j * G, G)], w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
         )
     acc_ref[...] = acc
 
@@ -514,7 +514,7 @@ def _q8_0_kernel(x_ref, q_ref, scale_ref, o_ref, acc_ref):
     nsub, To = scale.shape
     scale_rep = jnp.broadcast_to(scale[:, None, :], (nsub, 32, To)).reshape(nsub * 32, To)
     w = q * scale_rep
-    acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32)
+    acc_ref[...] += jnp.dot(x, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
     def _():

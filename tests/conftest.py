@@ -18,8 +18,10 @@ _ON_HW = os.environ.get("MISTRALRS_TPU_TESTS") == "1"
 if not _ON_HW:
     jax.config.update("jax_platforms", "cpu")
     jax.config.update("jax_num_cpu_devices", 8)
-# Numerics tests compare against f32 torch/numpy references.
-jax.config.update("jax_default_matmul_precision", "highest")
+    # Numerics tests compare against f32 torch/numpy references. Only off
+    # hardware: on TPU this global poisons every Pallas kernel's jnp.dot
+    # (bf16 operands + fp32 contract precision -> Mosaic "Bad lhs type").
+    jax.config.update("jax_default_matmul_precision", "highest")
 
 
 def pytest_configure(config):
