@@ -154,7 +154,10 @@ def _use_more_bits(i_layer: int, n_layer: int) -> bool:
     )
 
 
-def _build_7b_q4km(dtype):
+def _build_7b_q4km(dtype, num_layers: int = 32):
+    """num_layers < 32 builds a proportionally-shallower model with the same
+    per-layer bytes/compute — used by the scripts/ A/B harnesses to fit
+    their time caps on this 1-core host (relative deltas are unaffected)."""
     import jax
     import jax.numpy as jnp
 
@@ -163,7 +166,7 @@ def _build_7b_q4km(dtype):
 
     cfg = ModelConfig(
         arch="mistral", vocab_size=32000, hidden_size=4096, intermediate_size=14336,
-        num_layers=32, num_heads=32, num_kv_heads=8, head_dim=128,
+        num_layers=num_layers, num_heads=32, num_kv_heads=8, head_dim=128,
         max_position_embeddings=4096, rope_theta=1e6,
     )
     rng = np.random.default_rng(0)
@@ -252,7 +255,15 @@ def main():
 
 
 def _run():
+    import jax
     import jax.numpy as jnp  # noqa: F401
+
+    # persistent XLA compile cache: the first bench run on a fresh toolchain
+    # pays 20-40s per jitted variant through the tunnel; every later run
+    # (including the driver's capture) reloads them in ms
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("MISTRALRS_CACHE_DIR", "/tmp/mistralrs_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from mistralrs_tpu.engine.engine import Engine, GenerationRequest
     from mistralrs_tpu.engine.sampler import SamplingParams

@@ -41,17 +41,17 @@ from mistralrs_tpu.ops.paged_attention import (
 
 def _flash_dtype(q_dtype):
     """Streaming dtype for the flash prefill kernel. bf16 halves the
-    kernel's HBM traffic on the pp path (VERDICT r1 weak #5); default stays
-    f32 until the bf16 path is validated/measured on the real toolchain —
-    set MISTRALRS_FLASH_BF16=1 to stream bf16 (softmax still accumulates in
-    f32 inside the kernel)."""
+    kernel's HBM traffic on the pp path (VERDICT r1 weak #5) and is now the
+    default: test_flash_prefill_bf16_matches_f32 passed on the real v5e
+    toolchain (2026-08-18; softmax still accumulates in f32 inside the
+    kernel). Set MISTRALRS_FLASH_BF16=0 to stream f32 for A/B."""
     import os
 
     import jax.numpy as jnp
 
-    if os.environ.get("MISTRALRS_FLASH_BF16") == "1":
-        return q_dtype
-    return jnp.float32
+    if os.environ.get("MISTRALRS_FLASH_BF16") == "0":
+        return jnp.float32
+    return q_dtype
 
 
 def _use_flash_prefill(cfg: ModelConfig, T: int, meta) -> bool:

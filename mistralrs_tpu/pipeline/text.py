@@ -121,9 +121,11 @@ class TextPipeline:
 
             import jax as _jax
 
-            # CPU-verified; flip on for TPU once the tpu-marked
-            # test_ragged_dot_moe_on_chip passes on this toolchain
-            if _jax.default_backend() == "cpu":
+            # validated on both backends: CPU parity suite + the tpu-marked
+            # test_ragged_dot_moe_on_chip / test_gmm_grouped_moe_on_chip
+            # (passed on the v5e toolchain 2026-08-18) — grouped dispatch
+            # computes only the routed E/K fraction of expert FLOPs
+            if _jax.default_backend() in ("cpu", "tpu"):
                 cfg = _dc.replace(cfg, moe_grouped=True)
                 self.cfg = cfg
         self.pc = pc

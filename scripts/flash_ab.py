@@ -25,7 +25,10 @@ def _pp_rate(flag: str) -> float:
     from mistralrs_tpu.models.loader import make_rope
     from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
 
-    cfg, params = driver_bench._build_7b_q4km(jnp.bfloat16)
+    # 8 layers: same per-layer flash work, 4x cheaper build/compile on this
+    # 1-core host (the full-depth build blew the r2 queue's 580s cap);
+    # the f32-vs-bf16 ratio is per-layer so depth cancels out
+    cfg, params = driver_bench._build_7b_q4km(jnp.bfloat16, num_layers=8)
     rope = make_rope(cfg, 2048)
     pc = PipelineConfig(page_size=16, num_pages=512, max_seqs=4,
                         max_model_len=2048, prefill_buckets=(512,))

@@ -37,11 +37,14 @@ def _time(fn, *args) -> float:
 
 
 def _weights(rng, dtype):
-    import jax.numpy as jnp
+    # generate ON DEVICE: ~11 GB of host-side standard_normal took minutes
+    # on this 1-core host (the r2 queue run timed out before printing)
+    import jax
 
-    wg = jnp.asarray(rng.standard_normal((E, H, I)) * 0.02, dtype)
-    wu = jnp.asarray(rng.standard_normal((E, H, I)) * 0.02, dtype)
-    wd = jnp.asarray(rng.standard_normal((E, I, H)) * 0.02, dtype)
+    ks = jax.random.split(jax.random.key(0), 3)
+    wg = (jax.random.normal(ks[0], (E, H, I), dtype) * 0.02).astype(dtype)
+    wu = (jax.random.normal(ks[1], (E, H, I), dtype) * 0.02).astype(dtype)
+    wd = (jax.random.normal(ks[2], (E, I, H), dtype) * 0.02).astype(dtype)
     return wg, wu, wd
 
 
