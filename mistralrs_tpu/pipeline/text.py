@@ -113,19 +113,21 @@ class TextPipeline:
             )
             pc = dataclasses.replace(pc, num_pages=n)
         if cfg.is_moe and mesh is None and not cfg.moe_grouped:
-            # grouped dropless dispatch off-mesh (decoder._moe_mlp_grouped);
-            # gated to backends where lax.ragged_dot is known to lower (the
-            # axon tunnel toolchain is validated separately by the tpu-marked
-            # tests before flipping it on there)
+            # grouped dropless dispatch off-mesh (decoder._moe_mlp_grouped):
+            # validated on both backends (CPU parity suite + the tpu-marked
+            # ragged_dot/gmm tests, passed on the v5e toolchain 2026-08-18),
+            # so it defaults ON where lax.ragged_dot is known to lower —
+            # grouped dispatch computes only the routed E/K fraction of
+            # expert FLOPs. MISTRALRS_MOE_GROUPED=0 is the escape hatch
+            # (mirrors the MISTRALRS_FLASH_BF16 gate) and keeps dense-vs-
+            # grouped A/B possible through TextPipeline.
             import dataclasses as _dc
+            import os as _os
 
             import jax as _jax
 
-            # validated on both backends: CPU parity suite + the tpu-marked
-            # test_ragged_dot_moe_on_chip / test_gmm_grouped_moe_on_chip
-            # (passed on the v5e toolchain 2026-08-18) — grouped dispatch
-            # computes only the routed E/K fraction of expert FLOPs
-            if _jax.default_backend() in ("cpu", "tpu"):
+            if (_jax.default_backend() in ("cpu", "tpu")
+                    and _os.environ.get("MISTRALRS_MOE_GROUPED") != "0"):
                 cfg = _dc.replace(cfg, moe_grouped=True)
                 self.cfg = cfg
         self.pc = pc

@@ -1,7 +1,9 @@
 """A/B the flash-prefill streaming dtype on hardware (VERDICT r1 weak #5).
 
 Builds the driver bench's synthetic 7B Q4_K_M model, times batched prefill
-(the pp path) with MISTRALRS_FLASH_BF16 unset vs =1, prints both rates.
+(the pp path) with MISTRALRS_FLASH_BF16=0 vs =1 (bf16 streaming is the
+default since round 2, so "unset" would be a no-op comparison), prints both
+rates.
 A fresh engine per setting: the env var is read at trace time, so reusing
 one jitted pipeline would silently keep the first compilation.
 

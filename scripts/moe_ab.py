@@ -36,15 +36,15 @@ def _time(fn, *args) -> float:
     return (time.time() - t0) / ITERS
 
 
-def _weights(rng, dtype):
+def _weights(dtype):
     # generate ON DEVICE: ~11 GB of host-side standard_normal took minutes
     # on this 1-core host (the r2 queue run timed out before printing)
     import jax
 
     ks = jax.random.split(jax.random.key(0), 3)
-    wg = (jax.random.normal(ks[0], (E, H, I), dtype) * 0.02).astype(dtype)
-    wu = (jax.random.normal(ks[1], (E, H, I), dtype) * 0.02).astype(dtype)
-    wd = (jax.random.normal(ks[2], (E, I, H), dtype) * 0.02).astype(dtype)
+    wg = jax.random.normal(ks[0], (E, H, I), dtype) * 0.02
+    wu = jax.random.normal(ks[1], (E, H, I), dtype) * 0.02
+    wd = jax.random.normal(ks[2], (E, I, H), dtype) * 0.02
     return wg, wu, wd
 
 
@@ -65,7 +65,7 @@ def main():
     from mistralrs_tpu.ops.grouped_gemm import grouped_matmul
 
     rng = np.random.default_rng(3)
-    wg, wu, wd = _weights(rng, jnp.bfloat16)
+    wg, wu, wd = _weights(jnp.bfloat16)
 
     for name, n_tok in [("decode b=16", 16), ("prefill 512", 512)]:
         x = jnp.asarray(rng.standard_normal((n_tok, H)) * 0.1, jnp.bfloat16)

@@ -145,15 +145,16 @@ def test_ragged_dot_moe_on_chip():
 def test_flash_prefill_bf16_matches_f32(monkeypatch):
     """bf16-streamed flash prefill (MISTRALRS_FLASH_BF16=1) must track the
     f32-streamed path on hardware: same greedy tokens from the same bf16
-    model (the two paths differ only in the kernel's streaming dtype). If
-    this passes, flip the default in models/decoder._flash_dtype and record
-    the pp delta in PERF.md."""
+    model (the two paths differ only in the kernel's streaming dtype).
+    bf16 streaming is the default since round 2, so the baseline arm must
+    force =0 explicitly — with the env unset both arms would stream bf16
+    and the parity assertion would be vacuous."""
     import jax.numpy as jnp
 
     cfg, params = _tiny(dtype_name="bfloat16")
     rng = np.random.default_rng(7)
     prompt = rng.integers(3, 250, size=128).tolist()
-    monkeypatch.delenv("MISTRALRS_FLASH_BF16", raising=False)
+    monkeypatch.setenv("MISTRALRS_FLASH_BF16", "0")
     base = _generate(cfg, params, prompt, flash=True, dtype=jnp.bfloat16)
     monkeypatch.setenv("MISTRALRS_FLASH_BF16", "1")
     bf16 = _generate(cfg, params, prompt, flash=True, dtype=jnp.bfloat16)
