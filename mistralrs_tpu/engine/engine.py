@@ -70,10 +70,14 @@ class Engine:
         self.pipeline = pipeline
         pc = pipeline.pc
         self.is_speculative = getattr(pipeline, "is_speculative", False)
-        if self.is_speculative:
-            # shared prefix pages would leave the draft cache inconsistent
-            # (ref disables prefix caching in composite pipelines too)
-            prefix_cache = False
+        # Prefix caching composes with speculative decoding: draft and
+        # target caches are indexed by the SAME page ids (one block_manager),
+        # so a trie-retained page preserves both pools' KV — a hit replays
+        # consistent draft AND target state, and the first post-hit prefill
+        # chunk sets seq.draft_kv_len past the matched pages. (The reference
+        # disables its prefix cacher in composite pipelines; this is a
+        # deliberate capability beyond it — see tests/test_speculative.py
+        # prefix-cache composition test.)
         self.block_manager = make_block_manager(pc.num_pages, pc.page_size)
         self.truncate_sequence = truncate_sequence
         self.prefix_cacher = (

@@ -68,6 +68,12 @@ class ModelConfig:
     # expert-axis partitioning)
     moe_grouped: bool = False
 
+    # Fused-projection shard interleave (quant/fuse.py): chunk s of a fused
+    # qkv/gateup out axis holds shard s's [q_s|k_s|v_s] / [gate_s|up_s], so
+    # plain column-parallel TP sharding lands each device exactly its heads
+    # with zero collectives. 1 = plain concatenation (unsharded).
+    fuse_interleave: int = 1
+
     def __post_init__(self):
         assert self.num_heads % self.num_kv_heads == 0
 

@@ -185,7 +185,17 @@ def _mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) -> jax
     if "gateup" in p:  # fused gate/up projection (quant/fuse.py)
         gu = linear(p["gateup"], x, lora_sc)
         I = cfg.intermediate_size
-        return linear(p["down"], act(gu[..., :I]) * gu[..., I:], lora_sc)
+        S = cfg.fuse_interleave
+        if S > 1:
+            # shard-interleaved layout: chunk s = [gate_s|up_s]; computing
+            # silu(gate_s)*up_s per chunk and re-merging yields h in natural
+            # feature order, already sharded to match row-parallel `down`.
+            gu4 = gu.reshape(*gu.shape[:-1], S, 2 * I // S)
+            h = act(gu4[..., : I // S]) * gu4[..., I // S :]
+            h = h.reshape(*gu.shape[:-1], I)
+        else:
+            h = act(gu[..., :I]) * gu[..., I:]
+        return linear(p["down"], h, lora_sc)
     if cfg.mlp_style == "gated":
         return linear(
             p["down"], act(linear(p["gate"], x, lora_sc)) * linear(p["up"], x, lora_sc), lora_sc
@@ -262,9 +272,21 @@ def _attention(
     Hq, Hkv, D = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
     if "qkv" in p:  # fused projection (quant/fuse.py)
         qkv = linear(p["qkv"], x, lora_sc)
-        q = qkv[..., : Hq * D].reshape(B, T, Hq, D)
-        k = qkv[..., Hq * D : (Hq + Hkv) * D].reshape(B, T, Hkv, D)
-        v = qkv[..., (Hq + Hkv) * D :].reshape(B, T, Hkv, D)
+        S = cfg.fuse_interleave
+        if S > 1:
+            # shard-interleaved layout: chunk s = [q_s|k_s|v_s] for TP shard
+            # s; the reshape keeps every slice local to its device under
+            # column-parallel sharding, and merging (S, Hq/S) restores the
+            # natural head order.
+            hq, hkv = Hq // S, Hkv // S
+            qkv4 = qkv.reshape(B, T, S, (hq + 2 * hkv) * D)
+            q = qkv4[..., : hq * D].reshape(B, T, Hq, D)
+            k = qkv4[..., hq * D : (hq + hkv) * D].reshape(B, T, Hkv, D)
+            v = qkv4[..., (hq + hkv) * D :].reshape(B, T, Hkv, D)
+        else:
+            q = qkv[..., : Hq * D].reshape(B, T, Hq, D)
+            k = qkv[..., Hq * D : (Hq + Hkv) * D].reshape(B, T, Hkv, D)
+            v = qkv[..., (Hq + Hkv) * D :].reshape(B, T, Hkv, D)
     else:
         q = linear(p["q"], x, lora_sc).reshape(B, T, Hq, D)
         k = linear(p["k"], x, lora_sc).reshape(B, T, Hkv, D)

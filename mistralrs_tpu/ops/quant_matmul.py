@@ -132,12 +132,19 @@ def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int =
     in_f, out_f = lin.shape
     lead = x.shape[:-1]
     bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)
-    if bk < 512 or in_f % 512:
+    n_rows = 1
+    for d in lead:
+        n_rows *= d
+    if bk < 512 or in_f % 512 or n_rows > 256:
         # the kernel's alignment hints (Khalf + k*bkh multiple of 128, scale
         # row (Khalf + k*bkh)//32 multiple of 8) are only TRUE when
         # in % 512 == 0 — e.g. in=576 picks bk=576 with Khalf=288 and Mosaic
         # would mis-lower the dynamic slices silently; such shapes (and tiny
-        # matrices) fall back to the fused XLA reference
+        # matrices) fall back to the fused XLA reference.
+        # n_rows > 256 = prefill-sized calls: compute-bound, so dequant-
+        # then-XLA-dot is right, and the kernel's resident [B, K] x tile
+        # would blow the 16 MiB scoped-VMEM stack (seen on-chip at B=2048:
+        # bf16[2048,4096] = 16 MiB + temporaries).
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
         return _ref_forward(lin, x)
@@ -245,6 +252,12 @@ def affine_qmatmul(lin: Linear, x: jax.Array, *, bits: int, group: int,
             or K_per % 32 or in_f % group):
         return None
     lead = x.shape[:-1]
+    n_rows = 1
+    for d in lead:
+        n_rows *= d
+    if n_rows > 256:
+        # prefill-sized: compute-bound; see q4k_matmul (scoped-VMEM)
+        return None
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
     y = _affine_matmul_padded(
         x2, lin.data[q_key], lin.data["scale"], lin.data[zs_key],
@@ -365,9 +378,13 @@ def q5k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int = 
     bk8 = min(bk // 8, K8)
     while K8 % bk8:
         bk8 //= 2
-    if bk < 512 or in_f % 512 or bk8 < 32 or K8 % 32:
+    n_rows = 1
+    for d in lead:
+        n_rows *= d
+    if bk < 512 or in_f % 512 or bk8 < 32 or K8 % 32 or n_rows > 256:
         # q4k paired kernel alignment (see q4k_matmul: in % 512) + hbit
-        # planes need 32-aligned element offsets for the scale sub-slices
+        # planes need 32-aligned element offsets for the scale sub-slices;
+        # n_rows > 256 = prefill-sized: see q4k_matmul (scoped-VMEM)
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
         return _ref_forward(lin, x)
@@ -554,6 +571,14 @@ def _q8_0_matmul_padded(x, q, scale, *, block_o: int, block_k: int):
 def q8_0_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int = 1024) -> jax.Array:
     in_f, out_f = lin.shape
     lead = x.shape[:-1]
+    n_rows = 1
+    for d in lead:
+        n_rows *= d
+    if n_rows > 256:
+        # prefill-sized: compute-bound; see q4k_matmul (scoped-VMEM)
+        from mistralrs_tpu.quant.gguf_linear import _ref_forward
+
+        return _ref_forward(lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
     bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)
     y = _q8_0_matmul_padded(x2, lin.data["q"], lin.data["scale"], block_o=bo, block_k=bk)

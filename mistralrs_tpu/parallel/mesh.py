@@ -108,12 +108,21 @@ def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
     def layer_specs(lp: dict[str, Any]) -> dict[str, Any]:
         out: dict[str, Any] = {}
         attn = lp["attn"]
-        a: dict[str, Any] = {
-            "q": map_linear(attn["q"], True, True),
-            "k": map_linear(attn["k"], True, True),
-            "v": map_linear(attn["v"], True, True),
-            "o": map_linear(attn["o"], False, True),
-        }
+        if "qkv" in attn:
+            # shard-interleaved fused projection (quant/fuse.py interleave):
+            # plain column-parallel sharding lands chunk s = [q_s|k_s|v_s]
+            # on shard s with no reshuffle
+            a: dict[str, Any] = {
+                "qkv": map_linear(attn["qkv"], True, True),
+                "o": map_linear(attn["o"], False, True),
+            }
+        else:
+            a = {
+                "q": map_linear(attn["q"], True, True),
+                "k": map_linear(attn["k"], True, True),
+                "v": map_linear(attn["v"], True, True),
+                "o": map_linear(attn["o"], False, True),
+            }
         for nk in ("q_norm", "k_norm"):
             if nk in attn:
                 a[nk] = norm_spec(True)(attn[nk])
@@ -134,6 +143,11 @@ def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
                 data={k: P(None, None, None) if k == "w" else P(None, None) for k in mlp["router"].data},
                 meta=mlp["router"].meta,
             )
+        elif "gateup" in mlp:
+            out["mlp"] = {
+                "gateup": map_linear(mlp["gateup"], True, True),
+                "down": map_linear(mlp["down"], False, True),
+            }
         elif "gate" in mlp:
             out["mlp"] = {
                 "gate": map_linear(mlp["gate"], True, True),

@@ -58,9 +58,10 @@ class PipelineConfig:
     # the on-device argmax loop amortizes it (tokens past a stop condition
     # are discarded by the engine, like speculative overshoot).
     decode_steps: int = 8
-    # fuse q/k/v and gate/up projections into wide GEMMs (quant/fuse.py);
-    # applied only when unsharded (fused concat axes don't align with TP
-    # head sharding)
+    # fuse q/k/v and gate/up projections into wide GEMMs (quant/fuse.py,
+    # measured +11% on 7B decode). Under a TP mesh the fused out axis is
+    # laid out shard-interleaved (chunk s = [q_s|k_s|v_s]) so column-
+    # parallel sharding needs no reshuffle (cfg.fuse_interleave).
     fuse_projections: bool = True
     kv_head_major: bool | None = None  # None = auto by max_model_len
     # int8 KV cache with per-(slot, head) f32 scales: ~2x pages in the same
@@ -133,10 +134,20 @@ class TextPipeline:
         self.pc = pc
         self.mesh = mesh
         self.max_pages_per_seq = math.ceil(pc.max_model_len / pc.page_size)
-        if pc.fuse_projections and mesh is None:
+        if pc.fuse_projections:
             from mistralrs_tpu.quant.fuse import fuse_decoder_params
 
-            params = fuse_decoder_params(params)
+            tp = (mesh.shape["tp"]
+                  if mesh is not None and "tp" in mesh.axis_names else 1)
+            if (tp == 1 or (cfg.num_heads % tp == 0
+                            and cfg.num_kv_heads % tp == 0
+                            and cfg.intermediate_size % tp == 0)):
+                params = fuse_decoder_params(params, interleave=tp)
+                if tp > 1:
+                    import dataclasses as _dc
+
+                    cfg = _dc.replace(cfg, fuse_interleave=tp)
+                    self.cfg = cfg
         # KV pool layout: token-major scatters/gathers fastest at short
         # context; head-major is what the Pallas block-table decode kernel
         # streams (only engaged at span >= 4096, see _use_paged_decode_kernel)

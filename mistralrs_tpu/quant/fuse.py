@@ -35,13 +35,21 @@ _CAT_AXIS1 = {
 }
 
 
-def fuse_linears(lins: list[Linear]) -> Linear | None:
+def fuse_linears(lins: list[Linear], interleave: int = 1) -> Linear | None:
     """Concatenate same-kind, same-in-features linears along out-features.
     Works on plain (2D) and stacked ([L, ...]) layouts alike: every layout
     here keeps `out` on the LAST axis of each data leaf (and bias is 1D/2D
     ending in out), so the concat axis is -1 throughout. Returns None when
     fusion isn't possible (mixed kinds, lora wrappers, g_idx gathers,
-    unknown layouts)."""
+    unknown layouts).
+
+    interleave = S > 1 produces the TP-shardable layout: each linear's out
+    axis splits into S equal chunks and the fused axis is
+    [l0_c0|l1_c0|...|l0_c1|l1_c1|...], so column-parallel sharding over S
+    devices gives shard s exactly [l0_cs|l1_cs|...] — its own q/k/v heads
+    (or gate/up features) with no cross-device reshuffle. Exact for every
+    packed layout here because quant blocks run along `in`; each out
+    feature's bytes are independent. Requires every out size % S == 0."""
     kinds = {l.kind for l in lins}
     if len(kinds) != 1:
         return None
@@ -53,6 +61,8 @@ def fuse_linears(lins: list[Linear]) -> Linear | None:
     if len({l.meta for l in lins}) != 1:
         return None
     if any("g_idx" in l.data for l in lins):
+        return None
+    if interleave > 1 and any(l.shape[1] % interleave for l in lins):
         return None
     # act-order row permutations (GPTQ desc_act): each linear sorts its q
     # rows by its OWN g_idx, so fusing is only sound when every input
@@ -69,7 +79,20 @@ def fuse_linears(lins: list[Linear]) -> Linear | None:
     has_bias = [l.data.get("b") is not None for l in lins]
     if any(has_bias) and not all(has_bias):
         return None
-    cat = jax.jit(lambda *xs: jnp.concatenate(xs, axis=-1))
+    if interleave > 1:
+        outs = [l.shape[1] for l in lins]
+
+        @jax.jit
+        def cat(*xs):
+            # split each out axis into S chunks, concat chunk-s-major
+            chunked = [
+                x.reshape(*x.shape[:-1], interleave, x.shape[-1] // interleave)
+                for x in xs
+            ]
+            y = jnp.concatenate(chunked, axis=-1)  # [..., S, sum/S]
+            return y.reshape(*y.shape[:-2], y.shape[-2] * y.shape[-1])
+    else:
+        cat = jax.jit(lambda *xs: jnp.concatenate(xs, axis=-1))
     data = {}
     for key in _CAT_AXIS1[kind]:
         data[key] = cat(*[l.data[key] for l in lins])
@@ -110,12 +133,13 @@ def split_linear(lin: Linear, sizes: list[int]) -> list[Linear] | None:
     return outs
 
 
-def fuse_decoder_params(params):
+def fuse_decoder_params(params, interleave: int = 1):
     """Fuse q/k/v -> qkv and gate/up -> gateup in every scan group, operating
     directly on the stacked leaves (no per-layer unstacking: an unstack/
     re-stack round trip would transiently triple device memory on large
     models). Group structure and sizes are unchanged; the decoder dispatches
-    on which keys are present."""
+    on which keys are present. interleave > 1 = the TP-shardable layout
+    (see fuse_linears); the caller must set cfg.fuse_interleave to match."""
     import dataclasses
 
     new_groups = []
@@ -123,7 +147,8 @@ def fuse_decoder_params(params):
         g = jax.tree.map(lambda x: x, g)
         attn = g["attn"]
         if all(k in attn for k in ("q", "k", "v")):
-            fused = fuse_linears([attn["q"], attn["k"], attn["v"]])
+            fused = fuse_linears([attn["q"], attn["k"], attn["v"]],
+                                 interleave=interleave)
             if fused is not None:
                 # split sizes derive statically from ModelConfig in the decoder
                 new_attn = {k: v for k, v in attn.items() if k not in ("q", "k", "v")}
@@ -131,7 +156,8 @@ def fuse_decoder_params(params):
                 g["attn"] = new_attn
         mlp = g.get("mlp", {})
         if all(k in mlp for k in ("gate", "up")) and "anymoe" not in mlp:
-            fused = fuse_linears([mlp["gate"], mlp["up"]])
+            fused = fuse_linears([mlp["gate"], mlp["up"]],
+                                 interleave=interleave)
             if fused is not None:
                 new_mlp = {k: v for k, v in mlp.items() if k not in ("gate", "up")}
                 new_mlp["gateup"] = fused

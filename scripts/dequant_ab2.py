@@ -41,16 +41,16 @@ BO, BK = 1024, 1024
 B = 8
 
 
-def _time_scan(f, x) -> float:
+def _time_scan(f, x, *ws) -> float:
+    """Weights passed as ARGS — closed-over device arrays become jit
+    constants and the axon AOT compile ships them through the tunnel."""
     import jax
 
-    def step(h, _):
-        return f(h), None
-
-    g = jax.jit(lambda v: jax.lax.scan(step, v, None, length=ITERS)[0])
-    np.asarray(g(x))
+    g = jax.jit(lambda v, *w: jax.lax.scan(
+        lambda h, _: (f(h, *w), None), v, None, length=ITERS)[0])
+    np.asarray(g(x, *ws))
     t0 = time.time()
-    np.asarray(g(x))
+    np.asarray(g(x, *ws))
     return (time.time() - t0) / ITERS
 
 
@@ -96,8 +96,7 @@ def _run_pallas(kern, with_scale, args, label):
 
     qs, scale, minv, x = args
 
-    @jax.jit
-    def f(xin):
+    def f(xin, qs, scale):
         import jax.numpy as jnp
 
         ops = (xin, qs, scale) if with_scale else (xin, qs)
@@ -108,7 +107,7 @@ def _run_pallas(kern, with_scale, args, label):
         return xin + y[:, :K] * 0
 
     try:
-        dt = _time_scan(f, x)
+        dt = _time_scan(f, x, qs, scale)
         gbs = (K // 2 * O + (K // 32 * O * 2 if with_scale else 0)) / dt / 1e9
         print(f"{label:12s}: {dt * 1e3:7.3f} ms  ({gbs:5.0f} GB/s packed)",
               flush=True)
@@ -224,12 +223,11 @@ def main():
 
     from mistralrs_tpu.ops.quant_matmul import _q4k_matmul_padded
 
-    @jax.jit
-    def cur(xin):
+    def cur(xin, qs, scale, minv):
         y = _q4k_matmul_padded(xin, qs, scale, minv, block_o=BO, block_k=BK)
         return xin + y[:, :K] * 0
 
-    dt4 = _time_scan(cur, x)
+    dt4 = _time_scan(cur, x, qs, scale, minv)
     print(f"{'E4 current':12s}: {dt4 * 1e3:7.3f} ms", flush=True)
 
     # exact-math check: E3 + min-term == current
@@ -256,10 +254,10 @@ def main():
     try:
         w4 = jnp.asarray(rng.integers(-8, 8, (K, O)), jnp.int4)
 
-        def xla4(xin):
+        def xla4(xin, w4):
             return xin + jnp.dot(xin, w4.astype(jnp.bfloat16))[:, :K] * 0
 
-        dt = _time_scan(jax.jit(xla4), x)
+        dt = _time_scan(xla4, x, w4)
         print(f"{'E5 xla-int4':12s}: {dt * 1e3:7.3f} ms "
               f"({K * O / 2 / dt / 1e9:5.0f} GB/s if packed-stream)", flush=True)
     except Exception as e:
@@ -267,22 +265,22 @@ def main():
     try:
         sb = jnp.asarray(rng.standard_normal((K // 32, 1, O)) * 0.01, jnp.bfloat16)
 
-        def xla4s(xin):
+        def xla4s(xin, w4, sb):
             w = (w4.astype(jnp.bfloat16).reshape(K // 32, 32, O) * sb
                  ).reshape(K, O)
             return xin + jnp.dot(xin, w)[:, :K] * 0
 
-        dt = _time_scan(jax.jit(xla4s), x)
+        dt = _time_scan(xla4s, x, w4, sb)
         print(f"{'E6 xla-int4s':12s}: {dt * 1e3:7.3f} ms", flush=True)
     except Exception as e:
         print(f"E6 xla-int4s: FAIL {type(e).__name__}: {str(e)[:110]}", flush=True)
     try:
         w8 = jnp.asarray(rng.integers(-128, 128, (K, O)), jnp.int8)
 
-        def xla8(xin):
+        def xla8(xin, w8):
             return xin + jnp.dot(xin, w8.astype(jnp.bfloat16))[:, :K] * 0
 
-        dt = _time_scan(jax.jit(xla8), x)
+        dt = _time_scan(xla8, x, w8)
         print(f"{'E7 xla-int8':12s}: {dt * 1e3:7.3f} ms "
               f"({K * O / dt / 1e9:5.0f} GB/s if packed-stream)", flush=True)
     except Exception as e:

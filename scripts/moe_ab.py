@@ -27,9 +27,17 @@ ITERS = 20
 
 
 def _time(fn, *args) -> float:
+    """fn(x, *weights) -> x'; weights passed as ARGS (a closed-over device
+    array becomes a jit CONSTANT and the axon AOT compile ships all ~3 GB
+    of expert weights through the tunnel — the r3 queue run timed out on
+    exactly that)."""
     import jax
 
-    f = jax.jit(fn)
+    def step(h, ws, _):
+        return fn(h, *ws), None
+
+    f = jax.jit(lambda x, *ws: jax.lax.scan(
+        lambda h, _: step(h, ws, _), x, None, length=ITERS)[0])
     np.asarray(f(*args))  # compile + warm
     t0 = time.time()
     np.asarray(f(*args))
@@ -48,16 +56,6 @@ def _weights(dtype):
     return wg, wu, wd
 
 
-def _scan(body, x0):
-    """ITERS chained applications so per-dispatch overhead amortizes."""
-    import jax
-
-    def step(h, _):
-        return body(h), None
-
-    return lambda x: jax.lax.scan(step, x, None, length=ITERS)[0]
-
-
 def main():
     import jax
     import jax.numpy as jnp
@@ -71,13 +69,13 @@ def main():
         x = jnp.asarray(rng.standard_normal((n_tok, H)) * 0.1, jnp.bfloat16)
         router = jnp.asarray(rng.standard_normal((H, E)) * 0.1, jnp.bfloat16)
 
-        def route(xt):
+        def route(xt, router):
             logits = (xt @ router).astype(jnp.float32)
             topw, topi = jax.lax.top_k(logits, K)
             return jax.nn.softmax(topw, axis=-1), topi
 
-        def dense(xt):
-            topw, topi = route(xt)
+        def dense(xt, wg, wu, wd, router):
+            topw, topi = route(xt, router)
             mask = jax.nn.one_hot(topi, E, dtype=xt.dtype)  # [N, K, E]
             w_tok = (topw.astype(xt.dtype)[..., None] * mask).sum(1)  # [N, E]
             g = jnp.einsum("nh,ehi->nei", xt, wg)
@@ -85,8 +83,8 @@ def main():
             d = jnp.einsum("nei,eih->neh", jax.nn.silu(g) * u, wd)
             return (d * w_tok[..., None]).sum(1).astype(xt.dtype)
 
-        def grouped(xt, backend):
-            topw, topi = route(xt)
+        def grouped(xt, wg, wu, wd, router, backend):
+            topw, topi = route(xt, router)
             n = xt.shape[0]
             eid = topi.reshape(-1)
             order = jnp.argsort(eid, stable=True)
@@ -102,11 +100,11 @@ def main():
         results = {}
         for label, body in [
             ("dense", dense),
-            ("ragged", lambda xt: grouped(xt, "ragged")),
-            ("gmm", lambda xt: grouped(xt, "gmm")),
+            ("ragged", lambda xt, *ws: grouped(xt, *ws, backend="ragged")),
+            ("gmm", lambda xt, *ws: grouped(xt, *ws, backend="gmm")),
         ]:
             try:
-                results[label] = _time(_scan(body, x), x)
+                results[label] = _time(body, x, wg, wu, wd, router)
             except Exception as e:  # Mosaic lowering failures land here
                 results[label] = None
                 print(f"{name} {label:6s}: FAILED {type(e).__name__}: {e}", flush=True)

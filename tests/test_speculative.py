@@ -304,3 +304,32 @@ def test_prompt_lookup_with_ragged_backend(models):
                     eos_token_ids=set()).generate(
         prompt, SamplingParams(max_len=16))
     assert got == want
+
+
+def test_prefix_cache_composes_with_speculative(models):
+    """Prefix caching is now SERVED under speculative decoding (beyond the
+    reference, which disables its prefix cacher in composite pipelines):
+    draft and target caches share the page-id space, so a trie hit replays
+    both pools consistently — and even where draft KV is stale (the bonus-
+    token slot), rejection-sampling verification keeps the output exact.
+    Two same-prefix requests: the second must HIT and still match a fresh
+    engine's greedy output."""
+    rng = np.random.default_rng(17)
+    shared = rng.integers(3, 120, size=16).tolist()  # 4 full pages
+    p1 = shared + rng.integers(3, 120, size=3).tolist()
+    p2 = shared + rng.integers(3, 120, size=5).tolist()
+
+    eng = _spec_engine(models, gamma=3)
+    assert eng.prefix_cacher is not None, "prefix cache should be ON for speculative"
+    out1, _ = eng.generate(p1, SamplingParams(max_len=10))
+    hits_before = eng.prefix_cacher.hits
+    out2, _ = eng.generate(p2, SamplingParams(max_len=10))
+    assert eng.prefix_cacher.hits > hits_before, "second request must hit the prefix cache"
+
+    fresh1, _ = _spec_engine(models, gamma=3).generate(p1, SamplingParams(max_len=10))
+    fresh2, _ = _spec_engine(models, gamma=3).generate(p2, SamplingParams(max_len=10))
+    assert out1 == fresh1
+    assert out2 == fresh2
+
+    plain2, _ = _plain_engine(models).generate(p2, SamplingParams(max_len=10))
+    assert out2 == plain2

@@ -286,3 +286,130 @@ def test_ragged_backend_serving_on_chip(monkeypatch):
         return toks
 
     assert run("ragged") == run(None)
+
+
+def test_q5k_kernel_matches_reference_on_chip():
+    """Q5_K fused kernel (Q4_K nibble kernel + 1-bit plane kernel) on the
+    real Mosaic toolchain — interpret-green has failed twice before
+    (commits e56ec51, 8668b29), so the r2-shipped Q5_K path needs its own
+    on-chip witness (VERDICT r2 next-step #5)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.gguf.reader import GGMLType
+    from mistralrs_tpu.ops.quant_matmul import q5k_matmul
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.gguf_linear import _ref_forward, linear_from_gguf
+
+    rng = np.random.default_rng(2)
+    O, K = 1024, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q5_K)
+    lin = linear_from_gguf(raw, GGMLType.Q5_K, (O, K), dtype=jnp.bfloat16)
+    x = (rng.standard_normal((8, K)) * 0.5).astype(np.float32)
+    got = np.asarray(q5k_matmul(lin, jnp.asarray(x, jnp.bfloat16)), np.float32)
+    want = np.asarray(_ref_forward(lin, jnp.asarray(x, jnp.bfloat16)), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
+
+
+def test_q2k_affine_kernel_on_chip():
+    """The generic plane-affine kernel serving GGUF Q2_K (group 16) must
+    lower under the real Mosaic toolchain and match the XLA dequant path."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.gguf.reader import GGMLType
+    from mistralrs_tpu.ops.quant_matmul import affine_qmatmul
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.gguf_linear import _ref_forward, linear_from_gguf
+
+    rng = np.random.default_rng(3)
+    O, K = 512, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q2_K)
+    lin = linear_from_gguf(raw, GGMLType.Q2_K, (O, K), dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((8, K)) * 0.5, jnp.bfloat16)
+    y = affine_qmatmul(lin, x, bits=2, group=16, zs_key="minv")
+    assert y is not None, "affine kernel constraints unexpectedly rejected Q2_K shape"
+    want = np.asarray(_ref_forward(lin, x), np.float32)
+    np.testing.assert_allclose(np.asarray(y, np.float32), want, rtol=5e-2, atol=5e-1)
+
+
+def _affine_case(lin, bits_packed):
+    """Run the fused affine kernel the registered forward would pick and the
+    dense dequant fallback on the same Linear; return (kernel, fallback)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.ops.quant_matmul import affine_qmatmul
+
+    rng = np.random.default_rng(4)
+    in_f, out_f = lin.shape
+    x = jnp.asarray(rng.standard_normal((8, in_f)) * 0.5, jnp.bfloat16)
+    group = in_f // lin.data["scale"].shape[0]
+    y = affine_qmatmul(lin, x, bits=bits_packed, group=group)
+    return y, x
+
+
+@pytest.mark.parametrize("bits", [2, 8])
+def test_gptq_affine_kernel_on_chip(bits):
+    """GPTQ 2-bit (plane-packed) and 8-bit (byte) through the fused affine
+    kernel on the real toolchain, vs the XLA dequant-then-dot fallback."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.quant.gptq import (_gptq_weights,
+                                          gptq_linear_from_tensors,
+                                          quantize_gptq_rtn)
+
+    rng = np.random.default_rng(5)
+    O, K = 512, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    t = quantize_gptq_rtn(w, bits, group_size=128)
+    lin = gptq_linear_from_tensors(
+        t["qweight"], t["qzeros"], t["scales"].astype(np.float32), t["g_idx"],
+        bits, K, O, dtype=jnp.bfloat16)
+    assert lin.kind == f"gptq_{bits}", lin.kind
+    y, x = _affine_case(lin, bits)
+    assert y is not None, "affine kernel constraints unexpectedly rejected GPTQ shape"
+    want = np.asarray(x @ _gptq_weights(lin, jnp.bfloat16, bits), np.float32)
+    np.testing.assert_allclose(np.asarray(y, np.float32), want, rtol=5e-2, atol=5e-1)
+
+
+def test_gptq3_byte_affine_kernel_on_chip():
+    """GPTQ 3-bit stores bytes (kind gptq_b8) and rides the affine kernel
+    with bits=8 — the byte path needs its own on-chip witness."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.quant.gptq import (_gptq_weights,
+                                          gptq_linear_from_tensors,
+                                          quantize_gptq_rtn)
+
+    rng = np.random.default_rng(6)
+    O, K = 512, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    t = quantize_gptq_rtn(w, 3, group_size=128)
+    lin = gptq_linear_from_tensors(
+        t["qweight"], t["qzeros"], t["scales"].astype(np.float32), t["g_idx"],
+        3, K, O, dtype=jnp.bfloat16)
+    assert lin.kind == "gptq_b8", lin.kind
+    y, x = _affine_case(lin, 8)
+    assert y is not None
+    want = np.asarray(x @ _gptq_weights(lin, jnp.bfloat16, 3), np.float32)
+    np.testing.assert_allclose(np.asarray(y, np.float32), want, rtol=5e-2, atol=5e-1)
+
+
+@pytest.mark.parametrize("bits", [1, 2, 8])
+def test_hqq_affine_kernel_on_chip(bits):
+    """HQQ 1/2-bit plane-packed and 8-bit byte layouts through the fused
+    affine kernel on the real toolchain (HQQ-4 maps onto the Q4_K kernel,
+    covered by test_q4k_kernel_matches_reference_on_chip)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.quant.hqq import hqq_dequant_weights, quantize_hqq
+
+    rng = np.random.default_rng(7)
+    O, K = 512, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    lin = quantize_hqq(w, bits, group_size=64, dtype=jnp.bfloat16)
+    assert lin.kind == f"hqq_{bits}", lin.kind
+    y, x = _affine_case(lin, bits if bits in (1, 2) else 8)
+    assert y is not None
+    want = np.asarray(x @ hqq_dequant_weights(lin, jnp.bfloat16, bits), np.float32)
+    np.testing.assert_allclose(np.asarray(y, np.float32), want, rtol=5e-2, atol=5e-1)
