@@ -188,9 +188,14 @@ def _affine_kernel(x_ref, q_ref, scale_ref, o_ref, acc_ref, *, bits: int,
     for j in range(per):
         off = j * K_per + k * block_k
         vals = ((q >> (bits * j)) & mask).astype(dt) if per > 1 else q.astype(dt)
-        sj = scale_ref[pl.dslice(off // group, nsub), :].astype(dt)
+        # scale rows slice at off//group: the caller guarantees
+        # K_per % (8*group) == 0 and block_k % (8*group) == 0, so
+        # off//group is a static multiple of 8 — Mosaic requires the proof
+        # (on-chip it refuses unaligned sublane slice offsets; seen in the
+        # r3 kernel_sweep q2k failures)
+        sj = scale_ref[pl.dslice(pl.multiple_of(off // group, 8), nsub), :].astype(dt)
         srep = jnp.broadcast_to(sj[:, None, :], (nsub, group, To)).reshape(block_k, To)
-        xj = x_ref[:, pl.dslice(pl.multiple_of(off, 32), block_k)]
+        xj = x_ref[:, pl.dslice(pl.multiple_of(off, 128), block_k)]
         acc = acc + jnp.dot(xj, vals * srep, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     acc_ref[...] = acc
 
@@ -245,10 +250,12 @@ def affine_qmatmul(lin: Linear, x: jax.Array, *, bits: int, group: int,
     bo = min(block_o, out_f)
     while out_f % bo:
         bo //= 2
-    bk = min(block_k, K_per)
+    # k-step must cover whole multiples of 8 scale groups so the in-kernel
+    # scale row slices stay sublane-aligned (Mosaic multiple-of-8 proof)
+    bk = min(max(block_k, 8 * group), K_per)
     while K_per % bk:
         bk //= 2
-    if (bo < 128 or bk < max(group, 128) or bk % group
+    if (bo < 128 or bk < max(group, 128) or bk % (8 * group) or bk % 128
             or K_per % 32 or in_f % group):
         return None
     lead = x.shape[:-1]
@@ -299,9 +306,15 @@ def _q5k_hbit_kernel(x_ref, qh_ref, scale_ref, o_ref, acc_ref, *, block_k: int):
     for j in range(8):
         off = j * K8 + k * block_k
         bits = ((qh >> j) & 1).astype(dt)
-        sj = scale_ref[pl.dslice(off // 32, nsub), :].astype(dt)
+        # scale rows slice at off//32: sublane-aligned because the caller
+        # guarantees K8 % 256 == 0 and block_k == 256 (off//32 = j*K8/32 +
+        # k*8, both terms multiples of 8) — Mosaic REQUIRES the static
+        # multiple-of-8 proof; without the guarantee + hint it refuses with
+        # "cannot statically prove that index in dimension 0 is a multiple
+        # of 8" (seen on-chip, r3 kernel_sweep)
+        sj = scale_ref[pl.dslice(pl.multiple_of(off // 32, 8), nsub), :].astype(dt)
         srep = jnp.broadcast_to(sj[:, None, :], (nsub, 32, To)).reshape(block_k, To)
-        xj = x_ref[:, pl.dslice(pl.multiple_of(off, 32), block_k)]
+        xj = x_ref[:, pl.dslice(pl.multiple_of(off, 128), block_k)]
         acc = acc + jnp.dot(xj, bits * srep, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
     acc_ref[...] = acc
 
@@ -375,15 +388,17 @@ def q5k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int = 
     lead = x.shape[:-1]
     bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)
     K8 = in_f // 8
-    bk8 = min(bk // 8, K8)
-    while K8 % bk8:
-        bk8 //= 2
+    # hbit planes: 256-element k-steps keep every scale row slice offset
+    # (j*K8 + k*256)//32 a static multiple of 8 (requires K8 % 256 == 0,
+    # i.e. in % 2048 == 0 — true for every 7B matmul shape); Mosaic rejects
+    # unaligned sublane slice offsets on the real toolchain
+    bk8 = min(256, K8)
     n_rows = 1
     for d in lead:
         n_rows *= d
-    if bk < 512 or in_f % 512 or bk8 < 32 or K8 % 32 or n_rows > 256:
+    if bk < 512 or in_f % 512 or bk8 < 256 or K8 % 256 or n_rows > 256:
         # q4k paired kernel alignment (see q4k_matmul: in % 512) + hbit
-        # planes need 32-aligned element offsets for the scale sub-slices;
+        # plane/scale alignment (above);
         # n_rows > 256 = prefill-sized: see q4k_matmul (scoped-VMEM)
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
@@ -483,8 +498,12 @@ def _q6k_matmul_padded(x_perm, ql, qh, scale, *, block_o: int, G: int):
     return y - 32.0 * jnp.dot(xsum16, scale.astype(jnp.float32)).astype(y.dtype)
 
 
-def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512) -> jax.Array:
-    """Forward for kind 'gguf_q6k'. x [..., K] -> [..., O]."""
+def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 2048) -> jax.Array:
+    """Forward for kind 'gguf_q6k'. x [..., K] -> [..., O].
+
+    block_o default from the r3 on-chip sweep at the 7B ffn GEMV:
+    2048 -> 0.710 ms vs 1024 -> 0.763, 512 -> 1.055 (scripts/kernel_sweep.py).
+    """
     in_f, out_f = lin.shape
     G = lin.meta
     lead = x.shape[:-1]

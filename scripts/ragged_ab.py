@@ -18,16 +18,18 @@ import numpy as np
 ITERS = 50
 
 
-def _time(f, x) -> float:
+def _time(f, x, *ws) -> float:
+    """KV pools passed as ARGS — closed-over device arrays become jit
+    constants and the axon AOT compile ships them through the tunnel
+    (~270 MB/pool at span 8k; the r3 queue run produced zero output in its
+    580 s window on exactly that)."""
     import jax
 
-    def step(h, _):
-        return f(h), None
-
-    g = jax.jit(lambda v: jax.lax.scan(step, v, None, length=ITERS)[0])
-    np.asarray(g(x))
+    g = jax.jit(lambda v, *w: jax.lax.scan(
+        lambda h, _: (f(h, *w), None), v, None, length=ITERS)[0])
+    np.asarray(g(x, *ws))
     t0 = time.time()
-    np.asarray(g(x))
+    np.asarray(g(x, *ws))
     return (time.time() - t0) / ITERS
 
 
@@ -40,15 +42,18 @@ def main():
     )
     from mistralrs_tpu.ops.ragged_attention import combine_kv, ragged_attention
 
+    import jax
+
     rng = np.random.default_rng(9)
     B, Hq, Hkv, D, page = 16, 32, 8, 128, 16
     for span in (2048, 8192):
         pages_per_seq = span // page
         P = B * pages_per_seq + 1
-        k_hm = jnp.asarray(rng.standard_normal((Hkv, P, page, D)) * 0.3,
-                           jnp.bfloat16)
-        v_hm = jnp.asarray(rng.standard_normal((Hkv, P, page, D)) * 0.3,
-                           jnp.bfloat16)
+        # generate ON DEVICE: host-side standard_normal of ~270 MB pools +
+        # tunnel upload blew the 580 s queue cap
+        ks = jax.random.split(jax.random.key(span), 2)
+        k_hm = jax.random.normal(ks[0], (Hkv, P, page, D), jnp.bfloat16) * 0.3
+        v_hm = jax.random.normal(ks[1], (Hkv, P, page, D), jnp.bfloat16) * 0.3
         tables = (np.arange(B * pages_per_seq, dtype=np.int32) + 1).reshape(
             B, pages_per_seq)
         kv_lens = np.full((B,), span - 5, np.int32)
@@ -56,7 +61,7 @@ def main():
         scale = D**-0.5
 
         # 1. gather + head-major SDPA (current span<4k path)
-        def gather_sdpa(qq):
+        def gather_sdpa(qq, k_hm, v_hm):
             ctx_k, ctx_v = gather_paged_kv(
                 k_hm, v_hm, jnp.asarray(tables), head_major=True)
             bias = attn_ops.causal_mask_bias(
@@ -79,7 +84,7 @@ def main():
             head_major=True,
         )
 
-        def decode_kernel(qq):
+        def decode_kernel(qq, k_hm, v_hm):
             return paged_decode_attention(qq, k_hm, v_hm, meta, scale=scale)
 
         # 2b. int8-quantized pools through the same gather+SDPA path
@@ -91,7 +96,7 @@ def main():
         ks8 = jnp.full(k_hm.shape[:-1], 0.1, jnp.float32)
         vs8 = jnp.full(v_hm.shape[:-1], 0.1, jnp.float32)
 
-        def gather_sdpa_int8(qq):
+        def gather_sdpa_int8(qq, k_q8, ks8, v_q8, vs8):
             ctx_k, ctx_v = gather_paged_kv_q(
                 (k_q8, ks8), (v_q8, vs8), jnp.asarray(tables),
                 head_major=True, dtype=qq.dtype)
@@ -107,18 +112,21 @@ def main():
         pool = combine_kv(k_hm, v_hm)
         cu = jnp.arange(B + 1, dtype=jnp.int32)
 
-        def ragged(qq):
+        def ragged(qq, pool):
             return ragged_attention(
                 qq.reshape(B, Hq, D), pool, jnp.asarray(kv_lens),
                 jnp.asarray(tables), cu, jnp.asarray([B], jnp.int32),
                 scale=scale)
 
-        for name, fn in [("gather+sdpa", gather_sdpa),
-                         ("gather+sdpa int8KV", gather_sdpa_int8),
-                         ("paged decode kernel", decode_kernel),
-                         ("ragged kernel", ragged)]:
+        for name, fn, ops in [
+            ("gather+sdpa", gather_sdpa, (k_hm, v_hm)),
+            ("gather+sdpa int8KV", gather_sdpa_int8, (k_q8, ks8, v_q8, vs8)),
+            ("paged decode kernel", decode_kernel, (k_hm, v_hm)),
+            ("ragged kernel", ragged, (pool,)),
+        ]:
             try:
-                dt = _time(lambda v, f=fn: (f(v).sum() * 0 + v), q)
+                dt = _time(lambda v, *w, f=fn: (f(v, *w).sum() * 0 + v),
+                           q, *ops)
                 print(f"span {span:5d} {name:20s}: {dt * 1e3:7.3f} ms/layer-step",
                       flush=True)
             except Exception as e:

@@ -70,8 +70,13 @@ def test_affine_kernel_q2k():
     np.testing.assert_allclose(np.asarray(got), x @ wd.T, rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("bits,in_f,pb", [(2, 512, 2), (4, 256, 4), (8, 512, None)])
+@pytest.mark.parametrize("bits,in_f,pb", [(2, 2048, 2), (8, 1024, None)])
 def test_affine_kernel_gptq(bits, in_f, pb):
+    """Shapes satisfy the kernel's sublane-alignment constraints
+    (K_per % (8*group) == 0 — smaller shapes now fall back to dequant:
+    Mosaic rejects unaligned scale-row slices on the real toolchain).
+    GPTQ-4 contiguous-group checkpoints map onto the Q4_K kernel instead
+    (covered by its own tests)."""
     from mistralrs_tpu.ops.quant_matmul import affine_qmatmul
     from mistralrs_tpu.quant.gptq import (
         _gptq_weights, gptq_linear_from_tensors, quantize_gptq_rtn,
@@ -79,7 +84,7 @@ def test_affine_kernel_gptq(bits, in_f, pb):
 
     O = 256
     w = (rng.standard_normal((O, in_f)) * 0.3).astype(np.float32)
-    t = quantize_gptq_rtn(w, bits, group_size=in_f // 4)
+    t = quantize_gptq_rtn(w, bits, group_size=64)
     lin = gptq_linear_from_tensors(
         t["qweight"], t["qzeros"], t["scales"].astype(np.float32), t["g_idx"],
         bits, in_f, O, dtype=jnp.float32,
@@ -88,12 +93,12 @@ def test_affine_kernel_gptq(bits, in_f, pb):
     want_w = np.asarray(_gptq_weights(lin, jnp.float32, bits))  # [in, out]
     x = (rng.standard_normal((3, in_f)) * 0.5).astype(np.float32)
     with pltpu.force_tpu_interpret_mode():
-        got = affine_qmatmul(lin, jnp.asarray(x), bits=pb or 8, group=in_f // 4)
+        got = affine_qmatmul(lin, jnp.asarray(x), bits=pb or 8, group=64)
     assert got is not None
     np.testing.assert_allclose(np.asarray(got), x @ want_w, rtol=2e-2, atol=2e-2)
 
 
-@pytest.mark.parametrize("hbits,in_f", [(1, 1024), (2, 512), (3, 512), (8, 512)])
+@pytest.mark.parametrize("hbits,in_f", [(1, 4096), (2, 2048), (3, 512), (8, 512)])
 def test_affine_kernel_hqq(hbits, in_f):
     from mistralrs_tpu.ops.quant_matmul import affine_qmatmul
     from mistralrs_tpu.quant.hqq import hqq_dequant_weights, quantize_hqq
@@ -110,3 +115,19 @@ def test_affine_kernel_hqq(hbits, in_f):
         got = affine_qmatmul(lin, jnp.asarray(x), bits=pb or 8, group=64)
     assert got is not None
     np.testing.assert_allclose(np.asarray(got), x @ want_w, rtol=2e-2, atol=2e-2)
+
+
+def test_q5k_kernel_aligned_shape():
+    """K=2048 (K8 % 256 == 0) so the Q5_K hbit kernel path engages — the
+    parametrized K=512 case falls back to _ref_forward under the kernel's
+    sublane-alignment constraints (Mosaic rejects unaligned scale-row
+    slices on the real toolchain; see r3 kernel_sweep failures)."""
+    O, K = 256, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q5_K)
+    lin = linear_from_gguf(raw, GGMLType.Q5_K, (O, K), dtype=jnp.float32)
+    wd = kquants.dequantize(raw, GGMLType.Q5_K, (O, K))
+    x = (rng.standard_normal((8, K)) * 0.5).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(q5k_matmul(lin, jnp.asarray(x)))
+    np.testing.assert_allclose(got, x @ wd.T, rtol=2e-2, atol=2e-2)

@@ -359,7 +359,7 @@ def test_gptq_affine_kernel_on_chip(bits):
                                           quantize_gptq_rtn)
 
     rng = np.random.default_rng(5)
-    O, K = 512, 2048
+    O, K = 512, 4096  # K_per >= 8*group so the affine kernel path engages
     w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
     t = quantize_gptq_rtn(w, bits, group_size=128)
     lin = gptq_linear_from_tensors(
@@ -382,7 +382,7 @@ def test_gptq3_byte_affine_kernel_on_chip():
                                           quantize_gptq_rtn)
 
     rng = np.random.default_rng(6)
-    O, K = 512, 2048
+    O, K = 512, 4096
     w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
     t = quantize_gptq_rtn(w, 3, group_size=128)
     lin = gptq_linear_from_tensors(
@@ -405,7 +405,7 @@ def test_hqq_affine_kernel_on_chip(bits):
     from mistralrs_tpu.quant.hqq import hqq_dequant_weights, quantize_hqq
 
     rng = np.random.default_rng(7)
-    O, K = 512, 2048
+    O, K = 512, 4096
     w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
     lin = quantize_hqq(w, bits, group_size=64, dtype=jnp.bfloat16)
     assert lin.kind == f"hqq_{bits}", lin.kind
