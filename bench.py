@@ -19,6 +19,7 @@ bytes/compute as a real checkpoint; no 7B quantization pass needed.
 
 from __future__ import annotations
 
+import dataclasses
 import json
 import os
 import signal
@@ -299,12 +300,31 @@ def _run():
     single, _ = _measure(eng, prompt, n_requests=1, max_len=64, reps=3)
     serving, ttft_p50 = _measure(eng, prompt, n_requests=batch, max_len=48, reps=3)
 
+    # throughput-optimal batch (r3 sweep: 32 beats 16 by ~1.6x and 64 by
+    # ~6%, scripts/batch_sweep.py): a second engine over the same params
+    best_batch = 32
+    pc32 = dataclasses.replace(pc, max_seqs=best_batch,
+                               num_pages=max(512, best_batch * 10))
+    eng32 = Engine(TextPipeline(cfg, params, rope, pc32), eos_token_ids=set(),
+                   prefix_cache=False)
+    warm = [eng32.add_request(GenerationRequest(list(prompt), SamplingParams(max_len=4)))
+            for _ in range(2)]
+    while not all(g.all_done() for g in warm):
+        eng32.step()
+    serving32, ttft32 = _measure(eng32, prompt, n_requests=best_batch,
+                                 max_len=48, reps=3)
+
     baseline = 131.0  # reference A100 mistral-7b Q4_K_M tg T/s (README.md:192)
     print(json.dumps({
-        "metric": "mistral7b_q4km_decode_tok_s_per_chip_batch16",
-        "value": round(serving, 2),
+        "metric": "mistral7b_q4km_decode_tok_s_per_chip_batch32",
+        "value": round(serving32, 2),
         "unit": "tokens/sec",
-        "vs_baseline": round(serving / baseline, 3),
+        "vs_baseline": round(serving32 / baseline, 3),
+        "best_batch": best_batch,
+        "tok_s_at_best_batch": round(serving32, 2),
+        "p50_ttft_ms_batch32": round(ttft32 * 1000, 1),
+        "batch16_tok_s": round(serving, 2),
+        "batch16_vs_baseline": round(serving / baseline, 3),
         "single_stream_tok_s": round(single, 2),
         "single_stream_vs_baseline": round(single / baseline, 3),
         "p50_ttft_ms_batch16": round(ttft_p50 * 1000, 1),

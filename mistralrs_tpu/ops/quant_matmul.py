@@ -25,6 +25,7 @@ f32 scratch. x stays resident [B, Kt] per step; B padded to 8 by the caller.
 from __future__ import annotations
 
 import functools
+import logging
 
 import jax
 import jax.numpy as jnp
@@ -32,6 +33,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from mistralrs_tpu.quant.qlinear import Linear
+
+logger = logging.getLogger(__name__)
+_logged_fallbacks: set[tuple] = set()
+
+
+def _log_fallback(kind: str, shape: tuple, reason: str) -> None:
+    """One log line per (kernel, shape, reason): silent fused->dense
+    fallbacks hide 5-10x decode regressions (VERDICT r2 #5), but prefill
+    fallbacks are by-design and would spam at INFO."""
+    key = (kind, shape, reason)
+    if key in _logged_fallbacks:
+        return
+    _logged_fallbacks.add(key)
+    level = logging.DEBUG if reason == "prefill" else logging.INFO
+    logger.log(level, "%s kernel fallback to XLA dequant at shape %s (%s)",
+               kind, shape, reason)
 
 
 def _q4k_kernel(x_ref, qs_ref, scale_ref, o_ref, acc_ref, *, block_k: int):
@@ -147,6 +164,8 @@ def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int =
         # bf16[2048,4096] = 16 MiB + temporaries).
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
+        _log_fallback("q4k", lin.shape,
+                      "prefill" if n_rows > 256 else "alignment")
         return _ref_forward(lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
     y = _q4k_matmul_padded(
@@ -257,6 +276,7 @@ def affine_qmatmul(lin: Linear, x: jax.Array, *, bits: int, group: int,
         bk //= 2
     if (bo < 128 or bk < max(group, 128) or bk % (8 * group) or bk % 128
             or K_per % 32 or in_f % group):
+        _log_fallback(f"affine{bits}b/g{group}", lin.shape, "alignment")
         return None
     lead = x.shape[:-1]
     n_rows = 1
@@ -264,6 +284,7 @@ def affine_qmatmul(lin: Linear, x: jax.Array, *, bits: int, group: int,
         n_rows *= d
     if n_rows > 256:
         # prefill-sized: compute-bound; see q4k_matmul (scoped-VMEM)
+        _log_fallback(f"affine{bits}b/g{group}", lin.shape, "prefill")
         return None
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
     y = _affine_matmul_padded(
@@ -402,6 +423,8 @@ def q5k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int = 
         # n_rows > 256 = prefill-sized: see q4k_matmul (scoped-VMEM)
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
+        _log_fallback("q5k", lin.shape,
+                      "prefill" if n_rows > 256 else "alignment")
         return _ref_forward(lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
     y = _q5k_matmul_padded(
@@ -520,6 +543,8 @@ def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 2048) -> jax.Array:
         # [B, 4G] would crowd VMEM.
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
+        _log_fallback("q6k", lin.shape,
+                      "prefill" if n_rows > 256 else "alignment")
         return _ref_forward(lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
     xp = jnp.take(x2, lin.data["perm"], axis=1)
@@ -597,6 +622,7 @@ def q8_0_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int =
         # prefill-sized: compute-bound; see q4k_matmul (scoped-VMEM)
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
+        _log_fallback("q8_0", lin.shape, "prefill")
         return _ref_forward(lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
     bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)

@@ -152,8 +152,8 @@ def _int8_proto():
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) * 16), -127, 127).astype(jnp.int8)
 
     dt = _time_scan(
-        lambda v: _q4k_matmul_padded(v, qs, scale, minv, block_o=bo, block_k=bk)
-        * 0 + v,
+        lambda v: _q4k_matmul_padded(v, qs, scale, minv, block_o=bo,
+                                     block_k=bk)[:, :K] * 0 + v,
         x)
     print(f"current bf16-unpack GEMV [{K}x{O}]: {dt * 1e3:7.3f} ms", flush=True)
 

@@ -125,13 +125,14 @@ def main():
     args = _inputs()
     qs, scale, minv, x = args
 
-    # ---- E0 stream-only
+    # ---- E0 stream-only (uint8 -> f32 needs the int32 intermediary on
+    # this toolchain)
     def e0(x_ref, qs_ref, o_ref, acc_ref):
         @pl.when(pl.program_id(1) == 0)
         def _():
             acc_ref[...] = jnp.zeros_like(acc_ref)
 
-        acc_ref[...] += qs_ref[0:B, :].astype(jnp.float32)
+        acc_ref[...] += qs_ref[0:B, :].astype(jnp.int32).astype(jnp.float32)
 
         @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
         def _():
@@ -214,12 +215,89 @@ def main():
         def _():
             o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
+    # ---- E8 int32-packed word layout: same bytes, loaded as int32 words
+    # (4 byte-planes per word), unpacked with shift/mask only — tests the
+    # hypothesis that the uint8->int32 CAST RELAYOUT (sublane 4:1 unpack),
+    # not the arithmetic, dominates the kernel time. Timing-only: planes
+    # dot against x slices of the right shape (exact math would need the
+    # matching load-time repack).
+    qs32 = jnp.asarray(
+        np.random.default_rng(3).integers(0, 2**31, (K // 8, O), np.int64)
+        .astype(np.int32))
+
+    def e8(x_ref, q_ref, o_ref, acc_ref):
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        k = pl.program_id(1)
+        bkw = BK // 8  # int32 words per k-step
+        K8 = x_ref.shape[1] // 8
+        dt = x_ref.dtype
+        w32 = q_ref[...]  # [bkw, BO] int32
+        acc = acc_ref[...]
+        for p in range(4):  # byte plane
+            byte = (w32 >> (8 * p)) & 0xFF
+            lo = (byte & 0xF).astype(dt)
+            hi = (byte >> 4).astype(dt)
+            x1 = x_ref[:, pl.dslice(pl.multiple_of(p * K8 + k * bkw, 128), bkw)]
+            x2 = x_ref[:, pl.dslice(
+                pl.multiple_of((4 + p) * K8 + k * bkw, 128), bkw)]
+            acc = acc + (
+                jnp.dot(x1, lo, preferred_element_type=jnp.float32)
+                + jnp.dot(x2, hi, preferred_element_type=jnp.float32))
+        acc_ref[...] = acc
+
+        @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    def _specs32():
+        from jax.experimental import pallas as pl
+        from jax.experimental.pallas import tpu as pltpu
+
+        return dict(
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0,
+                grid=(O // BO, K // BK),
+                in_specs=[
+                    pl.BlockSpec((B, K), lambda o, k: (0, 0)),
+                    pl.BlockSpec((BK // 8, BO), lambda o, k: (k, o)),
+                ],
+                out_specs=pl.BlockSpec((B, BO), lambda o, k: (0, o)),
+                scratch_shapes=[pltpu.VMEM((B, BO), jnp.float32)],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )
+
+    def run_e8():
+        def f(xin, q32):
+            y = pl.pallas_call(
+                e8, out_shape=jax.ShapeDtypeStruct((B, O), xin.dtype),
+                **_specs32())(xin, q32)
+            return xin + y[:, :K] * 0
+
+        try:
+            dt = _time_scan(f, x, qs32)
+            print(f"{'E8 i32-words':12s}: {dt * 1e3:7.3f} ms "
+                  f"({K // 2 * O / dt / 1e9:5.0f} GB/s packed)", flush=True)
+        except Exception as e:
+            print(f"{'E8 i32-words':12s}: FAIL {type(e).__name__}: "
+                  f"{str(e)[:110]}", flush=True)
+
+    # ---- scan-floor calibration (the ~170us/iter axon scan floor rides on
+    # every number here; subtract it when comparing against roofline)
+    floor = _time_scan(lambda v: v + 1.0, x)
+    print(f"{'scan floor':12s}: {floor * 1e3:7.3f} ms/iter", flush=True)
+
     print("== decomposition at [K=4096, O=14336], bo=bk=1024, B=8 ==",
           flush=True)
     _run_pallas(e0, False, args, "E0 stream")
     _run_pallas(e1, False, args, "E1 unpack")
     _run_pallas(e2, False, args, "E2 dot-full")
     dt3 = _run_pallas(e3, True, args, "E3 ws-scale")
+    run_e8()
 
     from mistralrs_tpu.ops.quant_matmul import _q4k_matmul_padded
 
@@ -251,8 +329,26 @@ def main():
     # ---- XLA-level int4/int8 fusion probes
     print("== XLA weight-dtype fusion probes ==", flush=True)
     rng = np.random.default_rng(2)
+    # calibration: plain bf16 GEMV at the same shape — the achievable
+    # streaming rate for THIS shape class, not the 549 GB/s big-matmul rate
     try:
-        w4 = jnp.asarray(rng.integers(-8, 8, (K, O)), jnp.int4)
+        wbf = jax.jit(lambda: (jax.random.normal(
+            jax.random.key(5), (K, O), jnp.bfloat16) * 0.02))()
+
+        def xlabf(xin, w):
+            return xin + jnp.dot(xin, w)[:, :K] * 0
+
+        dt = _time_scan(xlabf, x, wbf)
+        print(f"{'E9 xla-bf16':12s}: {dt * 1e3:7.3f} ms "
+              f"({K * O * 2 / dt / 1e9:5.0f} GB/s dense)", flush=True)
+    except Exception as e:
+        print(f"E9 xla-bf16 : FAIL {type(e).__name__}: {str(e)[:110]}", flush=True)
+    w4 = None
+    try:
+        # int4 created ON DEVICE (host->device transfer of int4 hit a
+        # RecursionError in the axon plugin in the first run)
+        w4 = jax.jit(lambda: jax.random.randint(
+            jax.random.key(4), (K, O), -8, 8, jnp.int8).astype(jnp.int4))()
 
         def xla4(xin, w4):
             return xin + jnp.dot(xin, w4.astype(jnp.bfloat16))[:, :K] * 0
@@ -263,6 +359,8 @@ def main():
     except Exception as e:
         print(f"E5 xla-int4 : FAIL {type(e).__name__}: {str(e)[:110]}", flush=True)
     try:
+        if w4 is None:
+            raise RuntimeError("int4 array unavailable (E5 failed)")
         sb = jnp.asarray(rng.standard_normal((K // 32, 1, O)) * 0.01, jnp.bfloat16)
 
         def xla4s(xin, w4, sb):

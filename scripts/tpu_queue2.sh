@@ -9,7 +9,7 @@ mkdir -p "$OUT"
 cd "$(dirname "$0")/.."
 
 echo "== probe =="
-timeout 90 python -c "
+timeout 300 python -c "
 import jax, numpy as np
 x = jax.numpy.ones((8,8)); print('TPU OK', np.asarray(x@x)[0,0])
 " || { echo "TUNNEL DOWN"; exit 1; }
