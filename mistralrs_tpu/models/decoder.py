@@ -136,9 +136,19 @@ def _use_blockwise_continuation(cfg: ModelConfig, T: int, meta, span: int) -> bo
 def _use_paged_decode_kernel(cfg: ModelConfig, T: int, window_ok: bool, span: int = 0) -> bool:
     """Fused Pallas block-table decode kernel eligibility (static): single
     query token, TPU backend, and no sliding-window layer could clip context
-    (the kernel masks by length only)."""
-    # below ~4k context span the gather+SDPA path is ~8% faster; the
-    # streamed kernel wins ~20% at 16k
+    (the kernel masks by length only).
+
+    DEFAULT OFF since r3: the on-chip A/B at batch 16 (scripts/ragged_ab.py)
+    measured gather+SDPA at 1.101 / 1.565 ms/layer-step for spans 2k / 8k vs
+    the kernel's 1.852 / 4.902 — the r1 "kernel wins ~20% at 16k" result did
+    not hold on the current toolchain at serving batch sizes (the kernel
+    grid is per-(seq, head) and underutilizes at B*Hkv >= 128 while the
+    gather's one big einsum keeps the MXU busy). MISTRALRS_PAGED_DECODE=1
+    re-enables for re-evaluation."""
+    import os
+
+    if os.environ.get("MISTRALRS_PAGED_DECODE") != "1":
+        return False
     if T != 1 or span < 4096:
         return False
     import jax

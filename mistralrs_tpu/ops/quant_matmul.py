@@ -403,8 +403,12 @@ def _q5k_matmul_padded(x, qs, qh, scale, minv, *, block_o: int, block_k: int,
             - jnp.dot(xsum, minv.astype(jnp.float32)).astype(y.dtype))
 
 
-def q5k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int = 1024) -> jax.Array:
-    """Forward for kind 'gguf_q5k'. x [..., K] -> [..., O]."""
+def q5k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int = 1024) -> jax.Array:
+    """Forward for kind 'gguf_q5k'. x [..., K] -> [..., O].
+
+    block_o default from the r3 on-chip sweep at the 7B ffn GEMV (post
+    alignment fix): (1024,1024) -> 0.692 ms vs (512,1024) -> 0.831
+    (scripts/kernel_sweep.py)."""
     in_f, out_f = lin.shape
     lead = x.shape[:-1]
     bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)

@@ -567,7 +567,10 @@ def _q2k_forward(lin: Linear, x: jax.Array) -> jax.Array:
     if _pallas_available():
         from mistralrs_tpu.ops.quant_matmul import affine_qmatmul
 
-        y = affine_qmatmul(lin, x, bits=2, group=16, zs_key="minv")
+        # block_o=256: r3 on-chip sweep winner at the 7B ffn GEMV
+        # (0.671 ms vs 0.711 at the 512 default; scripts/kernel_sweep.py)
+        y = affine_qmatmul(lin, x, bits=2, group=16, zs_key="minv",
+                           block_o=256)
         if y is not None:
             return y
     return _ref_forward(lin, x)

@@ -77,6 +77,23 @@ def _unpack_3bit_rows(packed: np.ndarray, total: int) -> np.ndarray:
     return vals[:total]
 
 
+def _pack_3bit_rows(vals: np.ndarray) -> np.ndarray:
+    """Inverse of _unpack_3bit_rows: [R, C] uint8 (values < 8, R % 32 == 0)
+    -> [R*3/32, C] int32, 32 values bit-contiguous per 3 uint32 words."""
+    R, C = vals.shape
+    assert R % 32 == 0, R
+    n_trip = R // 32
+    w = np.zeros((n_trip, 3, C), np.uint64)
+    v = vals.reshape(n_trip, 32, C).astype(np.uint64)
+    for j in range(32):
+        lo_bit = 3 * j
+        word, off = divmod(lo_bit, 32)
+        w[:, word] |= v[:, j] << off
+        if off > 29:  # field straddles into the next word
+            w[:, word + 1] |= v[:, j] >> (32 - off)
+    return (w & 0xFFFFFFFF).astype(np.uint32).reshape(n_trip * 3, C).astype(np.int32)
+
+
 def _pack_bytes_rows(vals: np.ndarray, bits: int) -> np.ndarray:
     """[in, out] uint8 (values < 2^bits) -> packed uint8 [in*bits/8, out],
     PLANE-MAJOR: byte row r bit-slot j holds element j*(in*bits/8) + r, so
@@ -269,14 +286,20 @@ def quantize_gptq_rtn(
         zero = np.clip(np.round(-wmin / scale), 0, maxq)
     q = np.clip(np.round(wg / scale) + zero, 0, maxq).astype(np.uint8)
     q = q.reshape(in_f, out_f)
-    per = 32 // bits
-    qweight = np.zeros((in_f // per, out_f), np.uint32)
-    for j in range(per):
-        qweight |= q[j::per].astype(np.uint32) << (bits * j)
     zcols = np.clip(zero[:, 0].astype(np.int32) - 1, 0, maxq).astype(np.uint32)  # v1 -1
-    qzeros = np.zeros((ng, out_f // per), np.uint32)
-    for j in range(per):
-        qzeros |= zcols[:, j::per] << (bits * j)
+    if bits == 3:
+        # AutoGPTQ 3-bit: 32 values bit-contiguously span 3 uint32 words
+        # (the inverse of _unpack_3bit_rows)
+        qweight = _pack_3bit_rows(q)
+        qzeros = _pack_3bit_rows(zcols.T).T
+    else:
+        per = 32 // bits
+        qweight = np.zeros((in_f // per, out_f), np.uint32)
+        for j in range(per):
+            qweight |= q[j::per].astype(np.uint32) << (bits * j)
+        qzeros = np.zeros((ng, out_f // per), np.uint32)
+        for j in range(per):
+            qzeros |= zcols[:, j::per] << (bits * j)
     return {
         "qweight": np.ascontiguousarray(qweight.astype(np.int32)),
         "qzeros": np.ascontiguousarray(qzeros.astype(np.int32)),

@@ -391,7 +391,8 @@ def test_gptq3_byte_affine_kernel_on_chip():
     assert lin.kind == "gptq_b8", lin.kind
     y, x = _affine_case(lin, 8)
     assert y is not None
-    want = np.asarray(x @ _gptq_weights(lin, jnp.bfloat16, 3), np.float32)
+    # byte storage: dequant with bits=8 (the registered gptq_b8 forward does)
+    want = np.asarray(x @ _gptq_weights(lin, jnp.bfloat16, 8), np.float32)
     np.testing.assert_allclose(np.asarray(y, np.float32), want, rtol=5e-2, atol=5e-1)
 
 
