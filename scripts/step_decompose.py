@@ -1,0 +1,69 @@
+"""Decompose the single-stream decode step time end-to-end (r3).
+
+Micro-benchmarks on this host are swamped by a per-dispatch overhead that
+fluctuates 20-50 ms (PERF.md round-3 notes), so per-matmul timings can't
+resolve where the 38.8 ms step goes. This measures the REAL serving path
+(engine, decode_steps=16 on-device multistep => overhead amortized 16x) at
+layer counts 8/16/32 of the same 7B-per-layer model:
+
+    tok_time(L) = intercept + L * per_layer
+    per_layer   = the quant-GEMV weight path (the kernel-rewrite target)
+    intercept   = attention + lm_head + sampling + dispatch/16
+
+Also reports a long-prompt arm at L=8 to size the attention share.
+
+Run: python scripts/step_decompose.py  (expects the TPU tunnel up)
+"""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np
+
+
+def _rate(num_layers: int, prompt_len: int = 64) -> float:
+    import jax.numpy as jnp
+
+    import bench as driver_bench
+    from mistralrs_tpu.engine.engine import Engine
+    from mistralrs_tpu.engine.sampler import SamplingParams
+    from mistralrs_tpu.models.loader import make_rope
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    cfg, params = driver_bench._build_7b_q4km(jnp.bfloat16, num_layers=num_layers)
+    pc = PipelineConfig(page_size=16, num_pages=256, max_seqs=2,
+                        max_model_len=2048, prefill_buckets=(64,),
+                        decode_steps=16)
+    eng = Engine(TextPipeline(cfg, params, make_rope(cfg, 2048), pc),
+                 eos_token_ids=set(), prefix_cache=False)
+    prompt = list(np.random.default_rng(1).integers(1, 30000, size=prompt_len))
+    eng.generate(prompt, SamplingParams(max_len=8))  # compile
+    rates = []
+    for _ in range(3):
+        rates.append(driver_bench._measure(
+            eng, prompt, n_requests=1, max_len=64, reps=1)[0])
+    return sorted(rates)[1]
+
+
+def main():
+    results = {}
+    for L in (8, 16, 32):
+        r = _rate(L)
+        results[L] = 1.0 / r
+        print(f"L={L:2d}: {r:7.2f} tok/s  ({1e3 / r:6.2f} ms/tok)", flush=True)
+    # least-squares slope/intercept over the three points
+    Ls = np.array(sorted(results), np.float64)
+    ts = np.array([results[int(l)] for l in Ls]) * 1e3  # ms/tok
+    slope, intercept = np.polyfit(Ls, ts, 1)
+    print(f"per-layer: {slope:6.3f} ms/tok/layer -> 32L weights path "
+          f"{slope * 32:6.2f} ms", flush=True)
+    print(f"intercept: {intercept:6.2f} ms/tok (attention + lm_head + "
+          f"sampling + dispatch/16)", flush=True)
+    long_r = _rate(8, prompt_len=1024)
+    print(f"L= 8 @1k-token prompt: {long_r:7.2f} tok/s ({1e3 / long_r:6.2f} "
+          f"ms/tok; delta vs 64-tok prompt = attention span cost)", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -261,6 +261,13 @@ def test_perplexity_harness(tiny_ckpt):
     ppl_q8 = perplexity_over_tokens(q8[0], q8[1], q8[2], tokens, ctx=32, stride=32)
     assert abs(ppl_q8 - ppl) / ppl < 0.05
 
+    # Q4_K: the BASELINE.json format — quantization-distortion delta on a
+    # fixed stream (the offline-measurable component of the PPL target;
+    # PARITY.md "Cross-implementation parity status")
+    q4 = load_hf_model(tiny_ckpt, dtype=jnp.float32, isq="Q4_K")
+    ppl_q4 = perplexity_over_tokens(q4[0], q4[1], q4[2], tokens, ctx=32, stride=32)
+    assert abs(ppl_q4 - ppl) / ppl < 0.35, (ppl_q4, ppl)  # 4-bit on random init
+
 
 def test_driver_bench_q6k_perm_matches_packer():
     """bench.py builds synthetic q6k Linears directly in the device layout;
