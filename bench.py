@@ -42,10 +42,15 @@ def _emit_error(stage: str, detail: str) -> None:
     sys.stdout.flush()
 
 
-def _probe_tpu(timeout_s: int = 90) -> bool:
+def _probe_tpu(timeout_s: int = 240) -> bool:
     """The axon tunnel can stall for hours (observed r1): backend init or a
     tiny matmul never returns. Probe in a SUBPROCESS with a hard timeout so
-    the stall cannot take the bench process with it."""
+    the stall cannot take the bench process with it.
+
+    240s: a cold jax import + backend init + first compile took >90s twice
+    on this 1-core host in r3 even with the tunnel healthy (the next queue
+    section ran fine seconds later) — a too-tight probe erases the
+    scoreboard for nothing."""
     code = (
         "import jax, numpy as np\n"
         "x = jax.numpy.ones((8, 8), jax.numpy.bfloat16)\n"
@@ -66,7 +71,7 @@ def _probe_tpu(timeout_s: int = 90) -> bool:
     return True
 
 
-def _install_watchdog(budget_s: int = 480) -> None:
+def _install_watchdog(budget_s: int = 540) -> None:
     """If the tunnel dies MID-bench, SIGALRM turns the hang into a JSON line
     (driver budget is ~10 min; probe already spent up to 90s)."""
 
