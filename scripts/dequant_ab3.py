@@ -142,6 +142,60 @@ def main():
         def _():
             o_ref[...] = acc_ref[...]
 
+    def int8sub_kern(x_ref, qs_ref, scale_ref, o_ref, acc_ref, *, bk):
+        """EXACT-math structure for the Q8-activation path: per-32-sub-block
+        int8 dots, scale applied on the [B,To] accumulator (s[sub,o] *
+        per-row activation scale folds in outside or per-sub — here s only,
+        timing shape is identical)."""
+        @pl.when(pl.program_id(1) == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        k = pl.program_id(1)
+        bkh = bk // 2
+        Khalf = x_ref.shape[1] // 2
+        nsub = bkh // 32
+        q32 = qs_ref[...].astype(jnp.int32)
+        lo = ((q32 & 0xF) - 8).astype(jnp.int8)
+        hi = ((q32 >> 4) - 8).astype(jnp.int8)
+        x1 = x_ref[:, pl.dslice(pl.multiple_of(k * bkh, 128), bkh)]
+        x2 = x_ref[:, pl.dslice(pl.multiple_of(Khalf + k * bkh, 128), bkh)]
+        s1 = scale_ref[pl.dslice(pl.multiple_of(k * nsub, 8), nsub), :].astype(jnp.float32)
+        s2 = scale_ref[
+            pl.dslice(pl.multiple_of((Khalf + k * bkh) // 32, 8), nsub), :
+        ].astype(jnp.float32)
+        acc = acc_ref[...]
+        for i in range(nsub):
+            p1 = jax.lax.dot_general(
+                x1[:, 32 * i : 32 * i + 32], lo[32 * i : 32 * i + 32],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            p2 = jax.lax.dot_general(
+                x2[:, 32 * i : 32 * i + 32], hi[32 * i : 32 * i + 32],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            acc = acc + (p1.astype(jnp.float32) * s1[i][None, :]
+                         + p2.astype(jnp.float32) * s2[i][None, :])
+        acc_ref[...] = acc
+
+        @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    def int8sub_specs(bo, bk):
+        return dict(
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=0, grid=(O // bo, K // bk),
+                in_specs=[
+                    pl.BlockSpec((B, K), lambda o, k: (0, 0)),
+                    pl.BlockSpec((bk // 2, bo), lambda o, k: (k, o)),
+                    pl.BlockSpec((K // 32, bo), lambda o, k: (0, o)),
+                ],
+                out_specs=pl.BlockSpec((B, bo), lambda o, k: (0, o)),
+                scratch_shapes=[pltpu.VMEM((B, bo), jnp.float32)],
+            ),
+            compiler_params=pltpu.CompilerParams(
+                dimension_semantics=("parallel", "arbitrary")),
+        )
+
     def int8_specs(bo, bk):
         return dict(
             grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -217,10 +271,28 @@ def main():
         except Exception as e:
             print(f"int8({bo},{bk}): FAIL {str(e)[:90]}", flush=True)
 
+    def mk_i8sub(bo, bk):
+        def f(xin, qs, scale):
+            y = pl.pallas_call(
+                functools.partial(int8sub_kern, bk=bk),
+                out_shape=jax.ShapeDtypeStruct((B, O), jnp.bfloat16),
+                **int8sub_specs(bo, bk))(xin, qs, scale)
+            return xin + y[:, :K].astype(xin.dtype) * 0
+        return f
+
+    for bo, bk in [(1024, 1024), (2048, 1024), (4096, 1024)]:
+        try:
+            timers[f"int8sub({bo},{bk})"] = _mk_timer(mk_i8sub(bo, bk),
+                                                      xq, qs, scale)
+        except Exception as e:
+            print(f"int8sub({bo},{bk}): FAIL {str(e)[:90]}", flush=True)
+
+    # NOTE: * 1e-12 (not * 0): XLA DCEs `dot(x,w)*0` entirely — the earlier
+    # "xla-bf16 at 950 GB/s" was an identity scan, not a matmul
     wbf = jax.jit(lambda: (jax.random.normal(
         jax.random.key(5), (K, O), jnp.bfloat16) * 0.02))()
     timers["xla-bf16"] = _mk_timer(
-        lambda xin, w: xin + jnp.dot(xin, w)[:, :K] * 0, x, wbf)
+        lambda xin, w: xin + jnp.dot(xin, w)[:, :K] * 1e-12, x, wbf)
 
     # q6k at the bench layout
     import bench as driver_bench

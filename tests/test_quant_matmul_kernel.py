@@ -131,3 +131,27 @@ def test_q5k_kernel_aligned_shape():
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(q5k_matmul(lin, jnp.asarray(x)))
     np.testing.assert_allclose(got, x @ wd.T, rtol=2e-2, atol=2e-2)
+
+
+def test_q4k_int8_path_matches_dequant():
+    """The Q8-activation int8-MXU decode path (r3, scripts/dequant_ab3.py
+    winner at 2.3x) must match the dequant reference within the activation
+    quantization budget (per-32-block int8: |err_x| <= max|x_block|/254)."""
+    from mistralrs_tpu.ops.quant_matmul import _q4k_q8_matmul_padded
+
+    O, K = 256, 512
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q4_K)
+    lin = linear_from_gguf(raw, GGMLType.Q4_K, (O, K), dtype=jnp.float32)
+    wd = kquants.dequantize(raw, GGMLType.Q4_K, (O, K))
+    x = (rng.standard_normal((8, K)) * 0.5).astype(np.float32)
+    want = x @ wd.T
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_q4k_q8_matmul_padded(
+            jnp.asarray(x), lin.data["qs"], lin.data["scale"],
+            lin.data["minv"], block_o=256, block_k=512,
+            out_dtype=jnp.float32))
+    # activation-quant tolerance: per-output error accumulates as a random
+    # walk of |w_k| * max|x_block|/254 terms — observed max ~0.12 at these
+    # shapes (outputs are O(5), so 0.2 abs ~ 2-4% relative)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=2e-1)

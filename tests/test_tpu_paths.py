@@ -414,3 +414,30 @@ def test_hqq_affine_kernel_on_chip(bits):
     assert y is not None
     want = np.asarray(x @ hqq_dequant_weights(lin, jnp.bfloat16, bits), np.float32)
     np.testing.assert_allclose(np.asarray(y, np.float32), want, rtol=5e-2, atol=5e-1)
+
+
+def test_q4k_int8_path_on_chip():
+    """The Q8-activation int8-MXU decode path (default on TPU since r3)
+    must lower under the real Mosaic toolchain and track the dequant
+    reference within the activation-quant budget."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.gguf.reader import GGMLType
+    from mistralrs_tpu.ops.quant_matmul import _q4k_q8_matmul_padded, q4k_matmul
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.gguf_linear import _ref_forward, linear_from_gguf
+
+    rng = np.random.default_rng(8)
+    O, K = 1024, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q4_K)
+    lin = linear_from_gguf(raw, GGMLType.Q4_K, (O, K), dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((8, K)) * 0.5, jnp.bfloat16)
+    got = np.asarray(_q4k_q8_matmul_padded(
+        x, lin.data["qs"], lin.data["scale"], lin.data["minv"],
+        block_o=1024, block_k=1024), np.float32)
+    want = np.asarray(_ref_forward(lin, x), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
+    # and the dispatcher takes it on this backend
+    via_dispatch = np.asarray(q4k_matmul(lin, x), np.float32)
+    np.testing.assert_allclose(via_dispatch, got, rtol=1e-6, atol=1e-4)
