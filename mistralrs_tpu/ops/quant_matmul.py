@@ -607,6 +607,98 @@ def _q6k_kernel(x_ref, ql_ref, qh_ref, scale_ref, o_ref, acc_ref, *, G: int):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _q6k_q8_kernel(xq_ref, ql_ref, qh_ref, scale_ref, xs_ref, o_ref, acc_ref,
+                   *, G: int):
+    """int8-MXU Q6_K: same chunked layout as _q6k_kernel, but q (0..63 fits
+    int8) contracts against Q8-quantized activations in 16-deep integer
+    dots (Q6_K scales are per-16); activation scales are per-32, so each
+    32-block combines its two 16-sub dots before the xs multiply.
+    Gated by MISTRALRS_Q6K_INT8 until timed on-chip (128 16-deep dots per
+    k-step is an unroll-density risk the A/B must clear)."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    h = qh_ref[...].astype(jnp.int32)  # [G, To]
+    acc = acc_ref[...]
+    for j in range(4):
+        rows = pl.dslice((j % 2) * G, G)
+        qlj = ql_ref[rows, :].astype(jnp.int32)
+        nib = (qlj & 0xF) if j < 2 else (qlj >> 4)
+        qj = (nib | (((h >> (2 * j)) & 3) << 4)).astype(jnp.int8)  # 0..63
+        sj = scale_ref[pl.dslice(j * (G // 16), G // 16), :].astype(jnp.float32)
+        xsj = xs_ref[pl.dslice(j * (G // 32), G // 32), :]  # [G/32, B] f32
+        for m in range(G // 32):
+            xa = xq_ref[:, pl.dslice(j * G + 32 * m, 16)]
+            xb = xq_ref[:, pl.dslice(j * G + 32 * m + 16, 16)]
+            a = jax.lax.dot_general(
+                xa, qj[32 * m : 32 * m + 16],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            b = jax.lax.dot_general(
+                xb, qj[32 * m + 16 : 32 * m + 32],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            t = (a.astype(jnp.float32) * sj[2 * m][None, :]
+                 + b.astype(jnp.float32) * sj[2 * m + 1][None, :])
+            acc = acc + t * xsj[m][:, None]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "G", "out_dtype"))
+def _q6k_q8_matmul_padded(x_perm, ql, qh, scale, *, block_o: int, G: int,
+                          out_dtype=jnp.bfloat16):
+    """Q8-activation int8 forward for Q6_K. x_perm [B, K] already gathered
+    by lin.data['perm']; the -32 offset term (32 * xsum16 @ scale) uses the
+    ORIGINAL activations outside, as in _q6k_matmul_padded."""
+    B, K = x_perm.shape
+    O = ql.shape[1]
+    xq, xs_t = _quantize_acts_q8(x_perm)  # xs_t [K/32, B]
+    grid = (O // block_o, K // (4 * G))
+    y = pl.pallas_call(
+        functools.partial(_q6k_q8_kernel, G=G),
+        out_shape=jax.ShapeDtypeStruct((B, O), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec((B, 4 * G), lambda o, k: (0, k)),
+                pl.BlockSpec((2 * G, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((G, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((G // 4, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((G // 8, B), lambda o, k: (k, 0)),
+            ],
+            out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
+            scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * O * K,
+            bytes_accessed=O * K // 2 + O * K // 4 + O * K // 16 * 2 + B * K,
+            transcendentals=0,
+        ),
+    )(xq, ql, qh, scale, xs_t)
+    xsum16 = jnp.sum(x_perm.astype(jnp.float32).reshape(B, K // 16, 16), axis=2)
+    return (y.astype(jnp.float32)
+            - 32.0 * jnp.dot(xsum16, scale.astype(jnp.float32))).astype(out_dtype)
+
+
+def _use_q6k_int8() -> bool:
+    """Gated OFF by default until the on-chip A/B clears the 16-deep-dot
+    unroll density (MISTRALRS_Q6K_INT8=1 enables on TPU)."""
+    import os
+
+    if os.environ.get("MISTRALRS_Q6K_INT8") != "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 @functools.partial(jax.jit, static_argnames=("block_o", "G"))
 def _q6k_matmul_padded(x_perm, ql, qh, scale, *, block_o: int, G: int):
     """x_perm [B, K] (already gathered by lin.data['perm']); ql [K/2, O];
@@ -673,9 +765,16 @@ def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 2048) -> jax.Array:
         return _ref_forward(lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
     xp = jnp.take(x2, lin.data["perm"], axis=1)
-    y = _q6k_matmul_padded(
-        xp, lin.data["ql"], lin.data["qh"], lin.data["scale"], block_o=bo, G=G
-    )
+    if _use_q6k_int8():
+        y = _q6k_q8_matmul_padded(
+            xp, lin.data["ql"], lin.data["qh"], lin.data["scale"],
+            block_o=bo, G=G, out_dtype=x.dtype,
+        )
+    else:
+        y = _q6k_matmul_padded(
+            xp, lin.data["ql"], lin.data["qh"], lin.data["scale"],
+            block_o=bo, G=G,
+        )
     n = 1
     for d in lead:
         n *= d

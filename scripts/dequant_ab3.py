@@ -332,4 +332,52 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if "--q6k-int8" in sys.argv:
+        q6k_int8_ab()
+    else:
+        main()
+
+
+def q6k_int8_ab():
+    """Time bf16 vs int8 Q6_K at the 7B ffn-down shape (gate for
+    MISTRALRS_Q6K_INT8 default)."""
+    import jax
+    import jax.numpy as jnp
+
+    import bench as driver_bench
+    from mistralrs_tpu.ops.quant_matmul import (_q6k_matmul_padded,
+                                                _q6k_q8_matmul_padded)
+
+    Kd, Od = 14336, 4096
+    lin = driver_bench._random_q6k_linear(np.random.default_rng(2), Kd, Od,
+                                          jnp.bfloat16)
+    G = lin.meta
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.standard_normal((B, Kd)) * 0.1, jnp.bfloat16)
+    timers = {}
+
+    def bf16(xin, ql, qh, sc):
+        y = _q6k_matmul_padded(xin, ql, qh, sc, block_o=2048, G=G)
+        return xin + y[:, :Kd] * 0
+
+    def i8(xin, ql, qh, sc):
+        y = _q6k_q8_matmul_padded(xin, ql, qh, sc, block_o=2048, G=G)
+        return xin + y[:, :Kd].astype(xin.dtype) * 0
+
+    for name, f in [("q6k-bf16", bf16), ("q6k-int8", i8)]:
+        try:
+            timers[name] = _mk_timer(f, x, lin.data["ql"], lin.data["qh"],
+                                     lin.data["scale"])
+        except Exception as e:
+            print(f"{name}: FAIL {str(e)[:120]}", flush=True)
+    results = {n: [] for n in timers}
+    for _ in range(REPS):
+        for n, run in timers.items():
+            results[n].append(run())
+    for n, ts in results.items():
+        med = sorted(ts)[len(ts) // 2]
+        gbs = (Kd // 2 * Od + Kd // 4 * Od + Kd // 16 * Od * 2) / med / 1e9
+        print(f"{n:10s}: {med * 1e3:7.3f} ms ({gbs:5.0f} GB/s packed)",
+              flush=True)
+
+

@@ -155,3 +155,23 @@ def test_q4k_int8_path_matches_dequant():
     # walk of |w_k| * max|x_block|/254 terms — observed max ~0.12 at these
     # shapes (outputs are O(5), so 0.2 abs ~ 2-4% relative)
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=2e-1)
+
+
+def test_q6k_int8_path_matches_dequant():
+    """MISTRALRS_Q6K_INT8 candidate path: Q8-activation int8 dots for the
+    chunked Q6_K layout, within the activation-quant budget."""
+    from mistralrs_tpu.ops.quant_matmul import _q6k_q8_matmul_padded
+
+    O, K = 256, 512
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q6_K)
+    lin = linear_from_gguf(raw, GGMLType.Q6_K, (O, K), dtype=jnp.float32)
+    wd = kquants.dequantize(raw, GGMLType.Q6_K, (O, K))
+    x = (rng.standard_normal((8, K)) * 0.5).astype(np.float32)
+    want = x @ wd.T
+    xp = jnp.take(jnp.asarray(x), lin.data["perm"], axis=1)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_q6k_q8_matmul_padded(
+            xp, lin.data["ql"], lin.data["qh"], lin.data["scale"],
+            block_o=256, G=lin.meta, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=2e-1)

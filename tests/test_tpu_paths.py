@@ -441,3 +441,29 @@ def test_q4k_int8_path_on_chip():
     # and the dispatcher takes it on this backend
     via_dispatch = np.asarray(q4k_matmul(lin, x), np.float32)
     np.testing.assert_allclose(via_dispatch, got, rtol=1e-6, atol=1e-4)
+
+
+def test_q6k_int8_path_on_chip():
+    """MISTRALRS_Q6K_INT8 candidate: int8 Q6_K path must lower under the
+    real Mosaic toolchain (128 16-deep dots per k-step) and track the
+    dequant reference. Default flip additionally needs the timing A/B
+    (scripts/dequant_ab3.py --q6k-int8) to clear the bf16 kernel."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.gguf.reader import GGMLType
+    from mistralrs_tpu.ops.quant_matmul import _q6k_q8_matmul_padded
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.gguf_linear import _ref_forward, linear_from_gguf
+
+    rng = np.random.default_rng(9)
+    O, K = 1024, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q6_K)
+    lin = linear_from_gguf(raw, GGMLType.Q6_K, (O, K), dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((8, K)) * 0.5, jnp.bfloat16)
+    xp = jnp.take(x, lin.data["perm"], axis=1)
+    got = np.asarray(_q6k_q8_matmul_padded(
+        xp, lin.data["ql"], lin.data["qh"], lin.data["scale"],
+        block_o=1024, G=lin.meta), np.float32)
+    want = np.asarray(_ref_forward(lin, x), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
