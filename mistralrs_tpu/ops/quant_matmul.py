@@ -613,8 +613,8 @@ def _q6k_q8_kernel(xq_ref, ql_ref, qh_ref, scale_ref, xs_ref, o_ref, acc_ref,
     int8) contracts against Q8-quantized activations in 16-deep integer
     dots (Q6_K scales are per-16); activation scales are per-32, so each
     32-block combines its two 16-sub dots before the xs multiply.
-    Gated by MISTRALRS_Q6K_INT8 until timed on-chip (128 16-deep dots per
-    k-step is an unroll-density risk the A/B must clear)."""
+    On-chip A/B (r3): 0.199 vs 0.222 ms at the 7B ffn GEMV — the 128
+    16-deep dots per k-step lower fine; default ON for TPU decode."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -690,11 +690,12 @@ def _q6k_q8_matmul_padded(x_perm, ql, qh, scale, *, block_o: int, G: int,
 
 
 def _use_q6k_int8() -> bool:
-    """Gated OFF by default until the on-chip A/B clears the 16-deep-dot
-    unroll density (MISTRALRS_Q6K_INT8=1 enables on TPU)."""
+    """Default ON for TPU decode after the r3 on-chip A/B: 0.199 vs 0.222 ms
+    at the 7B ffn GEMV (1.12x — the per-16 scales make the int8 dots denser
+    than Q4_K's, so the win is smaller). MISTRALRS_Q6K_INT8=0 reverts."""
     import os
 
-    if os.environ.get("MISTRALRS_Q6K_INT8") != "1":
+    if os.environ.get("MISTRALRS_Q6K_INT8", "1") != "1":
         return False
     return jax.default_backend() == "tpu"
 
