@@ -302,8 +302,18 @@ def _run():
     while not all(g.all_done() for g in warm):
         eng.step()
 
-    single, _ = _measure(eng, prompt, n_requests=1, max_len=64, reps=3)
     serving, ttft_p50 = _measure(eng, prompt, n_requests=batch, max_len=48, reps=3)
+
+    # single-stream on a DEDICATED small engine: a 1-request deployment
+    # configures max_seqs accordingly (the reference's bench likewise runs
+    # tg at its own concurrency), and the static decode slots pad every
+    # step to max_seqs — measuring 1 stream on the batch-16 engine charged
+    # it 16-wide activations/attention (~28% slower, r3 step_decompose)
+    pc1 = dataclasses.replace(pc, max_seqs=2, num_pages=256)
+    eng1 = Engine(TextPipeline(cfg, params, rope, pc1), eos_token_ids=set(),
+                  prefix_cache=False)
+    eng1.generate(prompt, SamplingParams(max_len=4))  # compile
+    single, _ = _measure(eng1, prompt, n_requests=1, max_len=64, reps=3)
 
     # throughput-optimal batch (r3 sweep: 32 beats 16 by ~1.6x and 64 by
     # ~6%, scripts/batch_sweep.py): a second engine over the same params

@@ -297,6 +297,18 @@ def _attention(
             q = qkv[..., : Hq * D].reshape(B, T, Hq, D)
             k = qkv[..., Hq * D : (Hq + Hkv) * D].reshape(B, T, Hkv, D)
             v = qkv[..., (Hq + Hkv) * D :].reshape(B, T, Hkv, D)
+    elif "qk" in p:  # partial fusion: q+k same kind, v differs (Q4_K_M mix)
+        qk = linear(p["qk"], x, lora_sc)
+        S = cfg.fuse_interleave
+        if S > 1:
+            hq, hkv = Hq // S, Hkv // S
+            qk4 = qk.reshape(B, T, S, (hq + hkv) * D)
+            q = qk4[..., : hq * D].reshape(B, T, Hq, D)
+            k = qk4[..., hq * D :].reshape(B, T, Hkv, D)
+        else:
+            q = qk[..., : Hq * D].reshape(B, T, Hq, D)
+            k = qk[..., Hq * D :].reshape(B, T, Hkv, D)
+        v = linear(p["v"], x, lora_sc).reshape(B, T, Hkv, D)
     else:
         q = linear(p["q"], x, lora_sc).reshape(B, T, Hq, D)
         k = linear(p["k"], x, lora_sc).reshape(B, T, Hkv, D)
@@ -631,6 +643,19 @@ def decoder_forward(
         None if xlora_scalings is None else jnp.moveaxis(xlora_scalings, 2, 0)
     )  # [L, B, T, n]
 
+    def _scan_unroll() -> int:
+        """Layer-scan unroll factor (MISTRALRS_SCAN_UNROLL, default 1).
+        step_decompose (r3) measured a per-scan-iteration overhead on top of
+        the layer's own op time; unrolling lets XLA schedule across layer
+        boundaries (weight DMA of layer i+1 behind compute of layer i) at
+        the cost of 'unroll'x the layer HLO in the compiled program."""
+        import os
+
+        try:
+            return max(1, int(os.environ.get("MISTRALRS_SCAN_UNROLL", "1")))
+        except ValueError:
+            return 1
+
     def scan_body(h, xs):
         if sc_all is None:
             layer_params, ck, cv, use_win = xs
@@ -661,7 +686,7 @@ def decoder_forward(
         xs = (gparams, ck, cv, sl(window_flags))
         if sc_all is not None:
             xs = xs + (sl(sc_all),)
-        h, (nk, nv) = jax.lax.scan(scan_body, h, xs)
+        h, (nk, nv) = jax.lax.scan(scan_body, h, xs, unroll=_scan_unroll())
         new_k_parts.append(nk)
         new_v_parts.append(nv)
         offset += size

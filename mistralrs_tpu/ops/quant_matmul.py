@@ -524,6 +524,91 @@ def _q5k_matmul_padded(x, qs, qh, scale, minv, *, block_o: int, block_k: int,
             - jnp.dot(xsum, minv.astype(jnp.float32)).astype(y.dtype))
 
 
+def _q5k_hbit_q8_kernel(xq_ref, qh_ref, scale_ref, xs_ref, o_ref, acc_ref, *,
+                        block_k: int):
+    """int8 variant of _q5k_hbit_kernel: the 1-bit planes contract against
+    Q8 activations in per-32-sub-block int8 dots with the combined
+    (weight x activation) scale on the int32 partials. Same plane-major
+    layout + sublane-alignment contract (K8 % 256, block_k == 256)."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    k = pl.program_id(1)
+    K8 = xq_ref.shape[1] // 8
+    nsub = block_k // 32
+    qh = qh_ref[...].astype(jnp.int32)  # [block_k, To]
+    acc = acc_ref[...]
+    for j in range(8):
+        off = j * K8 + k * block_k
+        bits = ((qh >> j) & 1).astype(jnp.int8)
+        xj = xq_ref[:, pl.dslice(pl.multiple_of(off, 128), block_k)]
+        sj = scale_ref[pl.dslice(pl.multiple_of(off // 32, 8), nsub), :].astype(jnp.float32)
+        xsj = xs_ref[pl.dslice(pl.multiple_of(off // 32, 8), nsub), :]  # [nsub, B]
+        for i in range(nsub):
+            p = jax.lax.dot_general(
+                xj[:, 32 * i : 32 * i + 32], bits[32 * i : 32 * i + 32],
+                (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+            acc = acc + p.astype(jnp.float32) * xsj[i][:, None] * sj[i][None, :]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "block_k", "block_k8",
+                                             "out_dtype"))
+def _q5k_q8_matmul_padded(x, qs, qh, scale, minv, *, block_o: int,
+                          block_k: int, block_k8: int,
+                          out_dtype=jnp.bfloat16):
+    """Q8-activation int8 forward for Q5_K: the nibble + min terms ARE the
+    Q4_K int8 path (identical paired-nibble layout); the high-bit term adds
+    16 * (int8 1-bit-plane dots). The duplicate _quantize_acts_q8 CSEs under
+    the shared jit trace."""
+    B, K = x.shape
+    O = qs.shape[1]
+    y = _q4k_q8_matmul_padded(x, qs, scale, minv, block_o=block_o,
+                              block_k=block_k, out_dtype=jnp.float32)
+    xq, xs_t = _quantize_acts_q8(x)
+    yh = pl.pallas_call(
+        functools.partial(_q5k_hbit_q8_kernel, block_k=block_k8),
+        out_shape=jax.ShapeDtypeStruct((B, O), jnp.float32),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(O // block_o, (K // 8) // block_k8),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda o, k: (0, 0)),
+                pl.BlockSpec((block_k8, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((K // 32, block_o), lambda o, k: (0, o)),
+                pl.BlockSpec((K // 32, B), lambda o, k: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
+            scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * O * K,
+            bytes_accessed=O * K // 8 + O * K // 32 * 2 + B * K + B * O * 4,
+            transcendentals=0,
+        ),
+    )(xq, qh, scale, xs_t)
+    return (y + 16.0 * yh).astype(out_dtype)
+
+
+def _use_q5k_int8() -> bool:
+    """Gated OFF until the on-chip A/B clears it (dequant_ab3 --q5k-int8);
+    MISTRALRS_Q5K_INT8=1 enables on TPU."""
+    import os
+
+    if os.environ.get("MISTRALRS_Q5K_INT8") != "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def q5k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int = 1024) -> jax.Array:
     """Forward for kind 'gguf_q5k'. x [..., K] -> [..., O].
 
@@ -552,10 +637,17 @@ def q5k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int =
                       "prefill" if n_rows > 256 else "alignment")
         return _ref_forward(lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
-    y = _q5k_matmul_padded(
-        x2, lin.data["qs"], lin.data["qh"], lin.data["scale"], lin.data["minv"],
-        block_o=bo, block_k=bk, block_k8=bk8,
-    )
+    if _use_q5k_int8():
+        y = _q5k_q8_matmul_padded(
+            x2, lin.data["qs"], lin.data["qh"], lin.data["scale"],
+            lin.data["minv"], block_o=bo, block_k=bk, block_k8=bk8,
+            out_dtype=x.dtype,
+        )
+    else:
+        y = _q5k_matmul_padded(
+            x2, lin.data["qs"], lin.data["qh"], lin.data["scale"], lin.data["minv"],
+            block_o=bo, block_k=bk, block_k8=bk8,
+        )
     n = 1
     for d in lead:
         n *= d
@@ -837,6 +929,77 @@ def _q8_0_matmul_padded(x, q, scale, *, block_o: int, block_k: int):
     )(x, q, scale)
 
 
+def _q8_0_q8_kernel(xq_ref, q_ref, scale_ref, xs_ref, o_ref, acc_ref):
+    """int8-MXU Q8_0: the weights are ALREADY int8 — zero unpack VPU work;
+    the GEMV is per-32-sub-block int8 dots with the combined
+    (weight x activation) scale applied on the int32 partials."""
+
+    @pl.when(pl.program_id(1) == 0)
+    def _():
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    xq = xq_ref[...]  # [B, block_k] int8
+    q = q_ref[...]  # [block_k, To] int8
+    s = scale_ref[...].astype(jnp.float32)  # [nsub, To]
+    xs = xs_ref[...]  # [nsub, B] f32
+    nsub = s.shape[0]
+    acc = acc_ref[...]
+    for i in range(nsub):
+        p = jax.lax.dot_general(
+            xq[:, 32 * i : 32 * i + 32], q[32 * i : 32 * i + 32],
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
+        acc = acc + p.astype(jnp.float32) * xs[i][:, None] * s[i][None, :]
+    acc_ref[...] = acc
+
+    @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
+    def _():
+        o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "block_k", "out_dtype"))
+def _q8_0_q8_matmul_padded(x, q, scale, *, block_o: int, block_k: int,
+                           out_dtype=jnp.bfloat16):
+    """Q8-activation int8 forward for Q8_0 (w = q*scale is zero-symmetric:
+    no min term at all)."""
+    B, K = x.shape
+    O = q.shape[1]
+    xq, xs_t = _quantize_acts_q8(x)
+    return pl.pallas_call(
+        _q8_0_q8_kernel,
+        out_shape=jax.ShapeDtypeStruct((B, O), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=0,
+            grid=(O // block_o, K // block_k),
+            in_specs=[
+                pl.BlockSpec((B, block_k), lambda o, k: (0, k)),
+                pl.BlockSpec((block_k, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((block_k // 32, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((block_k // 32, B), lambda o, k: (k, 0)),
+            ],
+            out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
+            scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * O * K,
+            bytes_accessed=O * K + O * K // 32 * 2 + B * K + B * O * 2,
+            transcendentals=0,
+        ),
+    )(xq, q, scale, xs_t)
+
+
+def _use_q8_0_int8() -> bool:
+    """Gated OFF until the on-chip A/B clears it (dequant_ab3 --q8_0-int8);
+    MISTRALRS_Q8_0_INT8=1 enables on TPU."""
+    import os
+
+    if os.environ.get("MISTRALRS_Q8_0_INT8") != "1":
+        return False
+    return jax.default_backend() == "tpu"
+
+
 def q8_0_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int = 1024) -> jax.Array:
     in_f, out_f = lin.shape
     lead = x.shape[:-1]
@@ -851,7 +1014,11 @@ def q8_0_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int =
         return _ref_forward(lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
     bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)
-    y = _q8_0_matmul_padded(x2, lin.data["q"], lin.data["scale"], block_o=bo, block_k=bk)
+    if _use_q8_0_int8() and in_f % 32 == 0:
+        y = _q8_0_q8_matmul_padded(x2, lin.data["q"], lin.data["scale"],
+                                   block_o=bo, block_k=bk, out_dtype=x.dtype)
+    else:
+        y = _q8_0_matmul_padded(x2, lin.data["q"], lin.data["scale"], block_o=bo, block_k=bk)
     n = 1
     for d in lead:
         n *= d

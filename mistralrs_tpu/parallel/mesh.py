@@ -116,6 +116,13 @@ def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
                 "qkv": map_linear(attn["qkv"], True, True),
                 "o": map_linear(attn["o"], False, True),
             }
+        elif "qk" in attn:
+            # partial fusion (q/k fused, v separate — mixed-kind checkpoints)
+            a = {
+                "qk": map_linear(attn["qk"], True, True),
+                "v": map_linear(attn["v"], True, True),
+                "o": map_linear(attn["o"], False, True),
+            }
         else:
             a = {
                 "q": map_linear(attn["q"], True, True),

@@ -154,6 +154,17 @@ def fuse_decoder_params(params, interleave: int = 1):
                 new_attn = {k: v for k, v in attn.items() if k not in ("q", "k", "v")}
                 new_attn["qkv"] = fused
                 g["attn"] = new_attn
+            else:
+                # mixed kinds (e.g. Q4_K_M puts attn_v in Q6_K while q/k are
+                # Q4_K): fuse the q/k pair — decode pays a fixed cost per
+                # GEMV call, so 3 calls -> 2 still buys measurable step time
+                fused_qk = fuse_linears([attn["q"], attn["k"]],
+                                        interleave=interleave)
+                if fused_qk is not None:
+                    new_attn = {k: v for k, v in attn.items()
+                                if k not in ("q", "k")}
+                    new_attn["qk"] = fused_qk
+                    g["attn"] = new_attn
         mlp = g.get("mlp", {})
         if all(k in mlp for k in ("gate", "up")) and "anymoe" not in mlp:
             fused = fuse_linears([mlp["gate"], mlp["up"]],

@@ -377,8 +377,96 @@ def q6k_int8_ab():
               flush=True)
 
 
+def _run_pair(timers, bytes_packed):
+    results = {n: [] for n in timers}
+    for _ in range(REPS):
+        for n, run in timers.items():
+            results[n].append(run())
+    for n, ts in results.items():
+        med = sorted(ts)[len(ts) // 2]
+        print(f"{n:10s}: {med * 1e3:7.3f} ms ({bytes_packed / med / 1e9:5.0f}"
+              f" GB/s packed)", flush=True)
+
+
+def q8_0_int8_ab():
+    """Time bf16 vs int8 Q8_0 at the 7B ffn-down shape (gate for
+    MISTRALRS_Q8_0_INT8 default). Packed data is device-tiled (bench pools)."""
+    import jax.numpy as jnp
+
+    import bench as driver_bench
+    from mistralrs_tpu.ops.quant_matmul import (_q8_0_matmul_padded,
+                                                _q8_0_q8_matmul_padded)
+
+    Kd, Od = 14336, 4096
+    rng = np.random.default_rng(4)
+    q = driver_bench._tiled(driver_bench._pool("qs", rng), (Kd, Od)).astype(jnp.int8)
+    sc = driver_bench._tiled(driver_bench._pool("scale", rng),
+                             (Kd // 32, Od), jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(5).standard_normal((B, Kd)) * 0.1,
+                    jnp.bfloat16)
+    timers = {}
+
+    def bf16(xin, qq, ss):
+        y = _q8_0_matmul_padded(xin, qq, ss, block_o=512, block_k=1024)
+        return xin + y.sum().astype(xin.dtype) * 1e-20
+
+    def i8(xin, qq, ss):
+        y = _q8_0_q8_matmul_padded(xin, qq, ss, block_o=512, block_k=1024)
+        return xin + y.sum().astype(xin.dtype) * 1e-20
+
+    for name, f in [("q8_0-bf16", bf16), ("q8_0-int8", i8)]:
+        try:
+            timers[name] = _mk_timer(f, x, q, sc)
+        except Exception as e:
+            print(f"{name}: FAIL {str(e)[:120]}", flush=True)
+    _run_pair(timers, Kd * Od + Kd // 32 * Od * 2)
+
+
+def q5k_int8_ab():
+    """Time bf16 vs int8 Q5_K at the 7B ffn-down shape (gate for
+    MISTRALRS_Q5K_INT8 default)."""
+    import jax.numpy as jnp
+
+    import bench as driver_bench
+    from mistralrs_tpu.ops.quant_matmul import (_q5k_matmul_padded,
+                                                _q5k_q8_matmul_padded)
+
+    Kd, Od = 14336, 4096
+    rng = np.random.default_rng(6)
+    qs = driver_bench._tiled(driver_bench._pool("qs", rng), (Kd // 2, Od))
+    qh = driver_bench._tiled(driver_bench._pool("qs", rng), (Kd // 8, Od))
+    sc = driver_bench._tiled(driver_bench._pool("scale", rng),
+                             (Kd // 32, Od), jnp.bfloat16)
+    mv = driver_bench._tiled(driver_bench._pool("minv", rng),
+                             (Kd // 32, Od), jnp.bfloat16)
+    x = jnp.asarray(np.random.default_rng(7).standard_normal((B, Kd)) * 0.1,
+                    jnp.bfloat16)
+    timers = {}
+
+    def bf16(xin, a, b, c, d):
+        y = _q5k_matmul_padded(xin, a, b, c, d, block_o=1024, block_k=1024,
+                               block_k8=256)
+        return xin + y.sum().astype(xin.dtype) * 1e-20
+
+    def i8(xin, a, b, c, d):
+        y = _q5k_q8_matmul_padded(xin, a, b, c, d, block_o=1024,
+                                  block_k=1024, block_k8=256)
+        return xin + y.sum().astype(xin.dtype) * 1e-20
+
+    for name, f in [("q5k-bf16", bf16), ("q5k-int8", i8)]:
+        try:
+            timers[name] = _mk_timer(f, x, qs, qh, sc, mv)
+        except Exception as e:
+            print(f"{name}: FAIL {str(e)[:120]}", flush=True)
+    _run_pair(timers, Kd // 2 * Od + Kd // 8 * Od + Kd // 32 * Od * 4)
+
+
 if __name__ == "__main__":
     if "--q6k-int8" in sys.argv:
         q6k_int8_ab()
+    elif "--q8_0-int8" in sys.argv:
+        q8_0_int8_ab()
+    elif "--q5k-int8" in sys.argv:
+        q5k_int8_ab()
     else:
         main()

@@ -1,0 +1,96 @@
+"""Isolate the per-call GEMV fixed cost: raw padded kernels (pre-padded,
+pre-permuted, B=8) vs the dispatcher wrappers (pad + act-quant + perm
+gather + min-term). r3 follow-up to layer_decompose.py."""
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+import numpy as np
+
+ITERS = 400
+REPS = 3
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/tmp/mistralrs_xla_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+    import bench as driver_bench
+    from mistralrs_tpu.ops.quant_matmul import (
+        _q4k_q8_matmul_padded, _q6k_q8_matmul_padded, _quantize_acts_q8)
+
+    rng = np.random.default_rng(0)
+
+    def scan_timer(f, *args):
+        g = jax.jit(lambda v, *w: jax.lax.scan(
+            lambda h, _: (f(h, *w), None), v, None, length=ITERS)[0])
+        np.asarray(g(*args))
+
+        def run():
+            t0 = time.time()
+            np.asarray(g(*args))
+            return (time.time() - t0) / ITERS
+        ts = sorted(run() for _ in range(REPS))
+        return ts[len(ts) // 2]
+
+    # raw q4k int8 padded call at the four Q4_K shapes, x pre-padded B=8
+    for name, (K, O) in [("q-raw  4096x4096", (4096, 4096)),
+                         ("k-raw  4096x1024", (4096, 1024)),
+                         ("gu-raw 4096x28672", (4096, 28672)),
+                         ("dn-raw 14336x4096", (14336, 4096))]:
+        lin = driver_bench._random_q4k_linear(rng, K, O, jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((8, K)) * 0.1, jnp.bfloat16)
+
+        def f(xin, qs, sc, mv):
+            y = _q4k_q8_matmul_padded(xin, qs, sc, mv, block_o=1024,
+                                      block_k=1024)
+            return xin + y.sum().astype(xin.dtype) * 1e-20
+
+        med = scan_timer(f, x, lin.data["qs"], lin.data["scale"], lin.data["minv"])
+        print(f"{name:20s}: {med * 1e3:7.3f} ms", flush=True)
+
+    # q6k: raw padded call with PRE-permuted x (gather hoisted out) vs
+    # in-loop gather
+    for name, (K, O) in [("v6-raw 4096x1024", (4096, 1024)),
+                         ("dn6-raw 14336x4096", (14336, 4096))]:
+        lin = driver_bench._random_q6k_linear(rng, K, O, jnp.bfloat16)
+        G = lin.meta
+        x = jnp.asarray(rng.standard_normal((8, K)) * 0.1, jnp.bfloat16)
+
+        def f_pre(xin, ql, qh, sc):
+            y = _q6k_q8_matmul_padded(xin, ql, qh, sc, block_o=2048, G=G)
+            return xin + y.sum().astype(xin.dtype) * 1e-20
+
+        def f_gather(xin, ql, qh, sc, perm):
+            xp = jnp.take(xin, perm, axis=1)
+            y = _q6k_q8_matmul_padded(xp, ql, qh, sc, block_o=2048, G=G)
+            return xin + y.sum().astype(xin.dtype) * 1e-20
+
+        m1 = scan_timer(f_pre, x, lin.data["ql"], lin.data["qh"], lin.data["scale"])
+        m2 = scan_timer(f_gather, x, lin.data["ql"], lin.data["qh"],
+                        lin.data["scale"], lin.data["perm"])
+        print(f"{name:20s}: {m1 * 1e3:7.3f} ms pre-permuted | "
+              f"{m2 * 1e3:7.3f} ms with gather", flush=True)
+
+    # the act-quant chain alone at [8, 4096]
+    x = jnp.asarray(rng.standard_normal((8, 4096)) * 0.1, jnp.bfloat16)
+
+    def f_q(xin):
+        xq, xs = _quantize_acts_q8(xin)
+        return xin + (xq.sum().astype(xin.dtype) + xs.sum().astype(xin.dtype)) * 1e-20
+
+    print(f"{'actquant [8,4096]':20s}: {scan_timer(f_q, x) * 1e3:7.3f} ms",
+          flush=True)
+
+    # empty scan floor
+    print(f"{'scan floor':20s}: "
+          f"{scan_timer(lambda xin: xin * 1.0000001, x) * 1e3:7.3f} ms",
+          flush=True)
+
+
+if __name__ == "__main__":
+    main()

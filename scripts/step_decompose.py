@@ -47,6 +47,16 @@ def _rate(num_layers: int, prompt_len: int = 64) -> float:
 
 
 def main():
+    import jax
+
+    # persistent compile cache (bench.py only sets this in ITS main):
+    # three model sizes = 3 full compile sets; without the cache a cold run
+    # blows the 590 s driver window before printing L=8 (seen r3 after the
+    # int8-path flips invalidated the old cache entries)
+    jax.config.update("jax_compilation_cache_dir",
+                      os.environ.get("MISTRALRS_CACHE_DIR",
+                                     "/tmp/mistralrs_xla_cache"))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     results = {}
     for L in (8, 16, 32):
         r = _rate(L)

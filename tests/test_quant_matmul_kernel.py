@@ -175,3 +175,44 @@ def test_q6k_int8_path_matches_dequant():
             xp, lin.data["ql"], lin.data["qh"], lin.data["scale"],
             block_o=256, G=lin.meta, out_dtype=jnp.float32))
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=2e-1)
+
+
+def test_q8_0_int8_path_matches_dequant():
+    """MISTRALRS_Q8_0_INT8 candidate: the weights are already int8, so the
+    int8-MXU path has zero unpack work; parity within the activation-quant
+    budget (per-32-block int8: |err_x| <= max|x_block|/254)."""
+    from mistralrs_tpu.ops.quant_matmul import _q8_0_q8_matmul_padded
+
+    O, K = 256, 512
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q8_0)
+    lin = linear_from_gguf(raw, GGMLType.Q8_0, (O, K), dtype=jnp.float32)
+    wd = kquants.dequantize(raw, GGMLType.Q8_0, (O, K))
+    x = (rng.standard_normal((8, K)) * 0.5).astype(np.float32)
+    want = x @ wd.T
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_q8_0_q8_matmul_padded(
+            jnp.asarray(x), lin.data["q"], lin.data["scale"],
+            block_o=256, block_k=512, out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=2e-1)
+
+
+def test_q5k_int8_path_matches_dequant():
+    """MISTRALRS_Q5K_INT8 candidate: nibble+min terms ride the Q4_K int8
+    path; the high-bit term is the int8 1-bit-plane kernel. K=2048 so the
+    hbit alignment contract (K8 % 256) holds."""
+    from mistralrs_tpu.ops.quant_matmul import _q5k_q8_matmul_padded
+
+    O, K = 256, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q5_K)
+    lin = linear_from_gguf(raw, GGMLType.Q5_K, (O, K), dtype=jnp.float32)
+    wd = kquants.dequantize(raw, GGMLType.Q5_K, (O, K))
+    x = (rng.standard_normal((8, K)) * 0.5).astype(np.float32)
+    want = x @ wd.T
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(_q5k_q8_matmul_padded(
+            jnp.asarray(x), lin.data["qs"], lin.data["qh"], lin.data["scale"],
+            lin.data["minv"], block_o=256, block_k=512, block_k8=256,
+            out_dtype=jnp.float32))
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-1)

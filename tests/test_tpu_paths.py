@@ -467,3 +467,54 @@ def test_q6k_int8_path_on_chip():
         block_o=1024, G=lin.meta), np.float32)
     want = np.asarray(_ref_forward(lin, x), np.float32)
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
+
+
+def test_q8_0_int8_path_on_chip():
+    """MISTRALRS_Q8_0_INT8 candidate: the already-int8 weights contract in
+    per-32-sub-block int8 dots — must lower under the real Mosaic toolchain
+    and track the dequant reference. Default flip additionally needs the
+    timing A/B (scripts/dequant_ab3.py --q8_0-int8)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.gguf.reader import GGMLType
+    from mistralrs_tpu.ops.quant_matmul import _q8_0_q8_matmul_padded
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.gguf_linear import _ref_forward, linear_from_gguf
+
+    rng = np.random.default_rng(10)
+    O, K = 1024, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q8_0)
+    lin = linear_from_gguf(raw, GGMLType.Q8_0, (O, K), dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((8, K)) * 0.5, jnp.bfloat16)
+    got = np.asarray(_q8_0_q8_matmul_padded(
+        x, lin.data["q"], lin.data["scale"], block_o=512, block_k=1024),
+        np.float32)
+    want = np.asarray(_ref_forward(lin, x), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
+
+
+def test_q5k_int8_path_on_chip():
+    """MISTRALRS_Q5K_INT8 candidate: nibble+min terms ride the Q4_K int8
+    kernel; the 1-bit-plane hbit kernel (64 32-deep dots per k-step) must
+    lower and track the dequant reference. Default flip additionally needs
+    the timing A/B (scripts/dequant_ab3.py --q5k-int8)."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.gguf.reader import GGMLType
+    from mistralrs_tpu.ops.quant_matmul import _q5k_q8_matmul_padded
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.gguf_linear import _ref_forward, linear_from_gguf
+
+    rng = np.random.default_rng(11)
+    O, K = 1024, 2048
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q5_K)
+    lin = linear_from_gguf(raw, GGMLType.Q5_K, (O, K), dtype=jnp.bfloat16)
+    x = jnp.asarray(rng.standard_normal((8, K)) * 0.5, jnp.bfloat16)
+    got = np.asarray(_q5k_q8_matmul_padded(
+        x, lin.data["qs"], lin.data["qh"], lin.data["scale"],
+        lin.data["minv"], block_o=1024, block_k=1024, block_k8=256),
+        np.float32)
+    want = np.asarray(_ref_forward(lin, x), np.float32)
+    np.testing.assert_allclose(got, want, rtol=5e-2, atol=6e-1)
