@@ -316,7 +316,10 @@ def _run():
     single, _ = _measure(eng1, prompt, n_requests=1, max_len=64, reps=3)
 
     # throughput-optimal batch (r3 sweep: 32 beats 16 by ~1.6x and 64 by
-    # ~6%, scripts/batch_sweep.py): a second engine over the same params
+    # ~6%, scripts/batch_sweep.py): a second engine over the same params.
+    # Free the finished engines' KV pools first — three live pools + the
+    # (memoized) fused weights OOMed a 16 GB v5e in r3
+    del eng, eng1
     best_batch = 32
     pc32 = dataclasses.replace(pc, max_seqs=best_batch,
                                num_pages=max(512, best_batch * 10))

@@ -133,14 +133,31 @@ def split_linear(lin: Linear, sizes: list[int]) -> list[Linear] | None:
     return outs
 
 
+# Fused-params memo: several pipelines over the SAME DecoderParams object
+# (bench's batch-16 / single-stream / batch-32 engines; a speculative target
+# shared with a verifier) must share one fused copy — gate+up alone is
+# ~2.1 GB packed on a 7B, and three independent copies OOMed a 16 GB v5e
+# (r3). Keyed by id(params) with a weakref guard + finalize-eviction.
+_FUSE_MEMO: dict = {}
+
+
 def fuse_decoder_params(params, interleave: int = 1):
     """Fuse q/k/v -> qkv and gate/up -> gateup in every scan group, operating
     directly on the stacked leaves (no per-layer unstacking: an unstack/
     re-stack round trip would transiently triple device memory on large
     models). Group structure and sizes are unchanged; the decoder dispatches
     on which keys are present. interleave > 1 = the TP-shardable layout
-    (see fuse_linears); the caller must set cfg.fuse_interleave to match."""
+    (see fuse_linears); the caller must set cfg.fuse_interleave to match.
+
+    Results are memoized per (params object, interleave): repeated calls
+    with the same live object return the same fused arrays."""
     import dataclasses
+    import weakref
+
+    key = (id(params), interleave)
+    hit = _FUSE_MEMO.get(key)
+    if hit is not None and hit[0]() is params:
+        return hit[1]
 
     new_groups = []
     for g in params.layer_groups:
@@ -174,4 +191,7 @@ def fuse_decoder_params(params, interleave: int = 1):
                 new_mlp["gateup"] = fused
                 g["mlp"] = new_mlp
         new_groups.append(g)
-    return dataclasses.replace(params, layer_groups=new_groups)
+    fused = dataclasses.replace(params, layer_groups=new_groups)
+    _FUSE_MEMO[key] = (weakref.ref(params), fused)
+    weakref.finalize(params, _FUSE_MEMO.pop, key, None)
+    return fused
