@@ -279,11 +279,17 @@ def _run():
     cfg, params = _build_7b_q4km(jnp.bfloat16)
     rope = make_rope(cfg, 2048)
     batch = 16  # reference default --max-seqs (main.rs:66-68)
+    # r4 A/B knobs: decode_steps (dispatch amortization — the 3.44 ms step
+    # intercept carries ~dispatch/decode_steps of tunnel overhead) and the
+    # single-stream engine width (max_seqs=8 makes the per-projection
+    # B->8 row pads no-ops; max_seqs=2 pays ~20 pad/slice ops per layer)
+    dsteps = int(os.environ.get("MISTRALRS_BENCH_DECODE_STEPS", "16"))
+    ss_seqs = int(os.environ.get("MISTRALRS_BENCH_SS_SEQS", "2"))
     # ONE engine serves both measurements (the serving config a user runs;
     # fewer compiled variants keeps bench wall-time inside the driver budget)
     pc = PipelineConfig(
         page_size=16, num_pages=512, max_seqs=batch, max_model_len=2048,
-        prefill_buckets=(64,), decode_steps=16,
+        prefill_buckets=(64,), decode_steps=dsteps,
         # A/B knobs: MISTRALRS_BENCH_KV_QUANT=1 serves the int8 KV cache;
         # MISTRALRS_ATTN_BACKEND=ragged serves the combined-pool kernel.
         # The two are mutually exclusive (TextPipeline warns and keeps int8)
@@ -309,7 +315,7 @@ def _run():
     # tg at its own concurrency), and the static decode slots pad every
     # step to max_seqs — measuring 1 stream on the batch-16 engine charged
     # it 16-wide activations/attention (~28% slower, r3 step_decompose)
-    pc1 = dataclasses.replace(pc, max_seqs=2, num_pages=256)
+    pc1 = dataclasses.replace(pc, max_seqs=ss_seqs, num_pages=256)
     eng1 = Engine(TextPipeline(cfg, params, rope, pc1), eos_token_ids=set(),
                   prefix_cache=False)
     eng1.generate(prompt, SamplingParams(max_len=4))  # compile
@@ -332,6 +338,48 @@ def _run():
     serving32, ttft32 = _measure(eng32, prompt, n_requests=best_batch,
                                  max_len=48, reps=3)
 
+    # prompt (prefill) throughput — the reference bench always reports pp
+    # alongside tg (mistralrs-bench/src/main.rs:47-130); measured through
+    # the engine's batched chunked prefill at 512- and 2048-token prompts,
+    # batch 16 (VERDICT r3 missing #1). Dedicated engine: 512-token chunk
+    # bucket + enough pages for 16 x 2048-token contexts.
+    del eng32
+    pp512 = pp2048 = None
+    try:
+        pcpp = dataclasses.replace(
+            pc, max_seqs=batch, max_model_len=2176,
+            prefill_buckets=(512,), num_pages=16 * (2176 // 16) + 16)
+        engpp = Engine(TextPipeline(cfg, params, rope, pcpp),
+                       eos_token_ids=set(), prefix_cache=False)
+
+        def _pp(n_prompt, reps=2):
+            p = list(np.random.default_rng(2).integers(1, 30000, size=n_prompt))
+            rates = []
+            for _ in range(reps):
+                groups = [eng_add for eng_add in (
+                    engpp.add_request(GenerationRequest(
+                        list(p), SamplingParams(max_len=2)))
+                    for _ in range(batch))]
+                t0 = time.perf_counter()
+                while any(s.state.value in ("running_prefill", "waiting")
+                          for g in groups for s in g.seqs):
+                    engpp.step()
+                dt = time.perf_counter() - t0
+                while not all(g.all_done() for g in groups):
+                    engpp.step()
+                rates.append(batch * n_prompt / dt)
+            return sorted(rates)[len(rates) // 2]
+
+        _pp(512, reps=1)  # warm/compile
+        pp512 = _pp(512)
+        pp2048 = _pp(2048)
+    except Exception as e:  # noqa: BLE001 — keep the decode scoreboard alive
+        import traceback
+
+        print(f"pp-measure failed: {type(e).__name__}: {e}",
+              file=sys.stderr)
+        traceback.print_exc(file=sys.stderr)
+
     baseline = 131.0  # reference A100 mistral-7b Q4_K_M tg T/s (README.md:192)
     print(json.dumps({
         "metric": "mistral7b_q4km_decode_tok_s_per_chip_batch32",
@@ -346,6 +394,8 @@ def _run():
         "single_stream_tok_s": round(single, 2),
         "single_stream_vs_baseline": round(single / baseline, 3),
         "p50_ttft_ms_batch16": round(ttft_p50 * 1000, 1),
+        "pp_tok_s_512_batch16": None if pp512 is None else round(pp512, 1),
+        "pp_tok_s_2048_batch16": None if pp2048 is None else round(pp2048, 1),
     }))
 
 

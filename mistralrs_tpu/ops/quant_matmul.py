@@ -51,11 +51,28 @@ def _log_fallback(kind: str, shape: tuple, reason: str) -> None:
                kind, shape, reason)
 
 
-def _q4k_kernel(x_ref, qs_ref, scale_ref, o_ref, acc_ref, *, block_k: int):
+def _colsum_dot(xsum_t: jax.Array, m: jax.Array) -> jax.Array:
+    """[nsub, B] x [nsub, To] -> [B, To] f32 (contraction on sublanes of
+    both operands — one tiny MXU dot per tile for the fused min/offset
+    epilogues; r4 kernel-to-engine closure, VERDICT r3 next-step 1b)."""
+    return jax.lax.dot_general(
+        xsum_t, m, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)
+
+
+def _q4k_kernel(x_ref, qs_ref, scale_ref, minv_ref, xsum_ref, o_ref, acc_ref,
+                *, block_k: int):
     """Paired-nibble tile: byte row r of the k-th qs tile holds elements
     (K_off + r) and (K/2 + K_off + r); both halves unpack with one mask /
     one shift (no sublane interleave) and contract against contiguous x and
-    scale slices."""
+    scale slices.
+
+    The min-term (y -= sum_sub xsum[b,sub] * minv[sub,o]) is FUSED as two
+    tiny per-k-step dots on the accumulator (r4): minv streams once inside
+    the kernel instead of a second pass through an external XLA matmul, and
+    the per-projection dispatch disappears. xsum [K/32, B] = per-32-block
+    sums of the ORIGINAL activations, computed outside (CSEs across the
+    projections sharing an activation)."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -75,10 +92,18 @@ def _q4k_kernel(x_ref, qs_ref, scale_ref, o_ref, acc_ref, *, block_k: int):
     s2 = scale_ref[
         pl.dslice(pl.multiple_of((Khalf + k * bkh) // 32, 8), nsub), :
     ].astype(jnp.float32)
+    m1 = minv_ref[pl.dslice(pl.multiple_of(k * nsub, 8), nsub), :].astype(jnp.float32)
+    m2 = minv_ref[
+        pl.dslice(pl.multiple_of((Khalf + k * bkh) // 32, 8), nsub), :
+    ].astype(jnp.float32)
+    xs1 = xsum_ref[pl.dslice(pl.multiple_of(k * nsub, 8), nsub), :]
+    xs2 = xsum_ref[
+        pl.dslice(pl.multiple_of((Khalf + k * bkh) // 32, 8), nsub), :
+    ]
     # scale applied on the [B, To] accumulator per 32-element sub-block
     # (VPU cost ~B*To per sub-block instead of 32*To weight-side muls —
     # decode is VPU-dequant-bound, so fewer elementwise ops win)
-    acc = acc_ref[...]
+    acc = acc_ref[...] - _colsum_dot(xs1, m1) - _colsum_dot(xs2, m2)
     for i in range(nsub):
         p1 = jnp.dot(x1[:, 32 * i : 32 * i + 32], lo[32 * i : 32 * i + 32],
                      preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
@@ -92,13 +117,21 @@ def _q4k_kernel(x_ref, qs_ref, scale_ref, o_ref, acc_ref, *, block_k: int):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _xsum32_t(x: jax.Array) -> jax.Array:
+    """Per-32-block sums of x [B, K] -> [K/32, B] f32 (transposed so kernel
+    sublane slices stay 8-aligned, like _quantize_acts_q8's scales)."""
+    B, K = x.shape
+    return jnp.sum(x.astype(jnp.float32).reshape(B, K // 32, 32), axis=2).T
+
+
 @functools.partial(jax.jit, static_argnames=("block_o", "block_k"))
 def _q4k_matmul_padded(x, qs, scale, minv, *, block_o: int, block_k: int):
-    """x [B, K]; qs [K/2, O] paired layout; scale/minv [K/32, O]."""
+    """x [B, K]; qs [K/2, O] paired layout; scale/minv [K/32, O].
+    Min-term fused in-kernel (see _q4k_kernel)."""
     B, K = x.shape
     O = qs.shape[1]
     grid = (O // block_o, K // block_k)
-    y = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_q4k_kernel, block_k=block_k),
         out_shape=jax.ShapeDtypeStruct((B, O), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -108,6 +141,8 @@ def _q4k_matmul_padded(x, qs, scale, minv, *, block_o: int, block_k: int):
                 pl.BlockSpec((B, K), lambda o, k: (0, 0)),
                 pl.BlockSpec((block_k // 2, block_o), lambda o, k: (k, o)),
                 pl.BlockSpec((K // 32, block_o), lambda o, k: (0, o)),
+                pl.BlockSpec((K // 32, block_o), lambda o, k: (0, o)),
+                pl.BlockSpec((K // 32, B), lambda o, k: (0, 0)),
             ],
             out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
             scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
@@ -117,13 +152,10 @@ def _q4k_matmul_padded(x, qs, scale, minv, *, block_o: int, block_k: int):
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * O * K,
-            bytes_accessed=O * K // 2 + O * K // 32 * 2 + B * K * 2 + B * O * 2,
+            bytes_accessed=O * K // 2 + O * K // 32 * 4 + B * K * 2 + B * O * 2,
             transcendentals=0,
         ),
-    )(x, qs, scale)
-    # min-term correction (plain XLA): y -= xsum @ minv
-    xsum = jnp.sum(x.astype(jnp.float32).reshape(B, K // 32, 32), axis=2)
-    return y - jnp.dot(xsum, minv.astype(jnp.float32)).astype(y.dtype)
+    )(x, qs, scale, minv, _xsum32_t(x))
 
 
 # ------------------------------------------------ Q4_K int8-MXU decode path
@@ -150,11 +182,14 @@ def _quantize_acts_q8(x2d: jax.Array) -> tuple[jax.Array, jax.Array]:
     return xq.astype(jnp.int8).reshape(B, K), xs.T
 
 
-def _q4k_q8_kernel(xq_ref, qs_ref, scale_ref, xs_ref, o_ref, acc_ref, *,
-                   block_k: int):
+def _q4k_q8_kernel(xq_ref, qs_ref, scale_ref, minv_ref, xs_ref, xsum_ref,
+                   o_ref, acc_ref, *, block_k: int):
     """Per-32-sub-block int8 MXU dots; combined (weight x activation) scale
     applied on the [B, To] int32 accumulator. Same paired-nibble layout and
-    alignment contract as _q4k_kernel."""
+    alignment contract as _q4k_kernel. Min-term fused in-kernel (r4) as two
+    tiny dots per k-step on xsum = per-32 sums of the ORIGINAL activations
+    (more accurate than ggml's Q8 block-sums and one fewer external matmul
+    per projection)."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -173,9 +208,15 @@ def _q4k_q8_kernel(xq_ref, qs_ref, scale_ref, xs_ref, o_ref, acc_ref, *,
     s2 = scale_ref[
         pl.dslice(pl.multiple_of((Khalf + k * bkh) // 32, 8), nsub), :
     ].astype(jnp.float32)
+    m1 = minv_ref[pl.dslice(pl.multiple_of(k * nsub, 8), nsub), :].astype(jnp.float32)
+    m2 = minv_ref[
+        pl.dslice(pl.multiple_of((Khalf + k * bkh) // 32, 8), nsub), :
+    ].astype(jnp.float32)
+    xm1 = xsum_ref[pl.dslice(pl.multiple_of(k * nsub, 8), nsub), :]
+    xm2 = xsum_ref[pl.dslice(pl.multiple_of((Khalf + k * bkh) // 32, 8), nsub), :]
     xs1 = xs_ref[pl.dslice(pl.multiple_of(k * nsub, 8), nsub), :]  # [nsub, B]
     xs2 = xs_ref[pl.dslice(pl.multiple_of((Khalf + k * bkh) // 32, 8), nsub), :]
-    acc = acc_ref[...]
+    acc = acc_ref[...] - _colsum_dot(xm1, m1) - _colsum_dot(xm2, m2)
     for i in range(nsub):
         p1 = jax.lax.dot_general(
             x1[:, 32 * i : 32 * i + 32], lo[32 * i : 32 * i + 32],
@@ -197,11 +238,11 @@ def _q4k_q8_matmul_padded(x, qs, scale, minv, *, block_o: int, block_k: int,
                           out_dtype=jnp.bfloat16):
     """Q8-activation int8-MXU forward: x [B, K] (any float dtype); returns
     [B, O] in out_dtype. Min-term uses the ORIGINAL activations (more
-    accurate than ggml's Q8 block-sums and free: one XLA matmul)."""
+    accurate than ggml's Q8 block-sums) and is fused in-kernel (r4)."""
     B, K = x.shape
     O = qs.shape[1]
     xq, xs_t = _quantize_acts_q8(x)
-    y = pl.pallas_call(
+    return pl.pallas_call(
         functools.partial(_q4k_q8_kernel, block_k=block_k),
         out_shape=jax.ShapeDtypeStruct((B, O), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -211,6 +252,8 @@ def _q4k_q8_matmul_padded(x, qs, scale, minv, *, block_o: int, block_k: int,
                 pl.BlockSpec((B, K), lambda o, k: (0, 0)),
                 pl.BlockSpec((block_k // 2, block_o), lambda o, k: (k, o)),
                 pl.BlockSpec((K // 32, block_o), lambda o, k: (0, o)),
+                pl.BlockSpec((K // 32, block_o), lambda o, k: (0, o)),
+                pl.BlockSpec((K // 32, B), lambda o, k: (0, 0)),
                 pl.BlockSpec((K // 32, B), lambda o, k: (0, 0)),
             ],
             out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
@@ -221,13 +264,10 @@ def _q4k_q8_matmul_padded(x, qs, scale, minv, *, block_o: int, block_k: int,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * O * K,
-            bytes_accessed=O * K // 2 + O * K // 32 * 2 + B * K + B * O * 2,
+            bytes_accessed=O * K // 2 + O * K // 32 * 4 + B * K + B * O * 2,
             transcendentals=0,
         ),
-    )(xq, qs, scale, xs_t)
-    xsum = jnp.sum(x.astype(jnp.float32).reshape(B, K // 32, 32), axis=2)
-    return (y.astype(jnp.float32)
-            - jnp.dot(xsum, minv.astype(jnp.float32))).astype(out_dtype)
+    )(xq, qs, scale, minv, xs_t, _xsum32_t(x))
 
 
 def _use_q4k_int8() -> bool:
@@ -310,8 +350,12 @@ def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int =
 # kernel-per-format — here one parametrized Mosaic kernel.
 
 
-def _affine_kernel(x_ref, q_ref, scale_ref, o_ref, acc_ref, *, bits: int,
-                   group: int, block_k: int):
+def _affine_kernel(x_ref, q_ref, scale_ref, zs_ref, xsumg_ref, o_ref, acc_ref,
+                   *, bits: int, group: int, block_k: int):
+    """The zs term (y -= xsum_g @ zs) is fused in-kernel per plane (r4):
+    one tiny dot on the accumulator instead of a second external XLA matmul
+    re-streaming zs."""
+
     @pl.when(pl.program_id(1) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
@@ -334,9 +378,12 @@ def _affine_kernel(x_ref, q_ref, scale_ref, o_ref, acc_ref, *, bits: int,
         # (on-chip it refuses unaligned sublane slice offsets; seen in the
         # r3 kernel_sweep q2k failures)
         sj = scale_ref[pl.dslice(pl.multiple_of(off // group, 8), nsub), :].astype(dt)
+        zj = zs_ref[pl.dslice(pl.multiple_of(off // group, 8), nsub), :].astype(jnp.float32)
+        xgj = xsumg_ref[pl.dslice(pl.multiple_of(off // group, 8), nsub), :]
         srep = jnp.broadcast_to(sj[:, None, :], (nsub, group, To)).reshape(block_k, To)
         xj = x_ref[:, pl.dslice(pl.multiple_of(off, 128), block_k)]
         acc = acc + jnp.dot(xj, vals * srep, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT)
+        acc = acc - _colsum_dot(xgj, zj)
     acc_ref[...] = acc
 
     @pl.when(pl.program_id(1) == pl.num_programs(1) - 1)
@@ -348,11 +395,14 @@ def _affine_kernel(x_ref, q_ref, scale_ref, o_ref, acc_ref, *, bits: int,
 def _affine_matmul_padded(x, q, scale, zs, *, bits: int, group: int,
                           block_o: int, block_k: int):
     """x [B, K]; q plane-major packed [K*bits/8, O] (bytes when bits==8);
-    scale/zs [K/group, O]. y = sum x*q*scale - xsum_g @ zs."""
+    scale/zs [K/group, O]. y = sum x*q*scale - xsum_g @ zs (zs term fused
+    in-kernel, r4)."""
     B, K = x.shape
     O = q.shape[1]
     per = 8 // bits
-    y = pl.pallas_call(
+    xsum_g = jnp.sum(
+        x.astype(jnp.float32).reshape(B, K // group, group), axis=2).T
+    return pl.pallas_call(
         functools.partial(_affine_kernel, bits=bits, group=group, block_k=block_k),
         out_shape=jax.ShapeDtypeStruct((B, O), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -362,6 +412,8 @@ def _affine_matmul_padded(x, q, scale, zs, *, bits: int, group: int,
                 pl.BlockSpec((B, K), lambda o, k: (0, 0)),
                 pl.BlockSpec((block_k, block_o), lambda o, k: (k, o)),
                 pl.BlockSpec((K // group, block_o), lambda o, k: (0, o)),
+                pl.BlockSpec((K // group, block_o), lambda o, k: (0, o)),
+                pl.BlockSpec((K // group, B), lambda o, k: (0, 0)),
             ],
             out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
             scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
@@ -371,12 +423,10 @@ def _affine_matmul_padded(x, q, scale, zs, *, bits: int, group: int,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * O * K,
-            bytes_accessed=O * K // per + O * K // group * 2 + B * K * 2 + B * O * 2,
+            bytes_accessed=O * K // per + O * K // group * 4 + B * K * 2 + B * O * 2,
             transcendentals=0,
         ),
-    )(x, q, scale)
-    xsum = jnp.sum(x.astype(jnp.float32).reshape(B, K // group, group), axis=2)
-    return y - jnp.dot(xsum, zs.astype(jnp.float32)).astype(y.dtype)
+    )(x, q, scale, zs, xsum_g)
 
 
 def affine_qmatmul(lin: Linear, x: jax.Array, *, bits: int, group: int,
@@ -468,9 +518,9 @@ def _q5k_hbit_kernel(x_ref, qh_ref, scale_ref, o_ref, acc_ref, *, block_k: int):
 @functools.partial(jax.jit, static_argnames=("block_o", "block_k", "block_k8"))
 def _q5k_matmul_padded(x, qs, qh, scale, minv, *, block_o: int, block_k: int,
                        block_k8: int):
-    """w = scale*(nib + 16*hbit) - minv: nibble term = the Q4_K kernel on
-    qs/scale; high-bit term = _q5k_hbit_kernel on the 1-bit planes (x16);
-    min term = xsum32 @ minv outside (XLA). Streams 5.06 bit/weight."""
+    """w = scale*(nib + 16*hbit) - minv: nibble + min terms = the Q4_K
+    kernel on qs/scale/minv (min fused in-kernel, r4); high-bit term =
+    _q5k_hbit_kernel on the 1-bit planes (x16). Streams 5.06 bit/weight."""
     B, K = x.shape
     O = qs.shape[1]
     y = pl.pallas_call(
@@ -483,6 +533,8 @@ def _q5k_matmul_padded(x, qs, qh, scale, minv, *, block_o: int, block_k: int,
                 pl.BlockSpec((B, K), lambda o, k: (0, 0)),
                 pl.BlockSpec((block_k // 2, block_o), lambda o, k: (k, o)),
                 pl.BlockSpec((K // 32, block_o), lambda o, k: (0, o)),
+                pl.BlockSpec((K // 32, block_o), lambda o, k: (0, o)),
+                pl.BlockSpec((K // 32, B), lambda o, k: (0, 0)),
             ],
             out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
             scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
@@ -492,10 +544,10 @@ def _q5k_matmul_padded(x, qs, qh, scale, minv, *, block_o: int, block_k: int,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * O * K,
-            bytes_accessed=O * K // 2 + O * K // 32 * 2 + B * K * 2 + B * O * 2,
+            bytes_accessed=O * K // 2 + O * K // 32 * 4 + B * K * 2 + B * O * 2,
             transcendentals=0,
         ),
-    )(x, qs, scale)
+    )(x, qs, scale, minv, _xsum32_t(x))
     yh = pl.pallas_call(
         functools.partial(_q5k_hbit_kernel, block_k=block_k8),
         out_shape=jax.ShapeDtypeStruct((B, O), x.dtype),
@@ -519,9 +571,7 @@ def _q5k_matmul_padded(x, qs, qh, scale, minv, *, block_o: int, block_k: int,
             transcendentals=0,
         ),
     )(x, qh, scale)
-    xsum = jnp.sum(x.astype(jnp.float32).reshape(B, K // 32, 32), axis=2)
-    return (y + 16.0 * yh
-            - jnp.dot(xsum, minv.astype(jnp.float32)).astype(y.dtype))
+    return y + 16.0 * yh
 
 
 def _q5k_hbit_q8_kernel(xq_ref, qh_ref, scale_ref, xs_ref, o_ref, acc_ref, *,
@@ -661,23 +711,39 @@ def q5k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int =
 # ----------------------------------------------------------------- Q6_K
 
 
-def _q6k_kernel(x_ref, ql_ref, qh_ref, scale_ref, o_ref, acc_ref, *, G: int):
+def _q6k_kernel(x_ref, ql_ref, qh_ref, scale_ref, xsum16_ref, o_ref, acc_ref,
+                *, G: int, natural: bool = True):
     """One chunk (4 spans of G permuted elements) per k-step. The chunked
     layout (quant/gguf_linear.py pack_q6k) makes every ref's block
     contiguous, so the unpack is mask/shift only with static bit offsets:
     ql rows [0,G) hold lownib(span0)|lownib(span2)<<4, rows [G,2G) spans
     1|3; qh packs the four 2-bit highs at bits 0/2/4/6. Scale is applied
     weight-side (per-16 sub-scales broadcast along sublanes, q8_0-style)
-    and each span contracts as a full-depth [B,G]x[G,To] MXU dot."""
+    and each span contracts as a full-depth [B,G]x[G,To] MXU dot.
+
+    r4: x streams in NATURAL element order (full [B, K] resident, like the
+    Q4_K kernel) — span j of chunk c lives at the contiguous natural slice
+    j*(K/4) + c*G, so the former runtime [B, K] perm gather disappears.
+    The -32 offset term (32 * sum_16(x) * s16) is fused as one tiny dot on
+    the accumulator per k-step (xsum16 arrives in PERMUTED per-16 order —
+    a static reshape/transpose outside, not a gather).
+
+    natural=False keeps the legacy pre-gathered-x contract (x blocked
+    [B, 4G] per chunk) for G=128 shapes (e.g. phi2's 2560) where the
+    natural slice offsets can't satisfy Mosaic's alignment proofs."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    c = pl.program_id(1)
+    K = x_ref.shape[1]
+    Kq = K // 4
     dt = x_ref.dtype
     To = o_ref.shape[1]
     h = qh_ref[...].astype(jnp.int32)  # [G, To]
-    acc = acc_ref[...]
+    acc = acc_ref[...] - 32.0 * _colsum_dot(
+        xsum16_ref[...], scale_ref[...].astype(jnp.float32))
     # Unpack one span at a time so the live int32 temporaries are [G, To]
     # rather than [2G, To]×2 + 4×[G, To] at once — peak scoped-VMEM stack
     # stays bounded (prefill-sized calls used to OOM the 16 MiB default).
@@ -689,8 +755,12 @@ def _q6k_kernel(x_ref, ql_ref, qh_ref, scale_ref, o_ref, acc_ref, *, G: int):
         sj = scale_ref[pl.dslice(j * (G // 16), G // 16), :]
         srep = jnp.broadcast_to(sj[:, None, :], (G // 16, 16, To)).reshape(G, To).astype(dt)
         w = qj.astype(dt) * srep
+        if natural:
+            xj = x_ref[:, pl.dslice(pl.multiple_of(j * Kq + c * G, 128), G)]
+        else:
+            xj = x_ref[:, pl.dslice(j * G, G)]
         acc = acc + jnp.dot(
-            x_ref[:, pl.dslice(j * G, G)], w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
+            xj, w, preferred_element_type=jnp.float32, precision=jax.lax.Precision.DEFAULT
         )
     acc_ref[...] = acc
 
@@ -699,21 +769,31 @@ def _q6k_kernel(x_ref, ql_ref, qh_ref, scale_ref, o_ref, acc_ref, *, G: int):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-def _q6k_q8_kernel(xq_ref, ql_ref, qh_ref, scale_ref, xs_ref, o_ref, acc_ref,
-                   *, G: int):
+def _q6k_q8_kernel(xq_ref, ql_ref, qh_ref, scale_ref, xs_ref, xsum16_ref,
+                   o_ref, acc_ref, *, G: int):
     """int8-MXU Q6_K: same chunked layout as _q6k_kernel, but q (0..63 fits
     int8) contracts against Q8-quantized activations in 16-deep integer
     dots (Q6_K scales are per-16); activation scales are per-32, so each
     32-block combines its two 16-sub dots before the xs multiply.
     On-chip A/B (r3): 0.199 vs 0.222 ms at the 7B ffn GEMV — the 128
-    16-deep dots per k-step lower fine; default ON for TPU decode."""
+    16-deep dots per k-step lower fine; default ON for TPU decode.
+
+    r4: xq streams in NATURAL element order (full [B, K] resident; span j
+    of chunk c = contiguous slice at j*(K/4) + c*G) — no runtime perm
+    gather. xs (per-32 activation scales) and xsum16 (per-16 sums of the
+    ORIGINAL activations, for the fused -32 offset term) arrive in
+    PERMUTED order via static reshape/transposes outside."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
+    c = pl.program_id(1)
+    K = xq_ref.shape[1]
+    Kq = K // 4
     h = qh_ref[...].astype(jnp.int32)  # [G, To]
-    acc = acc_ref[...]
+    acc = acc_ref[...] - 32.0 * _colsum_dot(
+        xsum16_ref[...], scale_ref[...].astype(jnp.float32))
     for j in range(4):
         rows = pl.dslice((j % 2) * G, G)
         qlj = ql_ref[rows, :].astype(jnp.int32)
@@ -721,14 +801,13 @@ def _q6k_q8_kernel(xq_ref, ql_ref, qh_ref, scale_ref, xs_ref, o_ref, acc_ref,
         qj = (nib | (((h >> (2 * j)) & 3) << 4)).astype(jnp.int8)  # 0..63
         sj = scale_ref[pl.dslice(j * (G // 16), G // 16), :].astype(jnp.float32)
         xsj = xs_ref[pl.dslice(j * (G // 32), G // 32), :]  # [G/32, B] f32
+        xj = xq_ref[:, pl.dslice(pl.multiple_of(j * Kq + c * G, 128), G)]
         for m in range(G // 32):
-            xa = xq_ref[:, pl.dslice(j * G + 32 * m, 16)]
-            xb = xq_ref[:, pl.dslice(j * G + 32 * m + 16, 16)]
             a = jax.lax.dot_general(
-                xa, qj[32 * m : 32 * m + 16],
+                xj[:, 32 * m : 32 * m + 16], qj[32 * m : 32 * m + 16],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
             b = jax.lax.dot_general(
-                xb, qj[32 * m + 16 : 32 * m + 32],
+                xj[:, 32 * m + 16 : 32 * m + 32], qj[32 * m + 16 : 32 * m + 32],
                 (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
             t = (a.astype(jnp.float32) * sj[2 * m][None, :]
                  + b.astype(jnp.float32) * sj[2 * m + 1][None, :])
@@ -740,28 +819,46 @@ def _q6k_q8_kernel(xq_ref, ql_ref, qh_ref, scale_ref, xs_ref, o_ref, acc_ref,
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
+def _perm16_t(a_nat: jax.Array, C: int, G: int, gsz: int) -> jax.Array:
+    """Natural per-gsz-block row vector [B, K/gsz] -> PERMUTED chunked
+    order, transposed [K/gsz, B] f32. The q6k load permutation maps packed
+    position (c, j, t) <-> natural element j*(K/4) + c*G + t; whole
+    gsz-blocks map because G % gsz == 0, so this is a static reshape/
+    transpose — NOT a gather (r4: the runtime [B, K] x-perm gather is
+    gone; only these tiny per-block tensors get reordered)."""
+    B = a_nat.shape[0]
+    return (a_nat.reshape(B, 4, C, G // gsz).transpose(0, 2, 1, 3)
+            .reshape(B, -1).T)
+
+
 @functools.partial(jax.jit, static_argnames=("block_o", "G", "out_dtype"))
-def _q6k_q8_matmul_padded(x_perm, ql, qh, scale, *, block_o: int, G: int,
+def _q6k_q8_matmul_padded(x, ql, qh, scale, *, block_o: int, G: int,
                           out_dtype=jnp.bfloat16):
-    """Q8-activation int8 forward for Q6_K. x_perm [B, K] already gathered
-    by lin.data['perm']; the -32 offset term (32 * xsum16 @ scale) uses the
-    ORIGINAL activations outside, as in _q6k_matmul_padded."""
-    B, K = x_perm.shape
+    """Q8-activation int8 forward for Q6_K. x [B, K] in NATURAL element
+    order (requires K % 1024 == 0, i.e. G >= 256 — always true when this
+    path dispatches); the -32 offset term is fused in-kernel from per-16
+    sums of the ORIGINAL activations."""
+    B, K = x.shape
     O = ql.shape[1]
-    xq, xs_t = _quantize_acts_q8(x_perm)  # xs_t [K/32, B]
-    grid = (O // block_o, K // (4 * G))
-    y = pl.pallas_call(
+    C = K // (4 * G)
+    xq, xs_t = _quantize_acts_q8(x)  # xs_t [K/32, B] natural order
+    xs_p = _perm16_t(xs_t.T, C, G, 32)
+    xsum16 = jnp.sum(x.astype(jnp.float32).reshape(B, K // 16, 16), axis=2)
+    xsum16_p = _perm16_t(xsum16, C, G, 16)
+    grid = (O // block_o, C)
+    return pl.pallas_call(
         functools.partial(_q6k_q8_kernel, G=G),
         out_shape=jax.ShapeDtypeStruct((B, O), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((B, 4 * G), lambda o, k: (0, k)),
+                pl.BlockSpec((B, K), lambda o, k: (0, 0)),
                 pl.BlockSpec((2 * G, block_o), lambda o, k: (k, o)),
                 pl.BlockSpec((G, block_o), lambda o, k: (k, o)),
                 pl.BlockSpec((G // 4, block_o), lambda o, k: (k, o)),
                 pl.BlockSpec((G // 8, B), lambda o, k: (k, 0)),
+                pl.BlockSpec((G // 4, B), lambda o, k: (k, 0)),
             ],
             out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
             scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
@@ -775,10 +872,7 @@ def _q6k_q8_matmul_padded(x_perm, ql, qh, scale, *, block_o: int, G: int,
             bytes_accessed=O * K // 2 + O * K // 4 + O * K // 16 * 2 + B * K,
             transcendentals=0,
         ),
-    )(xq, ql, qh, scale, xs_t)
-    xsum16 = jnp.sum(x_perm.astype(jnp.float32).reshape(B, K // 16, 16), axis=2)
-    return (y.astype(jnp.float32)
-            - 32.0 * jnp.dot(xsum16, scale.astype(jnp.float32))).astype(out_dtype)
+    )(xq, ql, qh, scale, xs_p, xsum16_p)
 
 
 def _use_q6k_int8() -> bool:
@@ -792,25 +886,34 @@ def _use_q6k_int8() -> bool:
     return jax.default_backend() == "tpu"
 
 
-@functools.partial(jax.jit, static_argnames=("block_o", "G"))
-def _q6k_matmul_padded(x_perm, ql, qh, scale, *, block_o: int, G: int):
-    """x_perm [B, K] (already gathered by lin.data['perm']); ql [K/2, O];
-    qh [K/4, O]; scale [K/16, O]. w = scale*(q-32): the -32 offset term is
-    xsum16 @ scale outside the kernel (1/16 of the GEMM's FLOPs, XLA)."""
-    B, K = x_perm.shape
+@functools.partial(jax.jit, static_argnames=("block_o", "G", "natural"))
+def _q6k_matmul_padded(x, ql, qh, scale, *, block_o: int, G: int,
+                       natural: bool = True):
+    """x [B, K] — NATURAL element order when natural=True (K % 1024 == 0),
+    else pre-gathered by lin.data['perm'] (legacy G=128 contract);
+    ql [K/2, O]; qh [K/4, O]; scale [K/16, O]. w = scale*(q-32): the -32
+    offset term is fused in-kernel from per-16 activation sums (r4)."""
+    B, K = x.shape
     O = ql.shape[1]
-    grid = (O // block_o, K // (4 * G))
-    y = pl.pallas_call(
-        functools.partial(_q6k_kernel, G=G),
-        out_shape=jax.ShapeDtypeStruct((B, O), x_perm.dtype),
+    C = K // (4 * G)
+    xsum16 = jnp.sum(x.astype(jnp.float32).reshape(B, K // 16, 16), axis=2)
+    # pre-gathered x already yields permuted-order per-16 sums
+    xsum16_p = _perm16_t(xsum16, C, G, 16) if natural else xsum16.T
+    grid = (O // block_o, C)
+    x_spec = (pl.BlockSpec((B, K), lambda o, k: (0, 0)) if natural
+              else pl.BlockSpec((B, 4 * G), lambda o, k: (0, k)))
+    return pl.pallas_call(
+        functools.partial(_q6k_kernel, G=G, natural=natural),
+        out_shape=jax.ShapeDtypeStruct((B, O), x.dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
             grid=grid,
             in_specs=[
-                pl.BlockSpec((B, 4 * G), lambda o, k: (0, k)),
+                x_spec,
                 pl.BlockSpec((2 * G, block_o), lambda o, k: (k, o)),
                 pl.BlockSpec((G, block_o), lambda o, k: (k, o)),
                 pl.BlockSpec((G // 4, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((G // 4, B), lambda o, k: (k, 0)),
             ],
             out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
             scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
@@ -826,9 +929,7 @@ def _q6k_matmul_padded(x_perm, ql, qh, scale, *, block_o: int, G: int):
             bytes_accessed=O * K // 2 + O * K // 4 + O * K // 16 * 2 + B * K * 2 + B * O * 2,
             transcendentals=0,
         ),
-    )(x_perm, ql, qh, scale)
-    xsum16 = jnp.sum(x_perm.astype(jnp.float32).reshape(B, K // 16, 16), axis=2)
-    return y - 32.0 * jnp.dot(xsum16, scale.astype(jnp.float32)).astype(y.dtype)
+    )(x, ql, qh, scale, xsum16_p)
 
 
 def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 2048) -> jax.Array:
@@ -846,27 +947,31 @@ def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 2048) -> jax.Array:
     n_rows = 1
     for d in lead:
         n_rows *= d
-    if G is None or G < 64 or bo < 128 or n_rows > 256:
+    if G is None or G < 128 or bo < 128 or n_rows > 256:
         # n_rows > 256 = prefill-sized calls: those are compute-bound, so the
         # dequant-then-XLA-dot path is the right one (weight expansion
         # amortizes over many tokens) and the GEMV kernel's resident x tile
-        # [B, 4G] would crowd VMEM.
+        # [B, 4G] would crowd VMEM. G=64 shapes: the per-span scale-slice
+        # offsets (j*G/16 = 4j sublanes) can't satisfy Mosaic's alignment.
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
         _log_fallback("q6k", lin.shape,
                       "prefill" if n_rows > 256 else "alignment")
         return _ref_forward(lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
-    xp = jnp.take(x2, lin.data["perm"], axis=1)
-    if _use_q6k_int8():
+    # natural-order path (r4): G >= 256 <=> in % 1024 == 0 — every slice
+    # offset proof holds and the runtime perm gather disappears
+    natural = G >= 256
+    xin = x2 if natural else jnp.take(x2, lin.data["perm"], axis=1)
+    if _use_q6k_int8() and natural:
         y = _q6k_q8_matmul_padded(
-            xp, lin.data["ql"], lin.data["qh"], lin.data["scale"],
+            xin, lin.data["ql"], lin.data["qh"], lin.data["scale"],
             block_o=bo, G=G, out_dtype=x.dtype,
         )
     else:
         y = _q6k_matmul_padded(
-            xp, lin.data["ql"], lin.data["qh"], lin.data["scale"],
-            block_o=bo, G=G,
+            xin, lin.data["ql"], lin.data["qh"], lin.data["scale"],
+            block_o=bo, G=G, natural=natural,
         )
     n = 1
     for d in lead:

@@ -304,16 +304,16 @@ def main():
     G = q6lin.meta
     for bo in (2048, 4096):
         def mk_q6(bo=bo):
-            def f(xin, ql, qh, sc, perm):
-                xp = jnp.take(xin, perm, axis=1)
-                y = _q6k_matmul_padded(xp, ql, qh, sc, block_o=bo, G=G)
+            def f(xin, ql, qh, sc):
+                # r4: natural-order x — no runtime perm gather
+                y = _q6k_matmul_padded(xin, ql, qh, sc, block_o=bo, G=G)
                 return xin + y[:, :K] * 0
             return f
 
         try:
             timers[f"q6k(bo={bo})"] = _mk_timer(
                 mk_q6(), x, q6lin.data["ql"], q6lin.data["qh"],
-                q6lin.data["scale"], q6lin.data["perm"])
+                q6lin.data["scale"])
         except Exception as e:
             print(f"q6k(bo={bo}): FAIL {str(e)[:90]}", flush=True)
 

@@ -53,28 +53,19 @@ def main():
         med = scan_timer(f, x, lin.data["qs"], lin.data["scale"], lin.data["minv"])
         print(f"{name:20s}: {med * 1e3:7.3f} ms", flush=True)
 
-    # q6k: raw padded call with PRE-permuted x (gather hoisted out) vs
-    # in-loop gather
+    # q6k int8 natural-order path (r4: the runtime perm gather is gone)
     for name, (K, O) in [("v6-raw 4096x1024", (4096, 1024)),
                          ("dn6-raw 14336x4096", (14336, 4096))]:
         lin = driver_bench._random_q6k_linear(rng, K, O, jnp.bfloat16)
         G = lin.meta
         x = jnp.asarray(rng.standard_normal((8, K)) * 0.1, jnp.bfloat16)
 
-        def f_pre(xin, ql, qh, sc):
+        def f_nat(xin, ql, qh, sc):
             y = _q6k_q8_matmul_padded(xin, ql, qh, sc, block_o=2048, G=G)
             return xin + y.sum().astype(xin.dtype) * 1e-20
 
-        def f_gather(xin, ql, qh, sc, perm):
-            xp = jnp.take(xin, perm, axis=1)
-            y = _q6k_q8_matmul_padded(xp, ql, qh, sc, block_o=2048, G=G)
-            return xin + y.sum().astype(xin.dtype) * 1e-20
-
-        m1 = scan_timer(f_pre, x, lin.data["ql"], lin.data["qh"], lin.data["scale"])
-        m2 = scan_timer(f_gather, x, lin.data["ql"], lin.data["qh"],
-                        lin.data["scale"], lin.data["perm"])
-        print(f"{name:20s}: {m1 * 1e3:7.3f} ms pre-permuted | "
-              f"{m2 * 1e3:7.3f} ms with gather", flush=True)
+        m1 = scan_timer(f_nat, x, lin.data["ql"], lin.data["qh"], lin.data["scale"])
+        print(f"{name:20s}: {m1 * 1e3:7.3f} ms natural-order", flush=True)
 
     # the act-quant chain alone at [8, 4096]
     x = jnp.asarray(rng.standard_normal((8, 4096)) * 0.1, jnp.bfloat16)

@@ -159,22 +159,42 @@ def test_q4k_int8_path_matches_dequant():
 
 def test_q6k_int8_path_matches_dequant():
     """MISTRALRS_Q6K_INT8 candidate path: Q8-activation int8 dots for the
-    chunked Q6_K layout, within the activation-quant budget."""
+    chunked Q6_K layout, within the activation-quant budget. K=2048 so the
+    natural-order contract holds (K % 1024 == 0 => G = 512; x passes in
+    natural element order — no runtime perm gather since r4)."""
     from mistralrs_tpu.ops.quant_matmul import _q6k_q8_matmul_padded
 
-    O, K = 256, 512
+    O, K = 256, 2048
     w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
     raw = kquants.quantize(w, GGMLType.Q6_K)
     lin = linear_from_gguf(raw, GGMLType.Q6_K, (O, K), dtype=jnp.float32)
     wd = kquants.dequantize(raw, GGMLType.Q6_K, (O, K))
     x = (rng.standard_normal((8, K)) * 0.5).astype(np.float32)
     want = x @ wd.T
-    xp = jnp.take(jnp.asarray(x), lin.data["perm"], axis=1)
     with pltpu.force_tpu_interpret_mode():
         got = np.asarray(_q6k_q8_matmul_padded(
-            xp, lin.data["ql"], lin.data["qh"], lin.data["scale"],
+            jnp.asarray(x), lin.data["ql"], lin.data["qh"], lin.data["scale"],
             block_o=256, G=lin.meta, out_dtype=jnp.float32))
-    np.testing.assert_allclose(got, want, rtol=3e-2, atol=2e-1)
+    # atol scales with sqrt(K): the per-output error is a random walk of
+    # |w_k| * max|x_block|/254 terms (K=2048 here vs 512 in the q4k test)
+    np.testing.assert_allclose(got, want, rtol=3e-2, atol=4e-1)
+
+
+def test_q6k_natural_order_kernel_matches_dequant():
+    """The r4 natural-order bf16 Q6_K kernel (full [B, K] x resident,
+    per-span slices at j*(K/4) + c*G, fused -32 offset epilogue) vs the
+    wire-format dequant reference, via the dispatcher at K % 1024 == 0
+    with multiple chunks (C = 2 exercises the dynamic c*G slicing)."""
+    O, K = 256, 4096
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q6_K)
+    lin = linear_from_gguf(raw, GGMLType.Q6_K, (O, K), dtype=jnp.float32)
+    assert lin.meta == 512 and K // (4 * lin.meta) == 2
+    wd = kquants.dequantize(raw, GGMLType.Q6_K, (O, K))
+    x = (rng.standard_normal((4, K)) * 0.5).astype(np.float32)
+    with pltpu.force_tpu_interpret_mode():
+        got = np.asarray(q6k_matmul(lin, jnp.asarray(x)))
+    np.testing.assert_allclose(got, x @ wd.T, rtol=2e-2, atol=2e-2)
 
 
 def test_q8_0_int8_path_matches_dequant():

@@ -461,9 +461,9 @@ def test_q6k_int8_path_on_chip():
     raw = kquants.quantize(w, GGMLType.Q6_K)
     lin = linear_from_gguf(raw, GGMLType.Q6_K, (O, K), dtype=jnp.bfloat16)
     x = jnp.asarray(rng.standard_normal((8, K)) * 0.5, jnp.bfloat16)
-    xp = jnp.take(x, lin.data["perm"], axis=1)
+    # r4: x passes in NATURAL element order (no runtime perm gather)
     got = np.asarray(_q6k_q8_matmul_padded(
-        xp, lin.data["ql"], lin.data["qh"], lin.data["scale"],
+        x, lin.data["ql"], lin.data["qh"], lin.data["scale"],
         block_o=1024, G=lin.meta), np.float32)
     want = np.asarray(_ref_forward(lin, x), np.float32)
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=5e-1)
