@@ -711,6 +711,12 @@ def compute_logits(params: DecoderParams, cfg: ModelConfig, h: jax.Array) -> jax
     """h: [..., E] -> logits [..., V]. Applies gemma2 final softcapping."""
     if params.lm_head is not None:
         logits = linear(params.lm_head, h)
+        if logits.shape[-1] != cfg.vocab_size:
+            # lm_head out-padded to the kernel tile (quant/fuse.py
+            # pad_linear_out); padded columns are exact zeros but real
+            # logits can be all-negative, so they must come off before
+            # argmax/top-k
+            logits = logits[..., : cfg.vocab_size]
     else:
         logits = jnp.dot(h, params.embed.astype(h.dtype).T)
     logits = logits.astype(jnp.float32)

@@ -140,13 +140,27 @@ def ragged_attention(
     sliding_window: int | None = None,
     logits_softcap: float | None = None,
 ) -> jax.Array:
-    """The kernel call (TPU only — no interpret mode upstream)."""
+    """The kernel call (TPU only — no interpret mode upstream).
+
+    r3 finding: the kernel's default block heuristic fails to compile at
+    serving shapes (B=16, 128+ pages/seq) on this toolchain. r4 (VERDICT
+    #6): chunk the invocation explicitly — bound the per-grid-step KV
+    window to <= 16 pages and queries to <= 64, and raise the VMEM budget;
+    small shapes keep the upstream defaults (known-good on-chip)."""
     from jax.experimental.pallas.ops.tpu.ragged_paged_attention import (
         ragged_paged_attention,
     )
 
+    pages_per_seq = page_indices.shape[1]
+    kw = {}
+    if pages_per_seq > 32:
+        kw = dict(
+            num_kv_pages_per_block=min(16, pages_per_seq),
+            num_queries_per_block=min(64, max(8, q_flat.shape[0])),
+            vmem_limit_bytes=100 * 1024 * 1024,
+        )
     return ragged_paged_attention(
         q_flat, kv_pages, kv_lens, page_indices, cu_q_lens, num_seqs,
         sm_scale=scale, sliding_window=sliding_window,
-        soft_cap=logits_softcap,
+        soft_cap=logits_softcap, **kw,
     )

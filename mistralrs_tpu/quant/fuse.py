@@ -133,6 +133,41 @@ def split_linear(lin: Linear, sizes: list[int]) -> list[Linear] | None:
     return outs
 
 
+def pad_linear_out(lin: Linear, mult: int = 2048) -> Linear | None:
+    """Zero-pad a packed Linear's out-features to a multiple of `mult`.
+
+    The dequant GEMV kernels tile out on lanes; an out size whose largest
+    power-of-two divisor is small forces a tiny block_o (e.g. the Q4_K_M
+    lm_head: Q6_K [4096, 32000] -> block_o=256, the r3 sweep's worst tile
+    at ~1.5x the 2048 tile's time). Zero bytes in every data leaf decode to
+    w == 0 for every format here (scale rows are zeroed too, so q6k's
+    (q-32) term is killed by scale=0); compute_logits slices the padded
+    vocab back off. Returns None when the kind can't be padded."""
+    kind = lin.kind
+    if kind not in _CAT_AXIS1 or kind == "dense" or "g_idx" in lin.data:
+        return None
+    out = lin.shape[1]
+    pad = (-out) % mult
+    if pad == 0:
+        return lin
+    if pad > out // 8:
+        # only worth it when the dead columns stay small (<12.5%): a tiny
+        # vocab padded to 2048 would multiply the tensor, not trim a tile
+        return None
+    data = {}
+    for key in _CAT_AXIS1[kind]:
+        v = lin.data[key]
+        data[key] = jnp.pad(v, [(0, 0)] * (v.ndim - 1) + [(0, pad)])
+    if lin.data.get("b") is not None:
+        b = lin.data["b"]
+        data["b"] = jnp.pad(b, [(0, 0)] * (b.ndim - 1) + [(0, pad)])
+    for key in ("perm", "inv_perm", "in_perm"):
+        if key in lin.data:
+            data[key] = lin.data[key]
+    return Linear(kind=kind, shape=(lin.shape[0], out + pad), data=data,
+                  meta=lin.meta)
+
+
 # Fused-params memo: several pipelines over the SAME DecoderParams object
 # (bench's batch-16 / single-stream / batch-32 engines; a speculative target
 # shared with a verifier) must share one fused copy — gate+up alone is
@@ -191,7 +226,15 @@ def fuse_decoder_params(params, interleave: int = 1):
                 new_mlp["gateup"] = fused
                 g["mlp"] = new_mlp
         new_groups.append(g)
-    fused = dataclasses.replace(params, layer_groups=new_groups)
+    lm_head = params.lm_head
+    if lm_head is not None:
+        # pow2-hostile vocab sizes (32000) force the GEMV kernels into tiny
+        # out tiles; pad to the 2048 tile and compute_logits slices back
+        padded = pad_linear_out(lm_head)
+        if padded is not None:
+            lm_head = padded
+    fused = dataclasses.replace(params, layer_groups=new_groups,
+                                lm_head=lm_head)
     _FUSE_MEMO[key] = (weakref.ref(params), fused)
     weakref.finalize(params, _FUSE_MEMO.pop, key, None)
     return fused

@@ -87,3 +87,66 @@ def test_partial_qk_fusion_engine_parity():
         return toks
 
     assert run(True) == run(False)
+
+
+def test_pad_linear_out_forward_equivalence():
+    """lm_head out-padding (r4): padded columns decode to exact zeros for a
+    packed kind, the sliced forward matches the unpadded forward, and tiny
+    out sizes (where padding would balloon the tensor) are refused."""
+    import numpy as np
+
+    from mistralrs_tpu.gguf.reader import GGMLType
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.fuse import pad_linear_out
+    from mistralrs_tpu.quant.gguf_linear import linear_from_gguf
+    from mistralrs_tpu.quant.qlinear import linear
+
+    rng = np.random.default_rng(12)
+    O, K = 1920, 256  # pad -> 2048 (128 dead cols, < O//8)
+    w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+    raw = kquants.quantize(w, GGMLType.Q6_K)
+    lin = linear_from_gguf(raw, GGMLType.Q6_K, (O, K), dtype=jnp.float32)
+    padded = pad_linear_out(lin)
+    assert padded is not None and padded.shape == (K, 2048)
+    x = jnp.asarray(rng.standard_normal((3, K)).astype(np.float32))
+    y_ref = np.asarray(linear(lin, x))
+    y_pad = np.asarray(linear(padded, x))
+    np.testing.assert_allclose(y_pad[:, :O], y_ref, rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(y_pad[:, O:], 0.0)
+    # tiny vocab: padding refused (would multiply the tensor)
+    small = linear_from_gguf(
+        kquants.quantize(w[:512], GGMLType.Q6_K), GGMLType.Q6_K, (512, K),
+        dtype=jnp.float32)
+    assert pad_linear_out(small) is None
+
+
+def test_compute_logits_slices_padded_vocab():
+    import dataclasses
+
+    import numpy as np
+
+    from mistralrs_tpu.gguf.reader import GGMLType
+    from mistralrs_tpu.models.config import ModelConfig
+    from mistralrs_tpu.models.decoder import DecoderParams, compute_logits
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.fuse import pad_linear_out
+    from mistralrs_tpu.quant.gguf_linear import linear_from_gguf
+
+    rng = np.random.default_rng(13)
+    V, H = 1920, 256
+    w = (rng.standard_normal((V, H)) * 0.3).astype(np.float32)
+    lin = linear_from_gguf(kquants.quantize(w, GGMLType.Q6_K),
+                           GGMLType.Q6_K, (V, H), dtype=jnp.float32)
+    cfg = ModelConfig(arch="llama", vocab_size=V, hidden_size=H,
+                      intermediate_size=64, num_layers=1, num_heads=4,
+                      num_kv_heads=4, head_dim=64,
+                      max_position_embeddings=64)
+    mk = lambda head: DecoderParams(
+        embed=jnp.zeros((V, H), jnp.float32), layer_groups=[],
+        final_norm={"w": jnp.ones((H,), jnp.float32)}, lm_head=head,
+        group_sizes=())
+    h = jnp.asarray(rng.standard_normal((2, H)).astype(np.float32))
+    ref = np.asarray(compute_logits(mk(lin), cfg, h))
+    got = np.asarray(compute_logits(mk(pad_linear_out(lin)), cfg, h))
+    assert got.shape == (2, V)
+    np.testing.assert_allclose(got, ref, rtol=1e-5, atol=1e-5)
