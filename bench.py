@@ -71,12 +71,23 @@ def _probe_tpu(timeout_s: int = 240) -> bool:
     return True
 
 
+_PARTIAL: dict = {}
+
+
 def _install_watchdog(budget_s: int = 540) -> None:
     """If the tunnel dies MID-bench, SIGALRM turns the hang into a JSON line
-    (driver budget is ~10 min; probe already spent up to 90s)."""
+    (driver budget is ~10 min; probe already spent up to 90s). If the
+    decode metrics were already measured (the pp section compiles fresh
+    512-token prefill variants and can outlive the budget on a cold
+    cache), emit THOSE instead of an error — a partial scoreboard beats
+    none (r4)."""
 
     def _on_alarm(signum, frame):
-        _emit_error("watchdog", f"bench exceeded {budget_s}s after successful probe")
+        if _PARTIAL.get("value") is not None:
+            print(json.dumps(_PARTIAL))
+            sys.stdout.flush()
+        else:
+            _emit_error("watchdog", f"bench exceeded {budget_s}s after successful probe")
         os._exit(0)
 
     signal.signal(signal.SIGALRM, _on_alarm)
@@ -338,6 +349,27 @@ def _run():
     serving32, ttft32 = _measure(eng32, prompt, n_requests=best_batch,
                                  max_len=48, reps=3)
 
+    # stash the decode scoreboard so the watchdog can emit it if the pp
+    # section below outlives the budget (cold-cache 512-bucket compiles)
+    baseline = 131.0  # reference A100 mistral-7b Q4_K_M tg T/s (README.md:192)
+    _PARTIAL.update({
+        "metric": "mistral7b_q4km_decode_tok_s_per_chip_batch32",
+        "value": round(serving32, 2),
+        "unit": "tokens/sec",
+        "vs_baseline": round(serving32 / baseline, 3),
+        "best_batch": best_batch,
+        "tok_s_at_best_batch": round(serving32, 2),
+        "p50_ttft_ms_batch32": round(ttft32 * 1000, 1),
+        "batch16_tok_s": round(serving, 2),
+        "batch16_vs_baseline": round(serving / baseline, 3),
+        "single_stream_tok_s": round(single, 2),
+        "single_stream_vs_baseline": round(single / baseline, 3),
+        "p50_ttft_ms_batch16": round(ttft_p50 * 1000, 1),
+        "pp_tok_s_512_batch16": None,
+        "pp_tok_s_2048_batch16": None,
+        "note": "watchdog fired during pp measurement",
+    })
+
     # prompt (prefill) throughput — the reference bench always reports pp
     # alongside tg (mistralrs-bench/src/main.rs:47-130); measured through
     # the engine's batched chunked prefill at 512- and 2048-token prompts,
@@ -380,7 +412,6 @@ def _run():
               file=sys.stderr)
         traceback.print_exc(file=sys.stderr)
 
-    baseline = 131.0  # reference A100 mistral-7b Q4_K_M tg T/s (README.md:192)
     print(json.dumps({
         "metric": "mistral7b_q4km_decode_tok_s_per_chip_batch32",
         "value": round(serving32, 2),

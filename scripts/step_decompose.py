@@ -22,7 +22,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def _rate(num_layers: int, prompt_len: int = 64) -> float:
+def _rate(num_layers: int, prompt_len: int = 64, batch: int = 1) -> float:
     import jax.numpy as jnp
 
     import bench as driver_bench
@@ -32,7 +32,8 @@ def _rate(num_layers: int, prompt_len: int = 64) -> float:
     from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
 
     cfg, params = driver_bench._build_7b_q4km(jnp.bfloat16, num_layers=num_layers)
-    pc = PipelineConfig(page_size=16, num_pages=256, max_seqs=2,
+    pc = PipelineConfig(page_size=16, num_pages=64 + batch * 12,
+                        max_seqs=max(2, batch),
                         max_model_len=2048, prefill_buckets=(64,),
                         decode_steps=16)
     eng = Engine(TextPipeline(cfg, params, make_rope(cfg, 2048), pc),
@@ -42,7 +43,8 @@ def _rate(num_layers: int, prompt_len: int = 64) -> float:
     rates = []
     for _ in range(3):
         rates.append(driver_bench._measure(
-            eng, prompt, n_requests=1, max_len=64, reps=1)[0])
+            eng, prompt, n_requests=batch, max_len=64, reps=1)[0])
+    del eng
     return sorted(rates)[1]
 
 
@@ -57,22 +59,26 @@ def main():
                       os.environ.get("MISTRALRS_CACHE_DIR",
                                      "/tmp/mistralrs_xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    batch = 32 if "--batch32" in sys.argv else 1
     results = {}
     for L in (8, 16, 32):
-        r = _rate(L)
-        results[L] = 1.0 / r
-        print(f"L={L:2d}: {r:7.2f} tok/s  ({1e3 / r:6.2f} ms/tok)", flush=True)
+        r = _rate(L, batch=batch)
+        results[L] = batch / r
+        print(f"L={L:2d} B={batch}: {r:7.2f} tok/s  "
+              f"({1e3 * batch / r:6.2f} ms/step)", flush=True)
     # least-squares slope/intercept over the three points
     Ls = np.array(sorted(results), np.float64)
-    ts = np.array([results[int(l)] for l in Ls]) * 1e3  # ms/tok
+    ts = np.array([results[int(l)] for l in Ls]) * 1e3  # ms/step
     slope, intercept = np.polyfit(Ls, ts, 1)
-    print(f"per-layer: {slope:6.3f} ms/tok/layer -> 32L weights path "
+    print(f"per-layer: {slope:6.3f} ms/step/layer -> 32L weights path "
           f"{slope * 32:6.2f} ms", flush=True)
-    print(f"intercept: {intercept:6.2f} ms/tok (attention + lm_head + "
+    print(f"intercept: {intercept:6.2f} ms/step (attention + lm_head + "
           f"sampling + dispatch/16)", flush=True)
-    long_r = _rate(8, prompt_len=1024)
-    print(f"L= 8 @1k-token prompt: {long_r:7.2f} tok/s ({1e3 / long_r:6.2f} "
-          f"ms/tok; delta vs 64-tok prompt = attention span cost)", flush=True)
+    if batch == 1:
+        long_r = _rate(8, prompt_len=1024)
+        print(f"L= 8 @1k-token prompt: {long_r:7.2f} tok/s ({1e3 / long_r:6.2f} "
+              f"ms/tok; delta vs 64-tok prompt = attention span cost)",
+              flush=True)
 
 
 if __name__ == "__main__":

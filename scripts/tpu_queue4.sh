@@ -36,3 +36,9 @@ sec ragged_ab 900 python scripts/ragged_ab.py
 # 9. Q5_K int8 A/B (the one kernel gate still without perf data)
 sec q5k_int8_ab 900 python scripts/dequant_ab3.py --q5k-int8
 echo "=== queue4 done ($(date -u +%H:%M:%S)) ===" >> "$LOG"
+# 10. scan-group fragmentation A/B (appended while queue ran — pure append)
+sec group_ab 1500 python scripts/group_ab.py
+echo "=== queue4 done+appendix ($(date -u +%H:%M:%S)) ===" >> "$LOG"
+# 11. batch-32 step decomposition (the other headline's attack map)
+sec step_decompose_b32 1500 python scripts/step_decompose.py --batch32
+echo "=== queue4 fully done ($(date -u +%H:%M:%S)) ===" >> "$LOG"
