@@ -325,8 +325,14 @@ def _run():
     # configures max_seqs accordingly (the reference's bench likewise runs
     # tg at its own concurrency), and the static decode slots pad every
     # step to max_seqs — measuring 1 stream on the batch-16 engine charged
-    # it 16-wide activations/attention (~28% slower, r3 step_decompose)
-    pc1 = dataclasses.replace(pc, max_seqs=ss_seqs, num_pages=256)
+    # it 16-wide activations/attention (~28% slower, r3 step_decompose).
+    # decode_steps=32 for this engine only: the r4 ss_ab measured 42.45 vs
+    # 38.47 tok/s (ds=16) — halves the per-dispatch overhead share — and
+    # max_len=64 divides exactly so no overshoot is discarded. The batched
+    # engines stay at 16 (48-token requests would waste 16 steps/dispatch).
+    ss_steps = int(os.environ.get("MISTRALRS_BENCH_SS_DECODE_STEPS", "32"))
+    pc1 = dataclasses.replace(pc, max_seqs=ss_seqs, num_pages=256,
+                              decode_steps=ss_steps)
     eng1 = Engine(TextPipeline(cfg, params, rope, pc1), eos_token_ids=set(),
                   prefix_cache=False)
     eng1.generate(prompt, SamplingParams(max_len=4))  # compile
@@ -383,19 +389,37 @@ def _run():
             prefill_buckets=(512,), num_pages=16 * (2176 // 16) + 16)
         engpp = Engine(TextPipeline(cfg, params, rope, pcpp),
                        eos_token_ids=set(), prefix_cache=False)
+        # free the original unfused q/k/gate/up stacks (~2.9 GB) + host
+        # pools: the fused copies inside the engines are what serve, and
+        # the pp engine's 16 x 2176-token pool (~4.6 GB) OOMed a 16 GB
+        # v5e alongside them (5 engine reboots in the 12:12 UTC run)
+        import gc
+
+        del params
+        _POOLS.clear()
+        gc.collect()
 
         def _pp(n_prompt, reps=2):
             p = list(np.random.default_rng(2).integers(1, 30000, size=n_prompt))
             rates = []
             for _ in range(reps):
-                groups = [eng_add for eng_add in (
+                groups = [
                     engpp.add_request(GenerationRequest(
                         list(p), SamplingParams(max_len=2)))
-                    for _ in range(batch))]
+                    for _ in range(batch)
+                ]
                 t0 = time.perf_counter()
                 while any(s.state.value in ("running_prefill", "waiting")
                           for g in groups for s in g.seqs):
                     engpp.step()
+                # prefill dispatches are ASYNC (packs stay on device);
+                # force the device round-trip or dt measures queueing only
+                # (the 12:12 UTC run printed 5e6 "tok/s" — the #1 pitfall
+                # in PERF.md's measurement notes, re-learned)
+                import jax
+
+                jax.block_until_ready(engpp.pipeline.last_greedy_pack)
+                np.asarray(engpp.pipeline.last_greedy_pack)
                 dt = time.perf_counter() - t0
                 while not all(g.all_done() for g in groups):
                     engpp.step()
