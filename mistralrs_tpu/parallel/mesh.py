@@ -171,9 +171,23 @@ def param_specs(params: DecoderParams, cfg: ModelConfig) -> Any:
                 out[nk] = norm_spec(True)(lp[nk])
         return out
 
+    def group_specs(g):
+        if isinstance(g, (list, tuple)):
+            # super-group (models/superscan.py): leaves are [n, p, ...] —
+            # one extra leading replicated axis on every spec
+            def add_axis(s):
+                return P(None, *tuple(s)) if isinstance(s, P) else s
+
+            return [
+                jax.tree.map(add_axis, layer_specs(sub),
+                             is_leaf=lambda x: isinstance(x, P))
+                for sub in g
+            ]
+        return layer_specs(g)
+
     return DecoderParams(
         embed=P("tp", None),  # vocab-parallel
-        layer_groups=[layer_specs(g) for g in params.layer_groups],
+        layer_groups=[group_specs(g) for g in params.layer_groups],
         final_norm={k: P() for k in params.final_norm},
         lm_head=(
             None if params.lm_head is None else map_linear(params.lm_head, True, False)

@@ -148,6 +148,16 @@ class TextPipeline:
 
                     cfg = _dc.replace(cfg, fuse_interleave=tp)
                     self.cfg = cfg
+        import os as _os2
+
+        if _os2.environ.get("MISTRALRS_SUPERSCAN", "0") == "1":
+            # collapse periodic scan-group fragmentation (Q4_K_M: 17
+            # groups -> 4; r4 on-chip group_ab measured the fragmentation
+            # at ~8% end-to-end). Gated until superscan_ab clears the
+            # implementation on-chip.
+            from mistralrs_tpu.models.superscan import superscan_decoder_params
+
+            params = superscan_decoder_params(params)
         # KV pool layout: token-major scatters/gathers fastest at short
         # context; head-major is what the Pallas block-table decode kernel
         # streams (only engaged at span >= 4096, see _use_paged_decode_kernel)
@@ -521,6 +531,14 @@ class TextPipeline:
         layers = []
         for group, size in zip(self.params.layer_groups,
                                self.params.group_sizes):
+            if isinstance(group, (list, tuple)):
+                # super-group (models/superscan.py): expand back to
+                # per-layer dicts first
+                from mistralrs_tpu.models.superscan import expand_supergroup
+
+                for lp in expand_supergroup(list(group), size):
+                    layers.append(jax.tree.map(requant, lp, is_leaf=is_lin))
+                continue
             for i in range(size):
                 lp = jax.tree.map(lambda leaf, i=i: take_layer(leaf, i),
                                   group, is_leaf=is_lin)

@@ -52,3 +52,5 @@ sec longctx_ab 2400 python scripts/longctx_ab.py
 sec ragged_ab 900 python scripts/ragged_ab.py
 sec q5k_int8_ab 900 python scripts/dequant_ab3.py --q5k-int8
 echo "=== runner4 pass complete ($(date -u +%H:%M:%S)) ===" >> "$LOG"
+sec superscan_ab 2400 python scripts/superscan_ab.py
+echo "=== runner4 appendix done ($(date -u +%H:%M:%S)) ===" >> "$LOG"
