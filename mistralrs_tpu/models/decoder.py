@@ -125,12 +125,26 @@ def _use_flash_continuation(cfg: ModelConfig, T: int, meta, span: int) -> bool:
     return jax.default_backend() == "tpu"
 
 
+# decode (T=1) switches from the one-shot gather to the blockwise scan
+# past this span: the gather's [B, Hkv, span, D] transient crashed the
+# compiler at 32k (r4 longctx_ab: every bf16 arm failed with
+# tpu_compile_helper exit 1; 16k compiled and ran at 48.5 tok/s B=8), so
+# 16k stays on the measured-faster gather and 32k gets a path that exists.
+_BLOCKWISE_DECODE_SPAN = 16384
+
+
 def _use_blockwise_continuation(cfg: ModelConfig, T: int, meta, span: int) -> bool:
     """Long-span continuation chunks: blockwise online-softmax attention
     (ops/paged_attention.blockwise_prefill_continuation) — O(T * kv_block)
     memory where the dense gather path would materialize [B, Hq, T, span]
-    scores. Engaged where the right-aligned flash trick bows out (> 4k)."""
-    return T > 1 and not meta.first_chunk and span > 4096
+    scores. Engaged where the right-aligned flash trick bows out (> 4k),
+    and for DECODE (T=1) past _BLOCKWISE_DECODE_SPAN where the one-shot
+    gather stops compiling."""
+    if meta.first_chunk:
+        return False
+    if T > 1:
+        return span > 4096
+    return span > _BLOCKWISE_DECODE_SPAN
 
 
 def _use_paged_decode_kernel(cfg: ModelConfig, T: int, window_ok: bool, span: int = 0) -> bool:
@@ -674,48 +688,53 @@ def decoder_forward(
         body executes a whole pattern period (p_total layers, statically
         unrolled) per iteration; sub-dict leaves arrive as [p_i, ...].
         Collapses Q4_K_M's 17 fragment scans to 4 (r4 on-chip group_ab:
-        fragmentation cost ~8% end-to-end despite +9% bytes)."""
+        fragmentation cost ~8% end-to-end despite +9% bytes).
+
+        KV pools travel as the scan CARRY ([size, ...] whole-group) with
+        dynamic_(index|update)_in_dim at the traced layer index — v1 rode
+        them through xs/ys with per-sub-layer .at[jt].set() rebuilds and
+        XLA materialized pool copies every iteration (superscan_ab v1:
+        36.7 vs 43.8 tok/s — a 16% LOSS); carry-DUS is the pattern XLA
+        keeps in place."""
         p_sizes = [jax.tree.leaves(sub)[0].shape[1] for sub in pattern]
         p_total = sum(p_sizes)
         n = size // p_total
         rs = lambda a: a.reshape(n, p_total, *a.shape[1:])
-        ck = jax.tree.map(rs, ck)
-        cv = None if cv is None else jax.tree.map(rs, cv)
-        xs = (tuple(pattern), ck, cv, rs(wf))
+        xs = (tuple(pattern), rs(wf), jnp.arange(n, dtype=jnp.int32))
         if sc_g is not None:
             xs = xs + (rs(sc_g),)
 
-        def body(h, xs):
+        def body(carry, xs):
+            h, ck, cv = carry
             if sc_g is None:
-                subs, ck, cv, use_win = xs
+                subs, use_win, r = xs
                 sc_rep = None
             else:
-                subs, ck, cv, use_win, sc_rep = xs
+                subs, use_win, r, sc_rep = xs
             jt = 0
             for i, sub in enumerate(subs):
                 for j in range(p_sizes[i]):
+                    lidx = r * p_total + jt
                     lp = jax.tree.map(lambda x, j=j: x[j], sub)
                     bias = jnp.where(use_win[jt], bias_win, bias_full)
-                    ckj = jax.tree.map(lambda b, jt=jt: b[jt], ck)
-                    cvj = (None if cv is None
-                           else jax.tree.map(lambda b, jt=jt: b[jt], cv))
+                    take = lambda b: jax.lax.dynamic_index_in_dim(
+                        b, lidx, 0, keepdims=False)
+                    ckj = jax.tree.map(take, ck)
+                    cvj = None if cv is None else jax.tree.map(take, cv)
                     scj = None if sc_rep is None else sc_rep[jt]
                     h, ckj, cvj = _block(
                         cfg, lp, h, cos, sin, rope.rot_dim, ckj, cvj, meta,
                         bias, scj, use_win[jt],
                     )
-                    ck = jax.tree.map(
-                        lambda b, nb, jt=jt: b.at[jt].set(nb), ck, ckj)
+                    put = lambda b, nb: jax.lax.dynamic_update_index_in_dim(
+                        b, nb, lidx, 0)
+                    ck = jax.tree.map(put, ck, ckj)
                     if cv is not None:
-                        cv = jax.tree.map(
-                            lambda b, nb, jt=jt: b.at[jt].set(nb), cv, cvj)
+                        cv = jax.tree.map(put, cv, cvj)
                     jt += 1
-            return h, (ck, cv)
+            return (h, ck, cv), None
 
-        h2, (nk, nv) = jax.lax.scan(body, h, xs)
-        unrs = lambda a: a.reshape(size, *a.shape[2:])
-        nk = jax.tree.map(unrs, nk)
-        nv = None if nv is None else jax.tree.map(unrs, nv)
+        (h2, nk, nv), _ = jax.lax.scan(body, (h, ck, cv), xs)
         return h2, nk, nv
 
     kv_quant = getattr(cache, "quantized", False)

@@ -650,11 +650,13 @@ def _q5k_q8_matmul_padded(x, qs, qh, scale, minv, *, block_o: int,
 
 
 def _use_q5k_int8() -> bool:
-    """Gated OFF until the on-chip A/B clears it (dequant_ab3 --q5k-int8);
-    MISTRALRS_Q5K_INT8=1 enables on TPU."""
+    """Default ON for TPU decode since r4: the on-chip A/B (dequant_ab3
+    --q5k-int8, 12:56 UTC) measured 0.208 vs 0.265 ms at the 7B ffn GEMV
+    (1.27x); parity was cleared on-chip in r3 and the epilogue-fused
+    variant re-passed the r4 kernel gate. MISTRALRS_Q5K_INT8=0 reverts."""
     import os
 
-    if os.environ.get("MISTRALRS_Q5K_INT8") != "1":
+    if os.environ.get("MISTRALRS_Q5K_INT8", "1") != "1":
         return False
     return jax.default_backend() == "tpu"
 

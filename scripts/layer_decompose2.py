@@ -37,21 +37,26 @@ def main():
         ts = sorted(run() for _ in range(REPS))
         return ts[len(ts) // 2]
 
-    # raw q4k int8 padded call at the four Q4_K shapes, x pre-padded B=8
-    for name, (K, O) in [("q-raw  4096x4096", (4096, 4096)),
-                         ("k-raw  4096x1024", (4096, 1024)),
-                         ("gu-raw 4096x28672", (4096, 28672)),
-                         ("dn-raw 14336x4096", (14336, 4096))]:
-        lin = driver_bench._random_q4k_linear(rng, K, O, jnp.bfloat16)
-        x = jnp.asarray(rng.standard_normal((8, K)) * 0.1, jnp.bfloat16)
+    # raw q4k int8 padded calls at the Q4_K shapes, B=8 (decode) and B=32
+    # (the b32 step_decompose slope is 1.167 vs 0.504 ms/layer at B=1 —
+    # locate how much of the 0.66 ms/layer B-scaled cost is kernel-side
+    # accumulator/VPU work vs engine machinery)
+    for B in (8, 32):
+        for name, (K, O) in [("q-raw  4096x4096", (4096, 4096)),
+                             ("k-raw  4096x1024", (4096, 1024)),
+                             ("gu-raw 4096x28672", (4096, 28672)),
+                             ("dn-raw 14336x4096", (14336, 4096))]:
+            lin = driver_bench._random_q4k_linear(rng, K, O, jnp.bfloat16)
+            x = jnp.asarray(rng.standard_normal((B, K)) * 0.1, jnp.bfloat16)
 
-        def f(xin, qs, sc, mv):
-            y = _q4k_q8_matmul_padded(xin, qs, sc, mv, block_o=1024,
-                                      block_k=1024)
-            return xin + y.sum().astype(xin.dtype) * 1e-20
+            def f(xin, qs, sc, mv):
+                y = _q4k_q8_matmul_padded(xin, qs, sc, mv, block_o=1024,
+                                          block_k=1024)
+                return xin + y.sum().astype(xin.dtype) * 1e-20
 
-        med = scan_timer(f, x, lin.data["qs"], lin.data["scale"], lin.data["minv"])
-        print(f"{name:20s}: {med * 1e3:7.3f} ms", flush=True)
+            med = scan_timer(f, x, lin.data["qs"], lin.data["scale"],
+                             lin.data["minv"])
+            print(f"B={B:2d} {name:20s}: {med * 1e3:7.3f} ms", flush=True)
 
     # q6k int8 natural-order path (r4: the runtime perm gather is gone)
     for name, (K, O) in [("v6-raw 4096x1024", (4096, 1024)),

@@ -54,3 +54,6 @@ sec q5k_int8_ab 900 python scripts/dequant_ab3.py --q5k-int8
 echo "=== runner4 pass complete ($(date -u +%H:%M:%S)) ===" >> "$LOG"
 sec superscan_ab 2400 python scripts/superscan_ab.py
 echo "=== runner4 appendix done ($(date -u +%H:%M:%S)) ===" >> "$LOG"
+# ragged backend end-to-end serving A/B (kernel won 1.20x at 2k span)
+sec bench_ragged 900 env MISTRALRS_ATTN_BACKEND=ragged python bench.py
+echo "=== runner4 appendix2 done ($(date -u +%H:%M:%S)) ===" >> "$LOG"

@@ -590,6 +590,55 @@ def test_long_context_prefill_blockwise_matches_dense():
     assert got == want
 
 
+def test_blockwise_decode_route_matches_gather():
+    """r4: decode (T=1) at spans past _BLOCKWISE_DECODE_SPAN routes through
+    the blockwise online-softmax path (the one-shot gather's [B,Hkv,S,D]
+    transient crashed the 32k compile on-chip). Forced small threshold on a
+    tiny model: greedy output must equal the gather path."""
+    import json
+
+    import jax.numpy as jnp
+    import torch
+    import transformers as tf
+
+    import mistralrs_tpu.models.decoder as dec
+    from mistralrs_tpu.models.config import config_from_hf
+    from mistralrs_tpu.models.loader import TensorSource, make_rope, params_from_source
+    from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
+
+    torch.manual_seed(48)
+    hf_cfg = tf.LlamaConfig(
+        hidden_size=32, intermediate_size=64, num_hidden_layers=2,
+        num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+        max_position_embeddings=1024,
+    )
+    model = tf.LlamaForCausalLM(hf_cfg).eval().float()
+    cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+    sd = {k: v.numpy() for k, v in model.state_dict().items()}
+    params = params_from_source(cfg, TensorSource.from_dict(sd), dtype=jnp.float32)
+    rope = make_rope(cfg)
+
+    def gen():
+        pipe = TextPipeline(
+            cfg, params, rope,
+            PipelineConfig(page_size=16, num_pages=48, max_seqs=1,
+                           max_model_len=768, prefill_buckets=(256,),
+                           dtype=jnp.float32),
+        )
+        prompt = np.random.default_rng(52).integers(3, 120, size=300).tolist()
+        return Engine(pipe, eos_token_ids=set()).generate(
+            prompt, SamplingParams(max_len=6))[0]
+
+    want = gen()  # span ~304 < threshold: gather path
+    orig = dec._BLOCKWISE_DECODE_SPAN
+    dec._BLOCKWISE_DECODE_SPAN = 128  # force the blockwise decode route
+    try:
+        got = gen()
+    finally:
+        dec._BLOCKWISE_DECODE_SPAN = orig
+    assert got == want
+
+
 def test_windowed_decode_slicing_matches_full_table():
     """Sliding-window models decode with the block table sliced to the
     window span (TextPipeline._window_base_pages); greedy output past the
