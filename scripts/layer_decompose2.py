@@ -21,7 +21,8 @@ def main():
 
     import bench as driver_bench
     from mistralrs_tpu.ops.quant_matmul import (
-        _q4k_q8_matmul_padded, _q6k_q8_matmul_padded, _quantize_acts_q8)
+        _q4k_matmul_padded, _q4k_q8_matmul_padded, _q6k_matmul_padded,
+        _q6k_q8_matmul_padded, _quantize_acts_q8)
 
     rng = np.random.default_rng(0)
 
@@ -57,6 +58,44 @@ def main():
             med = scan_timer(f, x, lin.data["qs"], lin.data["scale"],
                              lin.data["minv"])
             print(f"B={B:2d} {name:20s}: {med * 1e3:7.3f} ms", flush=True)
+
+    # bf16-unpack kernels at B=32: the int8 paths' accumulator-side scale
+    # ops cost B*To*(K/32) while the bf16 kernels' weight-side scaling is
+    # B-independent — crossover ~B=32 (b32 slope 1.167 vs 0.504 ms/layer).
+    # If bf16 wins at B=32, the dispatcher gets an n_rows threshold.
+    for B in (8, 32):
+        for name, (K, O) in [("gu-bf16 4096x28672", (4096, 28672)),
+                             ("dn-bf16 14336x4096", (14336, 4096))]:
+            lin = driver_bench._random_q4k_linear(rng, K, O, jnp.bfloat16)
+            x = jnp.asarray(rng.standard_normal((B, K)) * 0.1, jnp.bfloat16)
+
+            def fb(xin, qs, sc, mv):
+                y = _q4k_matmul_padded(xin, qs, sc, mv, block_o=1024,
+                                       block_k=1024)
+                return xin + y.sum().astype(xin.dtype) * 1e-20
+
+            med = scan_timer(fb, x, lin.data["qs"], lin.data["scale"],
+                             lin.data["minv"])
+            print(f"B={B:2d} {name:20s}: {med * 1e3:7.3f} ms", flush=True)
+        lin6 = driver_bench._random_q6k_linear(rng, 14336, 4096, jnp.bfloat16)
+        x = jnp.asarray(rng.standard_normal((B, 14336)) * 0.1, jnp.bfloat16)
+
+        def f6b(xin, ql, qh, sc):
+            y = _q6k_matmul_padded(xin, ql, qh, sc, block_o=2048,
+                                   G=lin6.meta)
+            return xin + y.sum().astype(xin.dtype) * 1e-20
+
+        def f6i(xin, ql, qh, sc):
+            y = _q6k_q8_matmul_padded(xin, ql, qh, sc, block_o=2048,
+                                      G=lin6.meta)
+            return xin + y.sum().astype(xin.dtype) * 1e-20
+
+        m_b = scan_timer(f6b, x, lin6.data["ql"], lin6.data["qh"],
+                         lin6.data["scale"])
+        m_i = scan_timer(f6i, x, lin6.data["ql"], lin6.data["qh"],
+                         lin6.data["scale"])
+        print(f"B={B:2d} dn6 bf16 vs int8   : {m_b * 1e3:7.3f} | "
+              f"{m_i * 1e3:7.3f} ms", flush=True)
 
     # q6k int8 natural-order path (r4: the runtime perm gather is gone)
     for name, (K, O) in [("v6-raw 4096x1024", (4096, 1024)),
