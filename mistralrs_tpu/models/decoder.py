@@ -657,6 +657,11 @@ def decoder_forward(
         None if xlora_scalings is None else jnp.moveaxis(xlora_scalings, 2, 0)
     )  # [L, B, T, n]
 
+    def _inline_groups() -> bool:
+        import os
+
+        return os.environ.get("MISTRALRS_INLINE_GROUPS") == "1"
+
     def _scan_unroll() -> int:
         """Layer-scan unroll factor (MISTRALRS_SCAN_UNROLL, default 1).
         step_decompose (r3) measured a per-scan-iteration overhead on top of
@@ -755,6 +760,31 @@ def decoder_forward(
             h, nk, nv = super_scan(
                 gparams, size, ck, cv, sl(window_flags),
                 None if sc_all is None else sl(sc_all))
+        elif size <= 4 and _inline_groups():
+            # fragmented-mix experiment (MISTRALRS_INLINE_GROUPS=1): run
+            # tiny groups as straight-line layer calls instead of
+            # 1-2-iteration scans — Q4_K_M's 17-group mix measured ~8%
+            # scan-fragmentation cost (group_ab); super-scan lost it to KV
+            # copy traffic twice, this trades compile size instead
+            wf_g = sl(window_flags)
+            sc_gl = None if sc_all is None else sl(sc_all)
+            nks, nvs = [], []
+            for i in range(size):
+                lp = jax.tree.map(lambda x, i=i: x[i], gparams)
+                bias = jnp.where(wf_g[i], bias_win, bias_full)
+                cki = jax.tree.map(lambda b, i=i: b[i], ck)
+                cvi = (None if cv is None
+                       else jax.tree.map(lambda b, i=i: b[i], cv))
+                sci = None if sc_gl is None else sc_gl[i]
+                h, cki, cvi = _block(
+                    cfg, lp, h, cos, sin, rope.rot_dim, cki, cvi, meta,
+                    bias, sci, wf_g[i],
+                )
+                nks.append(cki)
+                nvs.append(cvi)
+            nk = jax.tree.map(lambda *xs: jnp.stack(xs), *nks)
+            nv = (None if nvs[0] is None
+                  else jax.tree.map(lambda *xs: jnp.stack(xs), *nvs))
         else:
             xs = (gparams, ck, cv, sl(window_flags))
             if sc_all is not None:

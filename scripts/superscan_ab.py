@@ -13,7 +13,7 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def _rate(superscan: bool, batch: int) -> float:
+def _rate(superscan: bool, batch: int, inline: bool = False) -> float:
     import jax.numpy as jnp
 
     import bench as driver_bench
@@ -23,6 +23,8 @@ def _rate(superscan: bool, batch: int) -> float:
     from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
 
     os.environ["MISTRALRS_SUPERSCAN"] = "1" if superscan else "0"
+    if inline:
+        os.environ["MISTRALRS_INLINE_GROUPS"] = "1"
     try:
         cfg, params = driver_bench._build_7b_q4km(jnp.bfloat16)
         pc = PipelineConfig(page_size=16, num_pages=64 + batch * 12,
@@ -43,6 +45,7 @@ def _rate(superscan: bool, batch: int) -> float:
         return sorted(rates)[1]
     finally:
         os.environ.pop("MISTRALRS_SUPERSCAN", None)
+        os.environ.pop("MISTRALRS_INLINE_GROUPS", None)
 
 
 def main():
@@ -52,15 +55,17 @@ def main():
                       os.environ.get("MISTRALRS_CACHE_DIR",
                                      "/tmp/mistralrs_xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    arms = [("superscan=0", dict(superscan=False)),
+            ("superscan=1", dict(superscan=True)),
+            ("inline=1   ", dict(superscan=False, inline=True))]
     for batch in (1, 16):
-        for ss in (False, True):
+        for name, kw in arms:
             try:
-                r = _rate(ss, batch)
-                print(f"batch={batch:2d} superscan={int(ss)}: {r:7.2f} tok/s",
-                      flush=True)
+                r = _rate(batch=batch, **kw)
+                print(f"batch={batch:2d} {name}: {r:7.2f} tok/s", flush=True)
             except Exception as e:
-                print(f"batch={batch:2d} superscan={int(ss)}: FAIL "
-                      f"{str(e)[:160]}", flush=True)
+                print(f"batch={batch:2d} {name}: FAIL {str(e)[:160]}",
+                      flush=True)
 
 
 if __name__ == "__main__":

@@ -84,8 +84,10 @@ def test_build_superscan_collapses_groups():
     assert len(sp.layer_groups[0]) == 2  # [q4-pair dict, q6 dict]
 
 
-def _generate(cfg, params, superscan, mesh=None):
+def _generate(cfg, params, superscan, mesh=None, inline=False):
     os.environ["MISTRALRS_SUPERSCAN"] = "1" if superscan else "0"
+    if inline:
+        os.environ["MISTRALRS_INLINE_GROUPS"] = "1"
     try:
         pipe = TextPipeline(
             cfg, params, make_rope(cfg),
@@ -101,6 +103,7 @@ def _generate(cfg, params, superscan, mesh=None):
         return toks
     finally:
         os.environ.pop("MISTRALRS_SUPERSCAN", None)
+        os.environ.pop("MISTRALRS_INLINE_GROUPS", None)
 
 
 def test_superscan_engine_tokens_match():
@@ -116,4 +119,13 @@ def test_superscan_sharded_matches():
     cfg, params = _mixed_model()
     want = _generate(cfg, params, superscan=False)
     got = _generate(cfg, params, superscan=True, mesh=make_mesh(dp=2, tp=4))
+    assert got == want
+
+
+def test_inline_groups_engine_tokens_match():
+    """MISTRALRS_INLINE_GROUPS=1 (straight-line tiny groups) is a pure
+    compile-structure change — engine tokens identical."""
+    cfg, params = _mixed_model()
+    want = _generate(cfg, params, superscan=False)
+    got = _generate(cfg, params, superscan=False, inline=True)
     assert got == want
