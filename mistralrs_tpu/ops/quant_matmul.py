@@ -965,7 +965,12 @@ def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 2048) -> jax.Array:
     # offset proof holds and the runtime perm gather disappears
     natural = G >= 256
     xin = x2 if natural else jnp.take(x2, lin.data["perm"], axis=1)
-    if _use_q6k_int8() and natural:
+    # int8 only at small row counts: the int8 path's accumulator scale ops
+    # cost B*To*(K/32) while the bf16 kernel's weight-side scaling is
+    # B-independent — the r4 on-chip crossover at the 7B ffn GEMV:
+    # B=8 int8 0.218 vs bf16 0.270 ms; B=32 int8 0.387 vs bf16 0.305
+    # (layer_decompose2, 13:47 UTC)
+    if _use_q6k_int8() and natural and n_rows <= 16:
         y = _q6k_q8_matmul_padded(
             xin, lin.data["ql"], lin.data["qh"], lin.data["scale"],
             block_o=bo, G=G, out_dtype=x.dtype,
