@@ -744,31 +744,34 @@ def decoder_forward(
 
     kv_quant = getattr(cache, "quantized", False)
     kv_combined = getattr(cache, "combined", False)
+    # full-cache trees: inline groups write straight into these (per-layer
+    # static-index updates on the donated buffers — the intermediate
+    # stack/concat variants measured as pool-copy losses on-chip)
+    if kv_quant:
+        acc_k, acc_v = (cache.k, cache.k_scale), (cache.v, cache.v_scale)
+    elif kv_combined:
+        acc_k, acc_v = cache.k, None
+    else:
+        acc_k, acc_v = cache.k, cache.v
+    inline_mode = _inline_groups()
     new_k_parts, new_v_parts = [], []
     offset = 0
     for gparams, size in zip(params.layer_groups, params.group_sizes):
         sl = lambda a: jax.lax.slice_in_dim(a, offset, offset + size, axis=0)
-        if kv_quant:
-            # int8 pools travel the scan as (payload, scale) leaf tuples
-            ck, cv = (sl(cache.k), sl(cache.k_scale)), (sl(cache.v), sl(cache.v_scale))
-        elif kv_combined:
-            # ragged-backend pools: one interleaved array, cv=None sentinel
-            ck, cv = sl(cache.k), None
-        else:
-            ck, cv = sl(cache.k), sl(cache.v)
+        ck = jax.tree.map(sl, acc_k)
+        cv = None if acc_v is None else jax.tree.map(sl, acc_v)
         if isinstance(gparams, (list, tuple)):
             h, nk, nv = super_scan(
                 gparams, size, ck, cv, sl(window_flags),
                 None if sc_all is None else sl(sc_all))
-        elif size <= 4 and _inline_groups():
+        elif size <= 4 and inline_mode:
             # fragmented-mix experiment (MISTRALRS_INLINE_GROUPS=1): run
             # tiny groups as straight-line layer calls instead of
             # 1-2-iteration scans — Q4_K_M's 17-group mix measured ~8%
-            # scan-fragmentation cost (group_ab); super-scan lost it to KV
-            # copy traffic twice, this trades compile size instead
+            # scan-fragmentation cost (group_ab). KV updates go DIRECTLY
+            # into the full donated cache at static layer indices.
             wf_g = sl(window_flags)
             sc_gl = None if sc_all is None else sl(sc_all)
-            nks, nvs = [], []
             for i in range(size):
                 lp = jax.tree.map(lambda x, i=i: x[i], gparams)
                 bias = jnp.where(wf_g[i], bias_win, bias_full)
@@ -780,24 +783,37 @@ def decoder_forward(
                     cfg, lp, h, cos, sin, rope.rot_dim, cki, cvi, meta,
                     bias, sci, wf_g[i],
                 )
-                nks.append(cki)
-                nvs.append(cvi)
-            nk = jax.tree.map(lambda *xs: jnp.stack(xs), *nks)
-            nv = (None if nvs[0] is None
-                  else jax.tree.map(lambda *xs: jnp.stack(xs), *nvs))
+                li = offset + i
+                acc_k = jax.tree.map(
+                    lambda b, nb, li=li: b.at[li].set(nb), acc_k, cki)
+                if acc_v is not None:
+                    acc_v = jax.tree.map(
+                        lambda b, nb, li=li: b.at[li].set(nb), acc_v, cvi)
+            nk = nv = None  # written in place above
         else:
             xs = (gparams, ck, cv, sl(window_flags))
             if sc_all is not None:
                 xs = xs + (sl(sc_all),)
             h, (nk, nv) = jax.lax.scan(scan_body, h, xs, unroll=_scan_unroll())
-        new_k_parts.append(nk)
-        new_v_parts.append(nv)
+        if inline_mode:
+            if nk is not None:  # scan/super groups: splice into the full tree
+                upd = lambda b, ng, o=offset: jax.lax.dynamic_update_slice_in_dim(
+                    b, ng, o, axis=0)
+                acc_k = jax.tree.map(upd, acc_k, nk)
+                if acc_v is not None:
+                    acc_v = jax.tree.map(upd, acc_v, nv)
+        else:
+            new_k_parts.append(nk)
+            new_v_parts.append(nv)
         offset += size
     def cat(parts):
         return parts[0] if len(parts) == 1 else jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *parts)
-    new_k = cat(new_k_parts)
-    new_v = cat(new_v_parts)
+    if inline_mode:
+        new_k, new_v = acc_k, acc_v
+    else:
+        new_k = cat(new_k_parts)
+        new_v = cat(new_v_parts)
     h = _norm(cfg, params.final_norm, h)
     if hasattr(cache, "head_major"):  # paged pool: preserve the layout flag
         if kv_quant:
