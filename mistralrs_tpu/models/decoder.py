@@ -662,6 +662,16 @@ def decoder_forward(
 
         return os.environ.get("MISTRALRS_INLINE_GROUPS") == "1"
 
+    def _kv_splice() -> bool:
+        """Accumulate per-group KV results into the full donated cache via
+        dynamic_update_slice instead of parts+concatenate. Hypothesis under
+        test (r4): the 17-part concat copies the whole cache every step —
+        the uniform arm of group_ab (one group) skips the concat via the
+        parts[0] shortcut, which may be its entire ~3 ms/step win."""
+        import os
+
+        return os.environ.get("MISTRALRS_KV_SPLICE") == "1"
+
     def _scan_unroll() -> int:
         """Layer-scan unroll factor (MISTRALRS_SCAN_UNROLL, default 1).
         step_decompose (r3) measured a per-scan-iteration overhead on top of
@@ -754,6 +764,7 @@ def decoder_forward(
     else:
         acc_k, acc_v = cache.k, cache.v
     inline_mode = _inline_groups()
+    acc_mode = inline_mode or _kv_splice()
     new_k_parts, new_v_parts = [], []
     offset = 0
     for gparams, size in zip(params.layer_groups, params.group_sizes):
@@ -795,7 +806,7 @@ def decoder_forward(
             if sc_all is not None:
                 xs = xs + (sl(sc_all),)
             h, (nk, nv) = jax.lax.scan(scan_body, h, xs, unroll=_scan_unroll())
-        if inline_mode:
+        if acc_mode:
             if nk is not None:  # scan/super groups: splice into the full tree
                 upd = lambda b, ng, o=offset: jax.lax.dynamic_update_slice_in_dim(
                     b, ng, o, axis=0)
@@ -809,7 +820,7 @@ def decoder_forward(
     def cat(parts):
         return parts[0] if len(parts) == 1 else jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *parts)
-    if inline_mode:
+    if acc_mode:
         new_k, new_v = acc_k, acc_v
     else:
         new_k = cat(new_k_parts)

@@ -13,7 +13,8 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def _rate(superscan: bool, batch: int, inline: bool = False) -> float:
+def _rate(superscan: bool, batch: int, inline: bool = False,
+          splice: bool = False) -> float:
     import jax.numpy as jnp
 
     import bench as driver_bench
@@ -25,6 +26,8 @@ def _rate(superscan: bool, batch: int, inline: bool = False) -> float:
     os.environ["MISTRALRS_SUPERSCAN"] = "1" if superscan else "0"
     if inline:
         os.environ["MISTRALRS_INLINE_GROUPS"] = "1"
+    if splice:
+        os.environ["MISTRALRS_KV_SPLICE"] = "1"
     try:
         cfg, params = driver_bench._build_7b_q4km(jnp.bfloat16)
         pc = PipelineConfig(page_size=16, num_pages=64 + batch * 12,
@@ -46,6 +49,7 @@ def _rate(superscan: bool, batch: int, inline: bool = False) -> float:
     finally:
         os.environ.pop("MISTRALRS_SUPERSCAN", None)
         os.environ.pop("MISTRALRS_INLINE_GROUPS", None)
+        os.environ.pop("MISTRALRS_KV_SPLICE", None)
 
 
 def main():
@@ -55,8 +59,8 @@ def main():
                       os.environ.get("MISTRALRS_CACHE_DIR",
                                      "/tmp/mistralrs_xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    arms = [("superscan=0", dict(superscan=False)),
-            ("superscan=1", dict(superscan=True)),
+    arms = [("baseline   ", dict(superscan=False)),
+            ("splice=1   ", dict(superscan=False, splice=True)),
             ("inline=1   ", dict(superscan=False, inline=True))]
     for batch in (1, 16):
         for name, kw in arms:

@@ -84,10 +84,12 @@ def test_build_superscan_collapses_groups():
     assert len(sp.layer_groups[0]) == 2  # [q4-pair dict, q6 dict]
 
 
-def _generate(cfg, params, superscan, mesh=None, inline=False):
+def _generate(cfg, params, superscan, mesh=None, inline=False, splice=False):
     os.environ["MISTRALRS_SUPERSCAN"] = "1" if superscan else "0"
     if inline:
         os.environ["MISTRALRS_INLINE_GROUPS"] = "1"
+    if splice:
+        os.environ["MISTRALRS_KV_SPLICE"] = "1"
     try:
         pipe = TextPipeline(
             cfg, params, make_rope(cfg),
@@ -104,6 +106,7 @@ def _generate(cfg, params, superscan, mesh=None, inline=False):
     finally:
         os.environ.pop("MISTRALRS_SUPERSCAN", None)
         os.environ.pop("MISTRALRS_INLINE_GROUPS", None)
+        os.environ.pop("MISTRALRS_KV_SPLICE", None)
 
 
 def test_superscan_engine_tokens_match():
@@ -128,4 +131,13 @@ def test_inline_groups_engine_tokens_match():
     cfg, params = _mixed_model()
     want = _generate(cfg, params, superscan=False)
     got = _generate(cfg, params, superscan=False, inline=True)
+    assert got == want
+
+
+def test_kv_splice_engine_tokens_match():
+    """MISTRALRS_KV_SPLICE=1 (DUS accumulation instead of parts+concat) is
+    a pure dataflow change — engine tokens identical."""
+    cfg, params = _mixed_model()
+    want = _generate(cfg, params, superscan=False)
+    got = _generate(cfg, params, superscan=False, splice=True)
     assert got == want
