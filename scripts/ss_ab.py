@@ -50,8 +50,8 @@ def main():
                       os.environ.get("MISTRALRS_CACHE_DIR",
                                      "/tmp/mistralrs_xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    for ds in (16, 32):
-        for ms in (2, 8):
+    for ds in (16, 32, 64):
+        for ms in ((2, 8) if ds != 64 else (2,)):
             try:
                 t0 = time.time()
                 r = _rate(ds, ms)
