@@ -326,11 +326,11 @@ def _run():
     # tg at its own concurrency), and the static decode slots pad every
     # step to max_seqs — measuring 1 stream on the batch-16 engine charged
     # it 16-wide activations/attention (~28% slower, r3 step_decompose).
-    # decode_steps=32 for this engine only: the r4 ss_ab measured 42.45 vs
-    # 38.47 tok/s (ds=16) — halves the per-dispatch overhead share — and
-    # max_len=64 divides exactly so no overshoot is discarded. The batched
-    # engines stay at 16 (48-token requests would waste 16 steps/dispatch).
-    ss_steps = int(os.environ.get("MISTRALRS_BENCH_SS_DECODE_STEPS", "32"))
+    # decode_steps=64 for this engine only: the r4 ss_ab measured 37.9 /
+    # 42.3 / 45.3 tok/s at ds=16/32/64 (dispatch-overhead amortization;
+    # max_len=64 divides exactly so no overshoot is discarded). The batched
+    # engines stay at 16 (48-token requests would waste steps per dispatch).
+    ss_steps = int(os.environ.get("MISTRALRS_BENCH_SS_DECODE_STEPS", "64"))
     pc1 = dataclasses.replace(pc, max_seqs=ss_seqs, num_pages=256,
                               decode_steps=ss_steps)
     eng1 = Engine(TextPipeline(cfg, params, rope, pc1), eos_token_ids=set(),
