@@ -57,3 +57,6 @@ echo "=== runner4 appendix done ($(date -u +%H:%M:%S)) ===" >> "$LOG"
 # ragged backend end-to-end serving A/B (kernel won 1.20x at 2k span)
 sec bench_ragged 900 env MISTRALRS_ATTN_BACKEND=ragged python bench.py
 echo "=== runner4 appendix2 done ($(date -u +%H:%M:%S)) ===" >> "$LOG"
+sec profile_step 1200 python scripts/profile_step.py
+sec profile_step_b32 1200 python scripts/profile_step.py --batch32
+echo "=== runner4 appendix3 done ($(date -u +%H:%M:%S)) ===" >> "$LOG"
