@@ -662,6 +662,21 @@ def decoder_forward(
 
         return os.environ.get("MISTRALRS_INLINE_GROUPS") == "1"
 
+    def _stacked_kernels() -> bool:
+        """Feed per-layer weights to the Pallas kernels by scalar-prefetch
+        layer index into the FULL stacked arrays instead of lax.scan xs
+        slices. The r4 profiler trace showed the xs slices materialize as
+        async HBM->HBM copies of every layer's packed weights per step
+        (custom-calls can't consume views) — ~122 MB/layer of extra
+        traffic, the measured kernel-to-engine gap. Gated until the
+        on-chip A/B (scripts/superscan_ab.py stacked arm)."""
+        import os
+
+        if os.environ.get("MISTRALRS_STACKED_KERNELS", "0") != "1":
+            return False
+        import mistralrs_tpu.ops.quant_matmul  # noqa: F401 — registers STACKED_OK
+        return True
+
     def _kv_splice() -> bool:
         """Accumulate per-group KV results into the full donated cache via
         dynamic_update_slice instead of parts+concatenate. Hypothesis under
@@ -801,6 +816,42 @@ def decoder_forward(
                     acc_v = jax.tree.map(
                         lambda b, nb, li=li: b.at[li].set(nb), acc_v, cvi)
             nk = nv = None  # written in place above
+        elif (_stacked_kernels() and not cfg.is_moe
+              and "anymoe" not in gparams.get("mlp", {})):
+            # stacked-kernel scan: weights stay OUT of xs (loop invariants);
+            # the body binds each layer by index and the q4k/q6k kernels
+            # tile directly from the stacked arrays (no per-layer copy)
+            from mistralrs_tpu.quant.qlinear import Linear as _Lin
+
+            def bind(r):
+                def f(leaf):
+                    if isinstance(leaf, _Lin):
+                        return _Lin(kind=leaf.kind, shape=leaf.shape,
+                                    data={**leaf.data, "lidx": r},
+                                    meta=leaf.meta)
+                    return jnp.take(leaf, r, axis=0)
+                return jax.tree.map(
+                    f, gparams, is_leaf=lambda x: isinstance(x, _Lin))
+
+            def scan_body_st(h, xs):
+                if sc_all is None:
+                    r, ck, cv, use_win = xs
+                    sc = None
+                else:
+                    r, ck, cv, use_win, sc = xs
+                bias = jnp.where(use_win, bias_win, bias_full)
+                h, ck, cv = _block(
+                    cfg, bind(r), h, cos, sin, rope.rot_dim, ck, cv, meta,
+                    bias, sc, use_win,
+                )
+                return h, (ck, cv)
+
+            xs = (jnp.arange(size, dtype=jnp.int32), ck, cv,
+                  sl(window_flags))
+            if sc_all is not None:
+                xs = xs + (sl(sc_all),)
+            h, (nk, nv) = jax.lax.scan(scan_body_st, h, xs,
+                                       unroll=_scan_unroll())
         else:
             xs = (gparams, ck, cv, sl(window_flags))
             if sc_all is not None:

@@ -32,7 +32,11 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from mistralrs_tpu.quant.qlinear import Linear
+from mistralrs_tpu.quant.qlinear import STACKED_OK, Linear
+
+# these kinds' dispatchers below consume stacked-layer Linears directly
+# (scalar-prefetch kernels); every other kind unstacks in qlinear.linear()
+STACKED_OK.update({"gguf_q4k", "gguf_q6k"})
 
 logger = logging.getLogger(__name__)
 _logged_fallbacks: set[tuple] = set()
@@ -156,6 +160,163 @@ def _q4k_matmul_padded(x, qs, scale, minv, *, block_o: int, block_k: int):
             transcendentals=0,
         ),
     )(x, qs, scale, minv, _xsum32_t(x))
+
+
+# ---------------------------------------------------- stacked-layer kernels
+#
+# r4 profiler finding (scripts/profile_step.py, 15:00 UTC): feeding the
+# Pallas kernels from lax.scan xs slices materializes EVERY layer's packed
+# weights as an async HBM->HBM copy per step (dynamic-slice fusions /
+# slice-starts in the trace) — custom-calls can't consume a view, so the
+# weight bytes move twice (~122 MB/layer/step of extra traffic = the
+# 0.504-vs-0.33 ms/layer kernel-to-engine gap). These variants instead
+# take the FULL stacked [L, ...] arrays plus a scalar-prefetch layer index
+# and tile DIRECTLY from the stacked array (BlockSpec leading dim None,
+# index_map (s[0], k, o)) — zero copies. Gated: MISTRALRS_STACKED_KERNELS.
+
+
+def _use_stacked_kernels() -> bool:
+    import os
+
+    if os.environ.get("MISTRALRS_STACKED_KERNELS", "0") != "1":
+        return False
+    return True
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "block_k", "out_dtype"))
+def _q4k_q8_matmul_stacked(lidx, x, qs, scale, minv, *, block_o: int,
+                           block_k: int, out_dtype=jnp.bfloat16):
+    """Stacked-layer Q4_K int8 forward: qs [L, K/2, O], scale/minv
+    [L, K/32, O]; lidx int32 [1] selects the layer inside the kernel's
+    index maps (scalar prefetch) — weights stream straight from the
+    stacked array."""
+    B, K = x.shape
+    O = qs.shape[2]
+    xq, xs_t = _quantize_acts_q8(x)
+
+    def kern(s_ref, *refs):
+        return _q4k_q8_kernel(*refs, block_k=block_k)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, O), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(O // block_o, K // block_k),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda o, k, s: (0, 0)),
+                pl.BlockSpec((None, block_k // 2, block_o),
+                             lambda o, k, s: (s[0], k, o)),
+                pl.BlockSpec((None, K // 32, block_o),
+                             lambda o, k, s: (s[0], 0, o)),
+                pl.BlockSpec((None, K // 32, block_o),
+                             lambda o, k, s: (s[0], 0, o)),
+                pl.BlockSpec((K // 32, B), lambda o, k, s: (0, 0)),
+                pl.BlockSpec((K // 32, B), lambda o, k, s: (0, 0)),
+            ],
+            out_specs=pl.BlockSpec((B, block_o), lambda o, k, s: (0, o)),
+            scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * O * K,
+            bytes_accessed=O * K // 2 + O * K // 32 * 4 + B * K + B * O * 2,
+            transcendentals=0,
+        ),
+    )(lidx, xq, qs, scale, minv, xs_t, _xsum32_t(x))
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "G", "out_dtype"))
+def _q6k_q8_matmul_stacked(lidx, x, ql, qh, scale, *, block_o: int, G: int,
+                           out_dtype=jnp.bfloat16):
+    """Stacked-layer natural-order Q6_K int8 forward: ql [L, K/2, O],
+    qh [L, K/4, O], scale [L, K/16, O]."""
+    B, K = x.shape
+    O = ql.shape[2]
+    C = K // (4 * G)
+    xq, xs_t = _quantize_acts_q8(x)
+    xs_p = _perm16_t(xs_t.T, C, G, 32)
+    xsum16 = jnp.sum(x.astype(jnp.float32).reshape(B, K // 16, 16), axis=2)
+    xsum16_p = _perm16_t(xsum16, C, G, 16)
+
+    def kern(s_ref, *refs):
+        return _q6k_q8_kernel(*refs, G=G)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, O), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(O // block_o, C),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda o, k, s: (0, 0)),
+                pl.BlockSpec((None, 2 * G, block_o),
+                             lambda o, k, s: (s[0], k, o)),
+                pl.BlockSpec((None, G, block_o),
+                             lambda o, k, s: (s[0], k, o)),
+                pl.BlockSpec((None, G // 4, block_o),
+                             lambda o, k, s: (s[0], k, o)),
+                pl.BlockSpec((G // 8, B), lambda o, k, s: (k, 0)),
+                pl.BlockSpec((G // 4, B), lambda o, k, s: (k, 0)),
+            ],
+            out_specs=pl.BlockSpec((B, block_o), lambda o, k, s: (0, o)),
+            scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * O * K,
+            bytes_accessed=O * K // 2 + O * K // 4 + O * K // 16 * 2 + B * K,
+            transcendentals=0,
+        ),
+    )(lidx, xq, ql, qh, scale, xs_p, xsum16_p)
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "G"))
+def _q6k_matmul_stacked(lidx, x, ql, qh, scale, *, block_o: int, G: int):
+    """Stacked-layer natural-order Q6_K bf16 forward (the B > 16 route)."""
+    B, K = x.shape
+    O = ql.shape[2]
+    C = K // (4 * G)
+    xsum16 = jnp.sum(x.astype(jnp.float32).reshape(B, K // 16, 16), axis=2)
+    xsum16_p = _perm16_t(xsum16, C, G, 16)
+
+    def kern(s_ref, *refs):
+        return _q6k_kernel(*refs, G=G, natural=True)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, O), x.dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(O // block_o, C),
+            in_specs=[
+                pl.BlockSpec((B, K), lambda o, k, s: (0, 0)),
+                pl.BlockSpec((None, 2 * G, block_o),
+                             lambda o, k, s: (s[0], k, o)),
+                pl.BlockSpec((None, G, block_o),
+                             lambda o, k, s: (s[0], k, o)),
+                pl.BlockSpec((None, G // 4, block_o),
+                             lambda o, k, s: (s[0], k, o)),
+                pl.BlockSpec((G // 4, B), lambda o, k, s: (k, 0)),
+            ],
+            out_specs=pl.BlockSpec((B, block_o), lambda o, k, s: (0, o)),
+            scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * O * K,
+            bytes_accessed=O * K // 2 + O * K // 4 + O * K // 16 * 2 + B * K * 2 + B * O * 2,
+            transcendentals=0,
+        ),
+    )(lidx, x, ql, qh, scale, xsum16_p)
 
 
 # ------------------------------------------------ Q4_K int8-MXU decode path
@@ -299,8 +460,14 @@ def _pick_blocks(out_f: int, in_f: int, block_o: int, block_k: int) -> tuple[int
 
 
 def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int = 1024) -> jax.Array:
-    """Forward for kind 'gguf_q4k'. x [..., K] -> [..., O]."""
+    """Forward for kind 'gguf_q4k'. x [..., K] -> [..., O]. Accepts a
+    stacked-layer Linear (data [L, ...] + "lidx", see the stacked-layer
+    section): the int8 decode path streams straight from the stacked
+    array; every other route unstacks first."""
+    from mistralrs_tpu.quant.qlinear import unstack_layer
+
     in_f, out_f = lin.shape
+    lidx = lin.data.get("lidx")
     lead = x.shape[:-1]
     bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)
     n_rows = 1
@@ -320,14 +487,23 @@ def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int =
 
         _log_fallback("q4k", lin.shape,
                       "prefill" if n_rows > 256 else "alignment")
-        return _ref_forward(lin, x)
+        return _ref_forward(unstack_layer(lin) if lidx is not None else lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
     if _use_q4k_int8():
-        y = _q4k_q8_matmul_padded(
-            x2, lin.data["qs"], lin.data["scale"], lin.data["minv"],
-            block_o=bo, block_k=bk, out_dtype=x.dtype,
-        )
+        if lidx is not None:
+            y = _q4k_q8_matmul_stacked(
+                jnp.reshape(lidx, (1,)).astype(jnp.int32), x2,
+                lin.data["qs"], lin.data["scale"], lin.data["minv"],
+                block_o=bo, block_k=bk, out_dtype=x.dtype,
+            )
+        else:
+            y = _q4k_q8_matmul_padded(
+                x2, lin.data["qs"], lin.data["scale"], lin.data["minv"],
+                block_o=bo, block_k=bk, out_dtype=x.dtype,
+            )
     else:
+        if lidx is not None:
+            lin = unstack_layer(lin)
         y = _q4k_matmul_padded(
             x2, lin.data["qs"], lin.data["scale"], lin.data["minv"],
             block_o=bo, block_k=bk,
@@ -338,6 +514,8 @@ def q4k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 1024, block_k: int =
     y = y[:n].reshape(*lead, out_f)
     b = lin.data.get("b")
     if b is not None:
+        if lidx is not None and b.ndim > 1:
+            b = jnp.take(b, lidx, axis=0)
         y = y + b.astype(y.dtype)
     return y
 
@@ -940,8 +1118,11 @@ def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 2048) -> jax.Array:
     block_o default from the r3 on-chip sweep at the 7B ffn GEMV:
     2048 -> 0.710 ms vs 1024 -> 0.763, 512 -> 1.055 (scripts/kernel_sweep.py).
     """
+    from mistralrs_tpu.quant.qlinear import unstack_layer
+
     in_f, out_f = lin.shape
     G = lin.meta
+    lidx = lin.data.get("lidx")
     lead = x.shape[:-1]
     bo = min(block_o, out_f)
     while out_f % bo:
@@ -959,11 +1140,14 @@ def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 2048) -> jax.Array:
 
         _log_fallback("q6k", lin.shape,
                       "prefill" if n_rows > 256 else "alignment")
-        return _ref_forward(lin, x)
+        return _ref_forward(unstack_layer(lin) if lidx is not None else lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
     # natural-order path (r4): G >= 256 <=> in % 1024 == 0 — every slice
     # offset proof holds and the runtime perm gather disappears
     natural = G >= 256
+    if lidx is not None and not natural:
+        lin = unstack_layer(lin)  # legacy G=128 gather contract
+        lidx = None
     xin = x2 if natural else jnp.take(x2, lin.data["perm"], axis=1)
     # int8 only at small row counts: the int8 path's accumulator scale ops
     # cost B*To*(K/32) while the bf16 kernel's weight-side scaling is
@@ -971,9 +1155,22 @@ def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 2048) -> jax.Array:
     # B=8 int8 0.218 vs bf16 0.270 ms; B=32 int8 0.387 vs bf16 0.305
     # (layer_decompose2, 13:47 UTC)
     if _use_q6k_int8() and natural and n_rows <= 16:
-        y = _q6k_q8_matmul_padded(
-            xin, lin.data["ql"], lin.data["qh"], lin.data["scale"],
-            block_o=bo, G=G, out_dtype=x.dtype,
+        if lidx is not None:
+            y = _q6k_q8_matmul_stacked(
+                jnp.reshape(lidx, (1,)).astype(jnp.int32), xin,
+                lin.data["ql"], lin.data["qh"], lin.data["scale"],
+                block_o=bo, G=G, out_dtype=x.dtype,
+            )
+        else:
+            y = _q6k_q8_matmul_padded(
+                xin, lin.data["ql"], lin.data["qh"], lin.data["scale"],
+                block_o=bo, G=G, out_dtype=x.dtype,
+            )
+    elif lidx is not None:
+        y = _q6k_matmul_stacked(
+            jnp.reshape(lidx, (1,)).astype(jnp.int32), xin,
+            lin.data["ql"], lin.data["qh"], lin.data["scale"],
+            block_o=bo, G=G,
         )
     else:
         y = _q6k_matmul_padded(
@@ -986,6 +1183,8 @@ def q6k_matmul(lin: Linear, x: jax.Array, *, block_o: int = 2048) -> jax.Array:
     y = y[:n].reshape(*lead, out_f)
     b = lin.data.get("b")
     if b is not None:
+        if lidx is not None and b.ndim > 1:
+            b = jnp.take(b, lidx, axis=0)
         y = y + b.astype(y.dtype)
     return y
 

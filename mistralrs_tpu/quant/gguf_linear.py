@@ -553,13 +553,23 @@ def _pallas_available() -> bool:
     return _USE_PALLAS
 
 
+def _maybe_unstack(lin: Linear) -> Linear:
+    """Off-TPU fallback for stacked-layer Linears (the stacked kernels are
+    TPU-only; see ops/quant_matmul.py)."""
+    if "lidx" in lin.data:
+        from mistralrs_tpu.quant.qlinear import unstack_layer
+
+        return unstack_layer(lin)
+    return lin
+
+
 @register_kind("gguf_q4k")
 def _q4k_forward(lin: Linear, x: jax.Array) -> jax.Array:
     if _pallas_available():
         from mistralrs_tpu.ops.quant_matmul import q4k_matmul
 
         return q4k_matmul(lin, x)
-    return _ref_forward(lin, x)
+    return _ref_forward(_maybe_unstack(lin), x)
 
 
 @register_kind("gguf_q2k")
@@ -591,7 +601,7 @@ def _q6k_forward(lin: Linear, x: jax.Array) -> jax.Array:
         from mistralrs_tpu.ops.quant_matmul import q6k_matmul
 
         return q6k_matmul(lin, x)
-    return _ref_forward(lin, x)
+    return _ref_forward(_maybe_unstack(lin), x)
 
 
 @register_kind("gguf_q8_0")

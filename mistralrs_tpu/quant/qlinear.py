@@ -39,6 +39,23 @@ class Linear:
 
 _FORWARDS: dict[str, Callable[[Linear, jax.Array], jax.Array]] = {}
 
+# kinds whose TPU forwards consume STACKED [L, ...] data + a traced layer
+# index ("lidx" data leaf) directly via scalar-prefetch kernels — see
+# ops/quant_matmul.py stacked-layer section; populated at its import
+STACKED_OK: set[str] = set()
+
+
+def unstack_layer(lin: Linear) -> Linear:
+    """Resolve a stacked-layer Linear (data leaves [L, ...] + traced
+    "lidx") into that layer's plain Linear via dynamic indexing — the
+    generic fallback for kinds without a stacked kernel (costs the layer
+    copy the stacked path exists to avoid, identical to the pre-r4 scan
+    xs slicing)."""
+    lidx = lin.data["lidx"]
+    data = {k: jnp.take(v, lidx, axis=0)
+            for k, v in lin.data.items() if k != "lidx"}
+    return Linear(kind=lin.kind, shape=lin.shape, data=data, meta=lin.meta)
+
 
 def register_kind(kind: str):
     def deco(fn):
@@ -73,6 +90,8 @@ def linear(lin: Linear, x: jax.Array, lora_scales: jax.Array | None = None) -> j
     (X-LoRA); only the "lora" kind consumes them."""
     if lin.kind not in _FORWARDS:
         _ensure_kind(lin.kind)
+    if "lidx" in lin.data and lin.kind not in STACKED_OK:
+        lin = unstack_layer(lin)
     in_perm = lin.data.get("in_perm")
     if in_perm is not None:
         # load-time row reorder (GPTQ act-order): gather the matching input

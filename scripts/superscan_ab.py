@@ -14,7 +14,7 @@ import numpy as np
 
 
 def _rate(superscan: bool, batch: int, inline: bool = False,
-          splice: bool = False) -> float:
+          splice: bool = False, stacked: bool = False) -> float:
     import jax.numpy as jnp
 
     import bench as driver_bench
@@ -28,6 +28,8 @@ def _rate(superscan: bool, batch: int, inline: bool = False,
         os.environ["MISTRALRS_INLINE_GROUPS"] = "1"
     if splice:
         os.environ["MISTRALRS_KV_SPLICE"] = "1"
+    if stacked:
+        os.environ["MISTRALRS_STACKED_KERNELS"] = "1"
     try:
         cfg, params = driver_bench._build_7b_q4km(jnp.bfloat16)
         pc = PipelineConfig(page_size=16, num_pages=64 + batch * 12,
@@ -50,6 +52,7 @@ def _rate(superscan: bool, batch: int, inline: bool = False,
         os.environ.pop("MISTRALRS_SUPERSCAN", None)
         os.environ.pop("MISTRALRS_INLINE_GROUPS", None)
         os.environ.pop("MISTRALRS_KV_SPLICE", None)
+        os.environ.pop("MISTRALRS_STACKED_KERNELS", None)
 
 
 def main():
@@ -60,8 +63,8 @@ def main():
                                      "/tmp/mistralrs_xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     arms = [("baseline   ", dict(superscan=False)),
-            ("splice=1   ", dict(superscan=False, splice=True)),
-            ("inline=1   ", dict(superscan=False, inline=True))]
+            ("stacked=1  ", dict(superscan=False, stacked=True)),
+            ("stacked+spl", dict(superscan=False, stacked=True, splice=True))]
     for batch in (1, 16):
         for name, kw in arms:
             try:

@@ -236,3 +236,67 @@ def test_q5k_int8_path_matches_dequant():
             lin.data["minv"], block_o=256, block_k=512, block_k8=256,
             out_dtype=jnp.float32))
     np.testing.assert_allclose(got, want, rtol=3e-2, atol=3e-1)
+
+
+def test_q4k_int8_stacked_matches_padded():
+    """Stacked-layer kernel (scalar-prefetch layer index into [L, ...]
+    arrays — the r4 fix for the per-layer weight-copy gap) must match the
+    per-layer padded call for every layer index."""
+    from mistralrs_tpu.ops.quant_matmul import (
+        _q4k_q8_matmul_padded, _q4k_q8_matmul_stacked)
+
+    O, K, L = 256, 512, 3
+    lins = []
+    for i in range(L):
+        w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+        raw = kquants.quantize(w, GGMLType.Q4_K)
+        lins.append(linear_from_gguf(raw, GGMLType.Q4_K, (O, K), dtype=jnp.float32))
+    qs = jnp.stack([l.data["qs"] for l in lins])
+    sc = jnp.stack([l.data["scale"] for l in lins])
+    mv = jnp.stack([l.data["minv"] for l in lins])
+    x = jnp.asarray((rng.standard_normal((8, K)) * 0.5).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        for i in range(L):
+            want = np.asarray(_q4k_q8_matmul_padded(
+                x, lins[i].data["qs"], lins[i].data["scale"],
+                lins[i].data["minv"], block_o=256, block_k=512,
+                out_dtype=jnp.float32))
+            got = np.asarray(_q4k_q8_matmul_stacked(
+                jnp.asarray([i], jnp.int32), x, qs, sc, mv,
+                block_o=256, block_k=512, out_dtype=jnp.float32))
+            np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_q6k_stacked_matches_padded():
+    from mistralrs_tpu.ops.quant_matmul import (
+        _q6k_matmul_padded, _q6k_matmul_stacked, _q6k_q8_matmul_padded,
+        _q6k_q8_matmul_stacked)
+
+    O, K, L = 256, 2048, 2
+    lins = []
+    for i in range(L):
+        w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+        raw = kquants.quantize(w, GGMLType.Q6_K)
+        lins.append(linear_from_gguf(raw, GGMLType.Q6_K, (O, K), dtype=jnp.float32))
+    G = lins[0].meta
+    ql = jnp.stack([l.data["ql"] for l in lins])
+    qh = jnp.stack([l.data["qh"] for l in lins])
+    sc = jnp.stack([l.data["scale"] for l in lins])
+    x = jnp.asarray((rng.standard_normal((8, K)) * 0.5).astype(np.float32))
+    with pltpu.force_tpu_interpret_mode():
+        for i in range(L):
+            want_i8 = np.asarray(_q6k_q8_matmul_padded(
+                x, lins[i].data["ql"], lins[i].data["qh"],
+                lins[i].data["scale"], block_o=256, G=G,
+                out_dtype=jnp.float32))
+            got_i8 = np.asarray(_q6k_q8_matmul_stacked(
+                jnp.asarray([i], jnp.int32), x, ql, qh, sc,
+                block_o=256, G=G, out_dtype=jnp.float32))
+            np.testing.assert_allclose(got_i8, want_i8, rtol=1e-5, atol=1e-5)
+            want_bf = np.asarray(_q6k_matmul_padded(
+                x, lins[i].data["ql"], lins[i].data["qh"],
+                lins[i].data["scale"], block_o=256, G=G))
+            got_bf = np.asarray(_q6k_matmul_stacked(
+                jnp.asarray([i], jnp.int32), x, ql, qh, sc,
+                block_o=256, G=G))
+            np.testing.assert_allclose(got_bf, want_bf, rtol=1e-5, atol=1e-5)

@@ -141,3 +141,18 @@ def test_kv_splice_engine_tokens_match():
     want = _generate(cfg, params, superscan=False)
     got = _generate(cfg, params, superscan=False, splice=True)
     assert got == want
+
+
+def test_stacked_kernels_engine_tokens_match():
+    """MISTRALRS_STACKED_KERNELS=1: on CPU the stacked Linears resolve
+    through the generic unstack fallback — the lidx plumbing end-to-end
+    must be token-exact (the TPU kernels have their own interpret parity
+    tests)."""
+    cfg, params = _mixed_model()
+    want = _generate(cfg, params, superscan=False)
+    os.environ["MISTRALRS_STACKED_KERNELS"] = "1"
+    try:
+        got = _generate(cfg, params, superscan=False)
+    finally:
+        os.environ.pop("MISTRALRS_STACKED_KERNELS", None)
+    assert got == want
