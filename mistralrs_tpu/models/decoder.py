@@ -668,24 +668,31 @@ def decoder_forward(
         slices. The r4 profiler trace showed the xs slices materialize as
         async HBM->HBM copies of every layer's packed weights per step
         (custom-calls can't consume views) — ~122 MB/layer of extra
-        traffic, the measured kernel-to-engine gap. Gated until the
-        on-chip A/B (scripts/superscan_ab.py stacked arm)."""
+        traffic, the measured kernel-to-engine gap. DEFAULT ON since the
+        on-chip A/B (superscan_ab, 15:29 UTC): single-stream 55.0 vs 44.6
+        tok/s (+23%), batch-16 (with kv-splice) 596.5 vs 541.2 (+10%).
+        MISTRALRS_STACKED_KERNELS=0 reverts."""
         import os
 
-        if os.environ.get("MISTRALRS_STACKED_KERNELS", "0") != "1":
+        if os.environ.get("MISTRALRS_STACKED_KERNELS", "1") != "1":
             return False
         import mistralrs_tpu.ops.quant_matmul  # noqa: F401 — registers STACKED_OK
         return True
 
     def _kv_splice() -> bool:
         """Accumulate per-group KV results into the full donated cache via
-        dynamic_update_slice instead of parts+concatenate. Hypothesis under
-        test (r4): the 17-part concat copies the whole cache every step —
-        the uniform arm of group_ab (one group) skips the concat via the
-        parts[0] shortcut, which may be its entire ~3 ms/step win."""
+        dynamic_update_slice instead of parts+concatenate. Alone it
+        measured a small single-stream loss (42.8 vs 44.6), but COUPLED
+        with the stacked-kernel scan it is the winning combination
+        (batch-16 596.5 vs stacked-alone 498.5; single-stream parity) —
+        default follows the stacked gate. MISTRALRS_KV_SPLICE=0/1
+        overrides."""
         import os
 
-        return os.environ.get("MISTRALRS_KV_SPLICE") == "1"
+        v = os.environ.get("MISTRALRS_KV_SPLICE")
+        if v is not None:
+            return v == "1"
+        return _stacked_kernels()
 
     def _scan_unroll() -> int:
         """Layer-scan unroll factor (MISTRALRS_SCAN_UNROLL, default 1).

@@ -176,9 +176,11 @@ def _q4k_matmul_padded(x, qs, scale, minv, *, block_o: int, block_k: int):
 
 
 def _use_stacked_kernels() -> bool:
+    """Default ON since the 15:29 UTC on-chip A/B (see decoder
+    _stacked_kernels); MISTRALRS_STACKED_KERNELS=0 reverts."""
     import os
 
-    if os.environ.get("MISTRALRS_STACKED_KERNELS", "0") != "1":
+    if os.environ.get("MISTRALRS_STACKED_KERNELS", "1") != "1":
         return False
     return True
 

@@ -52,8 +52,10 @@ def unstack_layer(lin: Linear) -> Linear:
     copy the stacked path exists to avoid, identical to the pre-r4 scan
     xs slicing)."""
     lidx = lin.data["lidx"]
-    data = {k: jnp.take(v, lidx, axis=0)
-            for k, v in lin.data.items() if k != "lidx"}
+    rest = {k: v for k, v in lin.data.items() if k != "lidx"}
+    # tree.map recurses into nested Linears (lora wrappers hold a "base"
+    # Linear inside data)
+    data = jax.tree.map(lambda v: jnp.take(v, lidx, axis=0), rest)
     return Linear(kind=lin.kind, shape=lin.shape, data=data, meta=lin.meta)
 
 
