@@ -728,31 +728,59 @@ def decoder_forward(
         fragmentation cost ~8% end-to-end despite +9% bytes).
 
         KV pools travel as the scan CARRY ([size, ...] whole-group) with
-        dynamic_(index|update)_in_dim at the traced layer index — v1 rode
-        them through xs/ys with per-sub-layer .at[jt].set() rebuilds and
-        XLA materialized pool copies every iteration (superscan_ab v1:
-        36.7 vs 43.8 tok/s — a 16% LOSS); carry-DUS is the pattern XLA
-        keeps in place."""
+        dynamic_(index|update)_in_dim at the traced layer index. v1/v2
+        losses (superscan_ab 13:48: 37.6/38.1 vs 43.8 tok/s) are now
+        attributed to WEIGHT xs slicing — every iteration materialized the
+        whole period's packed weights as HBM copies (the same mechanism
+        the stacked-kernel path fixed, profile_step 15:00/17:05 UTC) — so
+        in stacked mode the weights stay OUT of xs as FLAT [n*p_i, ...]
+        closure arrays bound per (r, j) by scalar-prefetch layer index."""
+        from mistralrs_tpu.quant.qlinear import Linear as _Lin
+
         p_sizes = [jax.tree.leaves(sub)[0].shape[1] for sub in pattern]
         p_total = sum(p_sizes)
         n = size // p_total
+        stacked = _stacked_kernels()
+        if stacked:
+            # flatten [n, p_i, ...] -> [n*p_i, ...] (free reshape) so the
+            # stacked kernels index layers directly
+            def flat(leaf):
+                return leaf.reshape(leaf.shape[0] * leaf.shape[1],
+                                    *leaf.shape[2:])
+
+            pattern = [jax.tree.map(flat, sub) for sub in pattern]
         rs = lambda a: a.reshape(n, p_total, *a.shape[1:])
-        xs = (tuple(pattern), rs(wf), jnp.arange(n, dtype=jnp.int32))
+        xs = (rs(wf), jnp.arange(n, dtype=jnp.int32))
         if sc_g is not None:
             xs = xs + (rs(sc_g),)
+
+        def bind_sub(sub, r, j, p_i):
+            if stacked:
+                def f(leaf):
+                    if isinstance(leaf, _Lin):
+                        return _Lin(kind=leaf.kind, shape=leaf.shape,
+                                    data={**leaf.data, "lidx": r * p_i + j},
+                                    meta=leaf.meta)
+                    return jnp.take(leaf, r * p_i + j, axis=0)
+                return jax.tree.map(
+                    f, sub, is_leaf=lambda x: isinstance(x, _Lin))
+            sub_r = jax.tree.map(
+                lambda x: jax.lax.dynamic_index_in_dim(x, r, 0,
+                                                       keepdims=False), sub)
+            return jax.tree.map(lambda x, j=j: x[j], sub_r)
 
         def body(carry, xs):
             h, ck, cv = carry
             if sc_g is None:
-                subs, use_win, r = xs
+                use_win, r = xs
                 sc_rep = None
             else:
-                subs, use_win, r, sc_rep = xs
+                use_win, r, sc_rep = xs
             jt = 0
-            for i, sub in enumerate(subs):
+            for i, sub in enumerate(pattern):
                 for j in range(p_sizes[i]):
                     lidx = r * p_total + jt
-                    lp = jax.tree.map(lambda x, j=j: x[j], sub)
+                    lp = bind_sub(sub, r, j, p_sizes[i])
                     bias = jnp.where(use_win[jt], bias_win, bias_full)
                     take = lambda b: jax.lax.dynamic_index_in_dim(
                         b, lidx, 0, keepdims=False)

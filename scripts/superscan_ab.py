@@ -62,9 +62,9 @@ def main():
                       os.environ.get("MISTRALRS_CACHE_DIR",
                                      "/tmp/mistralrs_xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    arms = [("baseline   ", dict(superscan=False)),
-            ("stacked=1  ", dict(superscan=False, stacked=True)),
-            ("stacked+spl", dict(superscan=False, stacked=True, splice=True))]
+    # stacked defaults are ON now; arms measure superscan on top
+    arms = [("defaults   ", dict(superscan=False)),
+            ("+superscan ", dict(superscan=True))]
     for batch in (1, 16):
         for name, kw in arms:
             try:
