@@ -38,9 +38,10 @@ def main():
 
     batch = 32 if "--batch32" in sys.argv else 1
     cfg, params = driver_bench._build_7b_q4km(jnp.bfloat16)
+    ds = int(os.environ.get("MISTRALRS_PROFILE_DS", "16"))
     pc = PipelineConfig(page_size=16, num_pages=64 + batch * 12,
                         max_seqs=max(2, batch), max_model_len=2048,
-                        prefill_buckets=(64,), decode_steps=16)
+                        prefill_buckets=(64,), decode_steps=ds)
     eng = Engine(TextPipeline(cfg, params, make_rope(cfg, 2048), pc),
                  eos_token_ids=set(), prefix_cache=False)
     prompt = list(np.random.default_rng(1).integers(1, 30000, size=64))
@@ -49,16 +50,27 @@ def main():
     from mistralrs_tpu.engine.engine import GenerationRequest
 
     groups = [eng.add_request(GenerationRequest(list(prompt),
-                                                SamplingParams(max_len=48)))
+                                                SamplingParams(max_len=4 * ds + 8)))
               for _ in range(batch)]
     while any(s.state.value in ("running_prefill", "waiting")
               for g in groups for s in g.seqs):
         eng.step()
+    import time as _t
+
     os.makedirs(TRACE_DIR, exist_ok=True)
-    jax.profiler.start_trace(TRACE_DIR)
+    t0 = _t.perf_counter()
     for _ in range(2):
         eng.step()
+    wall_untraced = _t.perf_counter() - t0
+    jax.profiler.start_trace(TRACE_DIR)
+    t0 = _t.perf_counter()
+    for _ in range(2):
+        eng.step()
+    wall = _t.perf_counter() - t0
     jax.profiler.stop_trace()
+    print(f"wall: {wall*1e3:.1f} ms traced / {wall_untraced*1e3:.1f} ms "
+          f"untraced for 2 dispatches ({2*ds} tokens x B={batch})",
+          flush=True)
     while not all(g.all_done() for g in groups):
         eng.step()
     print("trace captured; parsing...", flush=True)
