@@ -150,11 +150,12 @@ class TextPipeline:
                     self.cfg = cfg
         import os as _os2
 
-        if _os2.environ.get("MISTRALRS_SUPERSCAN", "0") == "1":
-            # collapse periodic scan-group fragmentation (Q4_K_M: 17
-            # groups -> 4; r4 on-chip group_ab measured the fragmentation
-            # at ~8% end-to-end). Gated until superscan_ab clears the
-            # implementation on-chip.
+        _ss_env = _os2.environ.get("MISTRALRS_SUPERSCAN")
+        # default "auto": ON for batched engines only — the r4 paired
+        # on-chip A/Bs (superscan_ab with stacked-kernel binding) measured
+        # +2.9% at batch 32 (729.6 vs 709.3 tok/s), +1% at batch 16, but
+        # -4% single-stream (53.5 vs 55.7); env "1"/"0" forces
+        if _ss_env == "1" or (_ss_env is None and pc.max_seqs >= 16):
             from mistralrs_tpu.models.superscan import superscan_decoder_params
 
             params = superscan_decoder_params(params)
