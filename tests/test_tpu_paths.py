@@ -518,3 +518,56 @@ def test_q5k_int8_path_on_chip():
         np.float32)
     want = np.asarray(_ref_forward(lin, x), np.float32)
     np.testing.assert_allclose(got, want, rtol=5e-2, atol=6e-1)
+
+
+def test_stacked_kernels_on_chip():
+    """The r4 stacked-layer kernels (scalar-prefetch layer index into
+    [L, ...] weight stacks — the serving default since d4669c0) must lower
+    under the real Mosaic toolchain and match the per-layer padded calls
+    for every layer index."""
+    import jax.numpy as jnp
+
+    from mistralrs_tpu.gguf.reader import GGMLType
+    from mistralrs_tpu.ops.quant_matmul import (
+        _q4k_q8_matmul_padded, _q4k_q8_matmul_stacked, _q6k_matmul_padded,
+        _q6k_matmul_stacked, _q6k_q8_matmul_padded, _q6k_q8_matmul_stacked)
+    from mistralrs_tpu.quant import kquants
+    from mistralrs_tpu.quant.gguf_linear import linear_from_gguf
+
+    rng = np.random.default_rng(12)
+    O, K, L = 512, 2048, 3
+    l4, l6 = [], []
+    for i in range(L):
+        w = (rng.standard_normal((O, K)) * 0.3).astype(np.float32)
+        l4.append(linear_from_gguf(kquants.quantize(w, GGMLType.Q4_K),
+                                   GGMLType.Q4_K, (O, K), dtype=jnp.bfloat16))
+        l6.append(linear_from_gguf(kquants.quantize(w, GGMLType.Q6_K),
+                                   GGMLType.Q6_K, (O, K), dtype=jnp.bfloat16))
+    qs = jnp.stack([l.data["qs"] for l in l4])
+    sc4 = jnp.stack([l.data["scale"] for l in l4])
+    mv = jnp.stack([l.data["minv"] for l in l4])
+    ql = jnp.stack([l.data["ql"] for l in l6])
+    qh = jnp.stack([l.data["qh"] for l in l6])
+    sc6 = jnp.stack([l.data["scale"] for l in l6])
+    G = l6[0].meta
+    x = jnp.asarray(rng.standard_normal((8, K)) * 0.5, jnp.bfloat16)
+    for i in range(L):
+        li = jnp.asarray([i], jnp.int32)
+        want = np.asarray(_q4k_q8_matmul_padded(
+            x, l4[i].data["qs"], l4[i].data["scale"], l4[i].data["minv"],
+            block_o=512, block_k=1024), np.float32)
+        got = np.asarray(_q4k_q8_matmul_stacked(
+            li, x, qs, sc4, mv, block_o=512, block_k=1024), np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
+        want = np.asarray(_q6k_q8_matmul_padded(
+            x, l6[i].data["ql"], l6[i].data["qh"], l6[i].data["scale"],
+            block_o=512, G=G), np.float32)
+        got = np.asarray(_q6k_q8_matmul_stacked(
+            li, x, ql, qh, sc6, block_o=512, G=G), np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
+        want = np.asarray(_q6k_matmul_padded(
+            x, l6[i].data["ql"], l6[i].data["qh"], l6[i].data["scale"],
+            block_o=512, G=G), np.float32)
+        got = np.asarray(_q6k_matmul_stacked(
+            li, x, ql, qh, sc6, block_o=512, G=G), np.float32)
+        np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-2)
