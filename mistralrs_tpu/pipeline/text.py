@@ -334,7 +334,12 @@ class TextPipeline:
             (_, _, cache, _), (toks, raws, lps) = jax.lax.scan(
                 body, (ids, kv_lens, cache, key0), None, length=T
             )
-            return toks, raws, lps, cache  # each [T, B]
+            # ONE stacked return: the caller fetches a single [3, T, B]
+            # array — three separate np.asarray fetches cost 3 tunnel/host
+            # round-trips per dispatch (r4: each RTT is 20-50 ms on this
+            # host, ~2-6 ms/step at batch 32)
+            pack = jnp.stack([toks.astype(jnp.float32), raws, lps])
+            return pack, cache
 
         return multistep
 
@@ -380,7 +385,7 @@ class TextPipeline:
                 jnp.asarray(pad(np.asarray(minps, np.float32), 0.0)),
                 jnp.asarray(seed, jnp.uint32),
             )
-        toks, raws, lps, self.cache = self._multistep_fn(
+        pack, self.cache = self._multistep_fn(
             self.params, self.cache,
             jnp.asarray(ids), jnp.asarray(kv_lens), jnp.asarray(block_tables),
             jnp.asarray(active), jnp.asarray(pos_off), sample_args,
@@ -388,8 +393,7 @@ class TextPipeline:
         )
         for seq in seqs:
             seq.kv_len += T
-        return np.stack([np.asarray(toks, np.float32), np.asarray(raws),
-                         np.asarray(lps)])[:, :, :n]
+        return np.asarray(pack, np.float32)[:, :, :n]
 
     def _build_verify_fn(self):
         """Like the step fn but returns logits at *every* fed position —
