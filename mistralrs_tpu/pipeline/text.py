@@ -243,7 +243,11 @@ class TextPipeline:
             m = jnp.max(y, axis=-1)
             z = jnp.sum(jnp.exp(y - m[:, None]), axis=-1)
             tv, ti = jax.lax.top_k(y, TOPK_PACK)
-            topk_pack = (tv, ti.astype(jnp.int32), m, z)
+            # one [B, 2K+2] f32 pack (ti fits f32 exactly: vocab < 2^24) —
+            # four separate host fetches cost 4 tunnel round-trips per
+            # decode step on this host (r4 single-fetch finding)
+            topk_pack = jnp.concatenate(
+                [tv, ti.astype(jnp.float32), m[:, None], z[:, None]], axis=1)
             return logits, greedy_pack, topk_pack, cache
 
         return step
@@ -694,7 +698,10 @@ class TextPipeline:
         if mode == "greedy":
             return np.asarray(self.last_greedy_pack)[:, :n]
         if mode == "topk":
-            tv, ti, m, z = self.last_topk_pack
+            p = np.asarray(self.last_topk_pack)  # [B, 2K+2] — ONE fetch
+            K = TOPK_PACK
+            tv, ti, m, z = (p[:, :K], p[:, K : 2 * K].astype(np.int32),
+                            p[:, 2 * K], p[:, 2 * K + 1])
             return (np.asarray(tv)[:n], np.asarray(ti)[:n],
                     np.asarray(m)[:n], np.asarray(z)[:n])
         return np.asarray(logits)[:n]
