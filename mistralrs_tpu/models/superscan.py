@@ -118,7 +118,16 @@ _MEMO: dict = {}
 
 def superscan_decoder_params(params):
     """Memoized build_superscan (several engines over the same params must
-    share one restacked copy, like quant/fuse.fuse_decoder_params)."""
+    share one restacked copy, like quant/fuse.fuse_decoder_params).
+
+    HBM cost: the restack is a full device COPY of the periodic run's
+    weights (most of a Q4_K_M 7B), and the pre-stack group arrays stay
+    alive as long as the caller's `params` does. A deployment mixing a
+    batched engine (auto-superscan at max_seqs >= 16, pipeline/text.py)
+    with a single-stream engine over the SAME params therefore holds both
+    copies (~2x quantized model bytes) — fine on 16 GB v5e with one 7B,
+    but drop the original params reference (as bench.py does) when every
+    engine uses the superscanned copy."""
     key = id(params)
     hit = _MEMO.get(key)
     if hit is not None and hit[0]() is params:
@@ -132,9 +141,6 @@ def superscan_decoder_params(params):
 def expand_supergroup(pattern: list, size: int) -> list[dict]:
     """Inverse transform for per-layer consumers (re_isq): a list-typed
     super-group -> per-layer dicts in original layer order."""
-    def leading(x):
-        return x.shape[:2] if not isinstance(x, Linear) else None
-
     # n/p_i from any array leaf of each sub-dict
     def np_of(sub):
         leaves = jax.tree.leaves(sub)

@@ -98,6 +98,13 @@ class TextPipeline:
     ):
         self.cfg = cfg
         self.rope = rope
+        # token ids / top-k indices round-trip through float32 in the packed
+        # returns (greedy_pack, topk_pack, multistep [3,T,B]) — exact only
+        # while every id fits a f32 mantissa. Fail loudly on a future
+        # larger-vocab model instead of silently corrupting sampled ids.
+        assert cfg.vocab_size < (1 << 24), (
+            f"vocab_size {cfg.vocab_size} >= 2^24: the f32-packed device "
+            "sampling fast paths would lose token-id precision")
         if pc.num_pages is None:
             from mistralrs_tpu.utils.memory import PagedCacheConfig, calculate_num_pages
 

@@ -84,12 +84,17 @@ def test_build_superscan_collapses_groups():
     assert len(sp.layer_groups[0]) == 2  # [q4-pair dict, q6 dict]
 
 
-def _generate(cfg, params, superscan, mesh=None, inline=False, splice=False):
+def _generate(cfg, params, superscan, mesh=None, inline=False, splice=None,
+              stacked=None):
     os.environ["MISTRALRS_SUPERSCAN"] = "1" if superscan else "0"
     if inline:
         os.environ["MISTRALRS_INLINE_GROUPS"] = "1"
-    if splice:
-        os.environ["MISTRALRS_KV_SPLICE"] = "1"
+    # stacked/splice default ON since r4 — OFF-vs-ON comparisons must pin the
+    # baseline arm explicitly or both arms run the identical configuration
+    if splice is not None:
+        os.environ["MISTRALRS_KV_SPLICE"] = "1" if splice else "0"
+    if stacked is not None:
+        os.environ["MISTRALRS_STACKED_KERNELS"] = "1" if stacked else "0"
     try:
         pipe = TextPipeline(
             cfg, params, make_rope(cfg),
@@ -107,6 +112,7 @@ def _generate(cfg, params, superscan, mesh=None, inline=False, splice=False):
         os.environ.pop("MISTRALRS_SUPERSCAN", None)
         os.environ.pop("MISTRALRS_INLINE_GROUPS", None)
         os.environ.pop("MISTRALRS_KV_SPLICE", None)
+        os.environ.pop("MISTRALRS_STACKED_KERNELS", None)
 
 
 def test_superscan_engine_tokens_match():
@@ -136,9 +142,10 @@ def test_inline_groups_engine_tokens_match():
 
 def test_kv_splice_engine_tokens_match():
     """MISTRALRS_KV_SPLICE=1 (DUS accumulation instead of parts+concat) is
-    a pure dataflow change — engine tokens identical."""
+    a pure dataflow change — engine tokens identical. Baseline pins splice
+    AND stacked OFF (splice follows the stacked gate, default ON since r4)."""
     cfg, params = _mixed_model()
-    want = _generate(cfg, params, superscan=False)
+    want = _generate(cfg, params, superscan=False, splice=False, stacked=False)
     got = _generate(cfg, params, superscan=False, splice=True)
     assert got == want
 
@@ -149,10 +156,7 @@ def test_stacked_kernels_engine_tokens_match():
     must be token-exact (the TPU kernels have their own interpret parity
     tests)."""
     cfg, params = _mixed_model()
-    want = _generate(cfg, params, superscan=False)
-    os.environ["MISTRALRS_STACKED_KERNELS"] = "1"
-    try:
-        got = _generate(cfg, params, superscan=False)
-    finally:
-        os.environ.pop("MISTRALRS_STACKED_KERNELS", None)
+    want = _generate(cfg, params, superscan=False, stacked=False,
+                     splice=False)
+    got = _generate(cfg, params, superscan=False, stacked=True)
     assert got == want
