@@ -88,6 +88,14 @@ class Engine:
         self.decode_steps = 1 if self.is_speculative else max(
             1, getattr(pc, "decode_steps", 1)
         )
+        # on-device speculative loop (PromptLookupPipeline.run_spec_multi):
+        # rounds per dispatch; the scheduler must reserve KV lookahead for
+        # the worst case (every round fully accepted)
+        self.spec_rounds = (
+            max(1, getattr(pipeline, "spec_rounds", 1) or 1)
+            if self.is_speculative and hasattr(pipeline, "run_spec_multi")
+            else 1
+        )
         self.batched_prefill_ok = getattr(pipeline, "supports_batched_prefill", False)
         self.scheduler = Scheduler(
             self.block_manager,
@@ -97,7 +105,8 @@ class Engine:
                 if self.batched_prefill_ok else 1
             ),
             prefix_cacher=self.prefix_cacher,
-            lookahead=(pipeline.gamma + 1) if self.is_speculative else self.decode_steps,
+            lookahead=((pipeline.gamma + 1) * self.spec_rounds
+                       if self.is_speculative else self.decode_steps),
             preempt_mode=(
                 preempt_mode
                 if getattr(pipeline, "cache", None) is not None
@@ -461,6 +470,12 @@ class Engine:
     def _decode_batch(self, seqs: list[Sequence]) -> None:
         if self.is_speculative:
             greedy = all(self._greedy_ok(s) for s in seqs)
+            R = self.spec_rounds
+            if (greedy and R > 1
+                    and all(self._multi_ok(s, R * (self.pipeline.gamma + 1))
+                            for s in seqs)):
+                self._decode_spec_multi(seqs)
+                return
             results = self.pipeline.speculative_step(seqs, self._seq_rng, greedy)
             for seq, lps in zip(seqs, results):
                 for lp in lps:
@@ -588,6 +603,35 @@ class Engine:
                 self._postprocess_token(seq, lp)
                 taken += 1
             seq.kv_len = start_kv + taken
+
+    def _decode_spec_multi(self, seqs: list[Sequence]) -> None:
+        """Greedy speculative decode, `spec_rounds` rounds in ONE dispatch
+        (PromptLookupPipeline.run_spec_multi). Each round emits 1..gamma+1
+        tokens; overshoot past stop conditions is discarded and kv_len
+        advances by exactly the consumed count (counter-rewind rollback,
+        same as _decode_multi)."""
+        from mistralrs_tpu.engine.sampler import Logprobs
+
+        g = self.pipeline.gamma
+        Wv = g + 1
+        pack = self.pipeline.run_spec_multi(seqs)  # [R, n, 2*Wv+2]
+        R = pack.shape[0]
+        for i, seq in enumerate(seqs):
+            consumed = 0
+            for r in range(R):
+                if seq.is_finished():
+                    break
+                count = int(pack[r, i, 2 * Wv])
+                seq.spec_proposed += int(pack[r, i, 2 * Wv + 1])
+                seq.spec_accepted += count - 1
+                for t in range(count):
+                    if seq.is_finished():
+                        break
+                    lp = Logprobs(token=int(pack[r, i, t]),
+                                  logprob=float(pack[r, i, Wv + t]))
+                    self._postprocess_token(seq, lp)
+                    consumed += 1
+            seq.kv_len += consumed
 
     def _emit_greedy(self, seqs: list[Sequence], pack: np.ndarray) -> None:
         from mistralrs_tpu.engine.sampler import Logprobs

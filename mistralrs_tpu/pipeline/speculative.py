@@ -25,6 +25,8 @@ output identical to non-speculative greedy decoding.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from mistralrs_tpu.engine.sampler import Logprobs
@@ -265,12 +267,19 @@ class PromptLookupPipeline(SpeculativePipeline):
     supports_batched_prefill = True
 
     def __init__(self, target: TextPipeline, gamma: int = 4,
-                 ngram_max: int = 3, ngram_min: int = 1):
+                 ngram_max: int = 3, ngram_min: int = 1,
+                 spec_rounds: int = 8, hist_cap: int = 1024):
         self.target = target
         self.draft = None
         self.gamma = gamma
         self.ngram_max = ngram_max
         self.ngram_min = ngram_min
+        # on-device greedy spec loop: rounds per dispatch + device-history
+        # capacity (run_spec_multi). spec_rounds <= 1 disables the device
+        # loop (host-driven speculative_step only).
+        self.spec_rounds = spec_rounds
+        self.hist_cap = hist_cap
+        self._spec_multi_fn = None
         self.pc = target.pc
         self.cfg = target.cfg
         self.max_pages_per_seq = target.max_pages_per_seq
@@ -324,3 +333,162 @@ class PromptLookupPipeline(SpeculativePipeline):
         qdists = [[None] * gi for gi in gis]
         return self._verify_and_accept(seqs, tables, proposals, qdists, gis,
                                        rng_for, greedy, update_draft=False)
+
+    # --------------------------------------------- on-device greedy loop
+    def _build_spec_multi_fn(self):
+        """The whole greedy speculative round — n-gram proposal from a
+        device-resident token history, width-(gamma+1) target verify,
+        argmax-match acceptance, history append, kv rewind — runs INSIDE a
+        lax.scan over `spec_rounds` rounds, one dispatch total.
+
+        Host-driven speculative decoding pays one device->host round-trip
+        per round for the acceptance decision (20-50+ ms each through this
+        host's tunnel, vs ~15 ms of device work); this loop removes every
+        per-round sync, the speculative analogue of the multistep decode
+        scan (pipeline/text.py _build_multistep_fn). Greedy-only: the
+        verify pass's position-0 argmax IS the plain greedy token, so
+        emitted tokens are identical to non-speculative greedy decoding
+        regardless of proposal quality — acceptance only buys speed.
+
+        KV rollback is the same counter rewind as the host path (ref
+        speculative.rs :489-530 narrows tensors; here stale slots past the
+        carried kv_len are simply never attended and are overwritten by
+        the next round's verify writes at the rewound positions).
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from mistralrs_tpu.models.decoder import compute_logits, decoder_forward
+        from mistralrs_tpu.ops.paged_attention import PagedAttnMeta
+
+        tp = self.target
+        cfg, rope = tp.cfg, tp.rope
+        ps = tp.pc.page_size
+        hm = tp.head_major
+        g = self.gamma
+        Wv = g + 1
+        R = self.spec_rounds
+        HCAP = self.hist_cap
+        n_min, n_max = self.ngram_min, self.ngram_max
+
+        def propose(hist, hl):
+            """Device mirror of _propose: longest-suffix n-gram match over
+            the [B, HCAP] history. Returns (props [B, g], nprop [B]);
+            rows without a match get nprop 0 (their garbage proposals are
+            never accepted and their KV writes are overwritten)."""
+            B = hist.shape[0]
+            props = jnp.zeros((B, g), jnp.int32)
+            nprop = jnp.zeros((B,), jnp.int32)
+            for n in range(n_min, n_max + 1):  # ascending: larger n wins
+                sidx = jnp.clip(hl[:, None] - n + jnp.arange(n)[None],
+                                0, HCAP - 1)
+                suffix = jnp.take_along_axis(hist, sidx, axis=1)  # [B, n]
+                M = HCAP - n + 1
+                ok = jnp.ones((B, M), bool)
+                for i in range(n):
+                    ok &= hist[:, i : i + M] == suffix[:, i : i + 1]
+                # starts strictly before the suffix's own position
+                ok &= jnp.arange(M)[None] < (hl - n)[:, None]
+                last = jnp.max(jnp.where(ok, jnp.arange(M)[None], -1), axis=1)
+                found = (last >= 0) & (hl >= n + 1)
+                fs = last + n  # first following token
+                gidx = jnp.clip(fs[:, None] + jnp.arange(g)[None], 0, HCAP - 1)
+                cand = jnp.take_along_axis(hist, gidx, axis=1)
+                ncand = jnp.minimum(g, hl - fs)
+                props = jnp.where(found[:, None], cand, props)
+                nprop = jnp.where(found, ncand, nprop)
+            return props, nprop
+
+        @functools.partial(jax.jit, donate_argnums=(1,))
+        def spec_multi(params, cache, hist, hl, kv_lens, block_tables,
+                       active, pos_off):
+            def body(carry, _):
+                hist, hl, kvl, cache = carry
+                props, nprop = propose(hist, hl)
+                last = jnp.take_along_axis(
+                    hist, jnp.clip(hl - 1, 0, HCAP - 1)[:, None], axis=1)
+                ids = jnp.concatenate([last, props], axis=1)  # [B, Wv]
+                pos = kvl[:, None] + jnp.arange(Wv)[None]  # window-relative
+                page = jnp.take_along_axis(block_tables, pos // ps, axis=1)
+                slot = page * ps + pos % ps
+                meta = PagedAttnMeta(
+                    positions=pos + pos_off[:, None],
+                    slot_mapping=slot,
+                    block_tables=block_tables,
+                    kv_lens=kvl + Wv,
+                    active=active,
+                    head_major=hm,
+                )
+                h, cache = decoder_forward(params, cfg, rope, ids, cache, meta)
+                logits = compute_logits(params, cfg, h)  # [B, Wv, V]
+                toks = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                vals = jnp.take_along_axis(
+                    logits, toks[..., None], axis=-1)[..., 0]
+                match = (toks[:, :g] == props) & (
+                    jnp.arange(g)[None] < nprop[:, None])
+                acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                              axis=1)
+                count = acc + 1  # emitted tokens this round (1..Wv)
+                # append ALL Wv verify outputs at hl; hl advances by count,
+                # so rejected-tail garbage is overwritten next round
+                hist = jax.vmap(
+                    lambda h_, u, s: jax.lax.dynamic_update_slice(h_, u, (s,))
+                )(hist, toks, hl)
+                return ((hist, hl + count, kvl + count, cache),
+                        (toks, vals, count, nprop))
+
+            (_, _, _, cache), (toks, vals, counts, nprops) = jax.lax.scan(
+                body, (hist, hl, kv_lens, cache), None, length=R)
+            # ONE fetched pack [R, B, 2*Wv+2]: tokens, argmax logits, count,
+            # n proposed (host round-trips cost 20-50+ ms each here)
+            pack = jnp.concatenate(
+                [toks.astype(jnp.float32), vals,
+                 counts[..., None].astype(jnp.float32),
+                 nprops[..., None].astype(jnp.float32)], axis=2)
+            return pack, cache
+
+        return spec_multi
+
+    def run_spec_multi(self, seqs: list[Sequence]) -> np.ndarray:
+        """`spec_rounds` greedy speculative rounds in one dispatch: returns
+        pack [R, n, 2*(gamma+1)+2] = (tokens, argmax logits, emitted count,
+        proposed count) per round. Does NOT advance kv_len — the engine
+        adds exactly the tokens it consumes (stop conditions may cut a
+        round short; the rewind is the usual counter trick).
+
+        The device history holds the last `hist_cap - R*(gamma+1)` tokens
+        of each sequence, so n-gram proposals only see that tail — same
+        behavior as the host path on long contexts in practice (recent
+        matches dominate; host `_propose` picks the MOST RECENT match)."""
+        if self._spec_multi_fn is None:
+            self._spec_multi_fn = self._build_spec_multi_fn()
+        import jax.numpy as jnp
+
+        tp = self.target
+        B = tp.pc.max_seqs
+        ps = tp.pc.page_size
+        R, g = self.spec_rounds, self.gamma
+        HCAP = self.hist_cap
+        keep = HCAP - R * (g + 1)
+        assert keep > 0, "hist_cap must exceed spec_rounds * (gamma + 1)"
+        bases = [tp._window_base_pages(s.kv_len) for s in seqs]
+        width = tp._table_width(seqs, R * (g + 1), bases)
+        hist = np.zeros((B, HCAP), np.int32)
+        hl = np.zeros((B,), np.int32)
+        kv_lens = np.zeros((B,), np.int32)
+        pos_off = np.zeros((B,), np.int32)
+        tables = np.zeros((B, width), np.int32)
+        active = np.zeros((B,), np.float32)
+        for i, (s, base) in enumerate(zip(seqs, bases)):
+            t = s.tokens[-keep:]
+            hist[i, : len(t)] = t
+            hl[i] = len(t)
+            kv_lens[i] = s.kv_len - base * ps
+            pos_off[i] = base * ps
+            tables[i] = tp._tables_row(s, width, base)
+            active[i] = 1.0
+        pack, tp.cache = self._spec_multi_fn(
+            tp.params, tp.cache, jnp.asarray(hist), jnp.asarray(hl),
+            jnp.asarray(kv_lens), jnp.asarray(tables), jnp.asarray(active),
+            jnp.asarray(pos_off))
+        return np.asarray(pack, np.float32)[:, : len(seqs)]

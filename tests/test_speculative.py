@@ -306,6 +306,80 @@ def test_prompt_lookup_with_ragged_backend(models):
     assert got == want
 
 
+def test_spec_multi_device_loop_matches_host_path(models):
+    """The on-device greedy spec loop (run_spec_multi, spec_rounds>1) must
+    emit the same tokens as the host-driven per-round path (spec_rounds=1)
+    AND as the plain target — proposals/acceptance only change speed."""
+    prompt = [3, 4, 5, 6, 3, 4, 5, 6, 3, 4]
+    want, _ = _plain_engine(models).generate(prompt, SamplingParams(max_len=24))
+    host, _ = _pld_engine(models, 4, spec_rounds=1).generate(
+        prompt, SamplingParams(max_len=24))
+    dev_eng = _pld_engine(models, 4, spec_rounds=4)
+    group = dev_eng.add_request(
+        GenerationRequest(list(prompt), SamplingParams(max_len=24)))
+    while not group.all_done():
+        dev_eng.step()
+    dev = group.seqs[0].generated_tokens
+    assert host == want
+    assert dev == want
+    # the device loop must actually be live (not the host fallback) and
+    # its stats machinery counting
+    assert dev_eng.spec_rounds == 4
+    assert group.seqs[0].spec_proposed > 0
+
+
+def test_spec_multi_sliding_window(models):
+    """Device spec loop on a sliding-window target past the boundary: the
+    window-relative kv_lens/pos_off plumbing inside the scan must keep
+    greedy identity."""
+    def tiny_win(seed, layers=2):
+        torch.manual_seed(seed)
+        hf_cfg = tf.MistralConfig(
+            hidden_size=32, intermediate_size=64, num_hidden_layers=layers,
+            num_attention_heads=4, num_key_value_heads=2, vocab_size=128,
+            max_position_embeddings=256, sliding_window=16,
+        )
+        model = tf.MistralForCausalLM(hf_cfg).eval().float()
+        cfg = config_from_hf(json.loads(hf_cfg.to_json_string()))
+        sd = {k: v.numpy() for k, v in model.state_dict().items()}
+        return cfg, params_from_source(cfg, TensorSource.from_dict(sd),
+                                       dtype=jnp.float32)
+
+    from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
+
+    tcfg, tparams = tiny_win(31)
+    prompt = [7, 8, 9, 7, 8, 9, 7, 8, 9, 7, 8]
+    want, _ = Engine(_pipe(tcfg, tparams), eos_token_ids=set()).generate(
+        prompt, SamplingParams(max_len=36))
+    got, _ = Engine(
+        PromptLookupPipeline(_pipe(tcfg, tparams), gamma=3, spec_rounds=4),
+        eos_token_ids=set()).generate(prompt, SamplingParams(max_len=36))
+    assert got == want
+
+
+def test_spec_multi_respects_max_len_and_eos(models):
+    """Stop conditions cut consumption mid-pack: exact max_len, and EOS
+    inside an accepted span stops emission exactly there."""
+    prompt = [3, 4, 5, 6, 3, 4, 5, 6, 3, 4]
+    eng = _pld_engine(models, 4, spec_rounds=4)
+    got, _ = eng.generate(prompt, SamplingParams(max_len=7))
+    assert len(got) == 7
+    # EOS: pick the plain continuation's 4th token as eos; output must stop
+    ref, _ = _plain_engine(models).generate(prompt, SamplingParams(max_len=12))
+    eos = ref[3]
+    eng2 = Engine(
+        _pld_engine(models, 4, spec_rounds=4).pipeline.__class__(
+            _pipe(*_m2(models)), gamma=4, spec_rounds=4),
+        eos_token_ids={eos})
+    got2, _ = eng2.generate(prompt, SamplingParams(max_len=12))
+    assert got2 == ref[: ref.index(eos) + 1]
+
+
+def _m2(models):
+    tcfg, tparams, *_ = models
+    return tcfg, tparams
+
+
 def test_prefix_cache_composes_with_speculative(models):
     """Prefix caching is now SERVED under speculative decoding (beyond the
     reference, which disables its prefix cacher in composite pipelines):
