@@ -36,7 +36,7 @@ from mistralrs_tpu.quant.qlinear import STACKED_OK, Linear
 
 # these kinds' dispatchers below consume stacked-layer Linears directly
 # (scalar-prefetch kernels); every other kind unstacks in qlinear.linear()
-STACKED_OK.update({"gguf_q4k", "gguf_q6k"})
+STACKED_OK.update({"gguf_q4k", "gguf_q6k", "gguf_q8_0"})
 
 logger = logging.getLogger(__name__)
 _logged_fallbacks: set[tuple] = set()
@@ -1242,10 +1242,16 @@ def _q8_0_matmul_padded(x, q, scale, *, block_o: int, block_k: int):
     )(x, q, scale)
 
 
-def _q8_0_q8_kernel(xq_ref, q_ref, scale_ref, xs_ref, o_ref, acc_ref):
-    """int8-MXU Q8_0: the weights are ALREADY int8 — zero unpack VPU work;
-    the GEMV is per-32-sub-block int8 dots with the combined
-    (weight x activation) scale applied on the int32 partials."""
+def _q8_0_q8_kernel(xq_ref, q_ref, scale_ref, xs_ref, o_ref, acc_ref, *,
+                    gs: int = 32):
+    """int8-MXU Q8_0 / rq8: the weights are ALREADY int8 — zero unpack VPU
+    work; the GEMV is per-gs-sub-block int8 dots with the combined
+    (weight x activation) scale applied on the int32 partials.
+
+    gs: the scale group size. 32 for wire-format Q8_0; 64 for the q6k->rq8
+    requant layout (half the small-dot count per element of the Q4_K int8
+    kernel — the r4 layer_decompose2 gap analysis points at small-dot
+    issue cost, not DMA, as the limiter)."""
 
     @pl.when(pl.program_id(1) == 0)
     def _():
@@ -1259,7 +1265,7 @@ def _q8_0_q8_kernel(xq_ref, q_ref, scale_ref, xs_ref, o_ref, acc_ref):
     acc = acc_ref[...]
     for i in range(nsub):
         p = jax.lax.dot_general(
-            xq[:, 32 * i : 32 * i + 32], q[32 * i : 32 * i + 32],
+            xq[:, gs * i : gs * i + gs], q[gs * i : gs * i + gs],
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32)
         acc = acc + p.astype(jnp.float32) * xs[i][:, None] * s[i][None, :]
     acc_ref[...] = acc
@@ -1269,16 +1275,27 @@ def _q8_0_q8_kernel(xq_ref, q_ref, scale_ref, xs_ref, o_ref, acc_ref):
         o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
 
-@functools.partial(jax.jit, static_argnames=("block_o", "block_k", "out_dtype"))
+def _quantize_acts_q8_gs(x2d: jax.Array, gs: int) -> tuple[jax.Array, jax.Array]:
+    """Per-gs-block activation int8 quantization (generalized
+    _quantize_acts_q8; gs=32 matches it exactly)."""
+    B, K = x2d.shape
+    xf = x2d.astype(jnp.float32).reshape(B, K // gs, gs)
+    xs = jnp.maximum(jnp.max(jnp.abs(xf), axis=2), 1e-10) / 127.0
+    xq = jnp.clip(jnp.round(xf / xs[..., None]), -127, 127)
+    return xq.astype(jnp.int8).reshape(B, K), xs.T
+
+
+@functools.partial(jax.jit, static_argnames=("block_o", "block_k", "gs",
+                                             "out_dtype"))
 def _q8_0_q8_matmul_padded(x, q, scale, *, block_o: int, block_k: int,
-                           out_dtype=jnp.bfloat16):
-    """Q8-activation int8 forward for Q8_0 (w = q*scale is zero-symmetric:
-    no min term at all)."""
+                           gs: int = 32, out_dtype=jnp.bfloat16):
+    """Q8-activation int8 forward for Q8_0/rq8 (w = q*scale is
+    zero-symmetric: no min term at all)."""
     B, K = x.shape
     O = q.shape[1]
-    xq, xs_t = _quantize_acts_q8(x)
+    xq, xs_t = _quantize_acts_q8_gs(x, gs)
     return pl.pallas_call(
-        _q8_0_q8_kernel,
+        functools.partial(_q8_0_q8_kernel, gs=gs),
         out_shape=jax.ShapeDtypeStruct((B, O), out_dtype),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=0,
@@ -1286,8 +1303,8 @@ def _q8_0_q8_matmul_padded(x, q, scale, *, block_o: int, block_k: int,
             in_specs=[
                 pl.BlockSpec((B, block_k), lambda o, k: (0, k)),
                 pl.BlockSpec((block_k, block_o), lambda o, k: (k, o)),
-                pl.BlockSpec((block_k // 32, block_o), lambda o, k: (k, o)),
-                pl.BlockSpec((block_k // 32, B), lambda o, k: (k, 0)),
+                pl.BlockSpec((block_k // gs, block_o), lambda o, k: (k, o)),
+                pl.BlockSpec((block_k // gs, B), lambda o, k: (k, 0)),
             ],
             out_specs=pl.BlockSpec((B, block_o), lambda o, k: (0, o)),
             scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
@@ -1297,24 +1314,75 @@ def _q8_0_q8_matmul_padded(x, q, scale, *, block_o: int, block_k: int,
         ),
         cost_estimate=pl.CostEstimate(
             flops=2 * B * O * K,
-            bytes_accessed=O * K + O * K // 32 * 2 + B * K + B * O * 2,
+            bytes_accessed=O * K + O * K // gs * 2 + B * K + B * O * 2,
             transcendentals=0,
         ),
     )(xq, q, scale, xs_t)
 
 
+@functools.partial(jax.jit, static_argnames=("block_o", "block_k", "gs",
+                                             "out_dtype"))
+def _q8_0_q8_matmul_stacked(lidx, x, q, scale, *, block_o: int, block_k: int,
+                            gs: int = 32, out_dtype=jnp.bfloat16):
+    """Stacked-layer int8 Q8_0/rq8 forward: q [L, K, O] int8,
+    scale [L, K/gs, O]; lidx scalar-prefetch selects the layer (zero-copy
+    streaming from the stacked array, like _q4k_q8_matmul_stacked)."""
+    B, K = x.shape
+    O = q.shape[2]
+    xq, xs_t = _quantize_acts_q8_gs(x, gs)
+
+    def kern(s_ref, *refs):
+        return _q8_0_q8_kernel(*refs, gs=gs)
+
+    return pl.pallas_call(
+        kern,
+        out_shape=jax.ShapeDtypeStruct((B, O), out_dtype),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(O // block_o, K // block_k),
+            in_specs=[
+                pl.BlockSpec((B, block_k), lambda o, k, s: (0, k)),
+                pl.BlockSpec((None, block_k, block_o),
+                             lambda o, k, s: (s[0], k, o)),
+                pl.BlockSpec((None, block_k // gs, block_o),
+                             lambda o, k, s: (s[0], k, o)),
+                pl.BlockSpec((block_k // gs, B), lambda o, k, s: (k, 0)),
+            ],
+            out_specs=pl.BlockSpec((B, block_o), lambda o, k, s: (0, o)),
+            scratch_shapes=[pltpu.VMEM((B, block_o), jnp.float32)],
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * O * K,
+            bytes_accessed=O * K + O * K // gs * 2 + B * K + B * O * 2,
+            transcendentals=0,
+        ),
+    )(lidx, xq, q, scale, xs_t)
+
+
 def _use_q8_0_int8() -> bool:
-    """Gated OFF until the on-chip A/B clears it (dequant_ab3 --q8_0-int8);
-    MISTRALRS_Q8_0_INT8=1 enables on TPU."""
+    """Default ON for TPU since r5: with block_o=1024 and the stacked
+    variant the int8 path is the q6k->rq8 serving route; the r4 A/B that
+    measured it a wash (301 vs 290 GB/s) ran block_o=512 (the BF16
+    kernel's sweep optimum). MISTRALRS_Q8_0_INT8=0 reverts."""
     import os
 
-    if os.environ.get("MISTRALRS_Q8_0_INT8") != "1":
+    if os.environ.get("MISTRALRS_Q8_0_INT8", "1") != "1":
         return False
     return jax.default_backend() == "tpu"
 
 
 def q8_0_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int = 1024) -> jax.Array:
+    """Forward for kind 'gguf_q8_0' (wire Q8_0 OR the q6k->rq8 requant
+    layout: meta carries the scale group size, None/32 = wire). Accepts
+    stacked-layer Linears on the int8 route (data [L, ...] + "lidx")."""
+    from mistralrs_tpu.quant.qlinear import unstack_layer
+
     in_f, out_f = lin.shape
+    gs = lin.meta or 32
+    lidx = lin.data.get("lidx")
     lead = x.shape[:-1]
     n_rows = 1
     for d in lead:
@@ -1324,13 +1392,32 @@ def q8_0_matmul(lin: Linear, x: jax.Array, *, block_o: int = 512, block_k: int =
         from mistralrs_tpu.quant.gguf_linear import _ref_forward
 
         _log_fallback("q8_0", lin.shape, "prefill")
-        return _ref_forward(lin, x)
+        return _ref_forward(unstack_layer(lin) if lidx is not None else lin, x)
     x2 = _pad_rows(x.reshape(-1, in_f), 8)
-    bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)
-    if _use_q8_0_int8() and in_f % 32 == 0:
-        y = _q8_0_q8_matmul_padded(x2, lin.data["q"], lin.data["scale"],
-                                   block_o=bo, block_k=bk, out_dtype=x.dtype)
+    if _use_q8_0_int8() and in_f % max(gs, 512) == 0:
+        # int8 route: block_o=1024 (the q4k int8 sweep optimum — the old
+        # 512 default came from the BF16 kernel's sweep and left ~35% of
+        # the q4k-path rate on the table)
+        bo, bk = _pick_blocks(out_f, in_f, max(block_o, 1024), block_k)
+        if lidx is not None:
+            y = _q8_0_q8_matmul_stacked(
+                jnp.reshape(lidx, (1,)).astype(jnp.int32), x2,
+                lin.data["q"], lin.data["scale"],
+                block_o=bo, block_k=bk, gs=gs, out_dtype=x.dtype)
+        else:
+            y = _q8_0_q8_matmul_padded(
+                x2, lin.data["q"], lin.data["scale"],
+                block_o=bo, block_k=bk, gs=gs, out_dtype=x.dtype)
     else:
+        bo, bk = _pick_blocks(out_f, in_f, block_o, block_k)
+        if lidx is not None:
+            lin = unstack_layer(lin)
+        if gs != 32:
+            # bf16 route only knows the wire per-32 layout
+            from mistralrs_tpu.quant.gguf_linear import _ref_forward
+
+            _log_fallback("q8_0", lin.shape, f"gs={gs} bf16 route")
+            return _ref_forward(lin, x)
         y = _q8_0_matmul_padded(x2, lin.data["q"], lin.data["scale"], block_o=bo, block_k=bk)
     n = 1
     for d in lead:

@@ -157,6 +157,16 @@ class TextPipeline:
                     self.cfg = cfg
         import os as _os2
 
+        # q6k -> int8-per-gs requant fast lane (quant/fuse.requant_q6k_params;
+        # VERDICT r4 #2 — Q6_K at 343 GB/s vs Q4_K's 460 is the slow lane of
+        # Q4_K_M serving). Env MISTRALRS_Q6K_RQ8: "64"/"32" = group size,
+        # "1" = 64, "0"/unset = off pending the on-chip A/B (scripts/rq8_ab).
+        _rq = _os2.environ.get("MISTRALRS_Q6K_RQ8", "0")
+        if _rq not in ("", "0"):
+            from mistralrs_tpu.quant.fuse import requant_q6k_params
+
+            params = requant_q6k_params(params, gs=32 if _rq == "32" else 64)
+
         _ss_env = _os2.environ.get("MISTRALRS_SUPERSCAN")
         # default "auto": ON for batched engines only — the r4 paired
         # on-chip A/Bs (superscan_ab with stacked-kernel binding) measured

@@ -238,3 +238,52 @@ def fuse_decoder_params(params, interleave: int = 1):
     _FUSE_MEMO[key] = (weakref.ref(params), fused)
     weakref.finalize(params, _FUSE_MEMO.pop, key, None)
     return fused
+
+
+_RQ8_MEMO: dict = {}
+
+
+def requant_q6k_params(params, gs: int = 64):
+    """Requantize every Q6_K Linear (stacked or not) to the int8 per-gs
+    layout (gguf_linear.requant_q6k_to_q8) — the serving fast lane for
+    Q6_K-heavy checkpoints (Q4_K_M puts attn_v, 1/3 of ffn_down AND
+    lm_head in Q6_K). Memoized per (params, gs) like fuse_decoder_params:
+    several engines over the same params share one requantized copy."""
+    import dataclasses
+    import weakref
+
+    from mistralrs_tpu.quant.gguf_linear import requant_q6k_to_q8
+    from mistralrs_tpu.quant.qlinear import Linear
+
+    key = (id(params), "rq8", gs)
+    hit = _RQ8_MEMO.get(key)
+    if hit is not None and hit[0]() is params:
+        return hit[1]
+    is_lin = lambda x: isinstance(x, Linear)  # noqa: E731
+
+    def conv(leaf):
+        if not is_lin(leaf) or leaf.kind != "gguf_q6k":
+            return leaf
+        if leaf.data["ql"].ndim == 3:  # stacked [L, ...] group leaf
+            L = leaf.data["ql"].shape[0]
+            outs = []
+            for i in range(L):
+                one = Linear(kind=leaf.kind, shape=leaf.shape,
+                             data={k: v[i] for k, v in leaf.data.items()},
+                             meta=leaf.meta)
+                outs.append(requant_q6k_to_q8(one, gs))
+            return Linear(kind="gguf_q8_0", shape=leaf.shape,
+                          data={k: jnp.stack([o.data[k] for o in outs])
+                                for k in outs[0].data},
+                          meta=gs)
+        return requant_q6k_to_q8(leaf, gs)
+
+    new_groups = [jax.tree.map(conv, g, is_leaf=is_lin)
+                  for g in params.layer_groups]
+    lm = params.lm_head
+    if is_lin(lm) and lm.kind == "gguf_q6k":
+        lm = requant_q6k_to_q8(lm, gs)
+    out = dataclasses.replace(params, layer_groups=new_groups, lm_head=lm)
+    _RQ8_MEMO[key] = (weakref.ref(params), out)
+    weakref.finalize(params, _RQ8_MEMO.pop, key, None)
+    return out

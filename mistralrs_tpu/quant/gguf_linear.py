@@ -522,11 +522,43 @@ def dequant_q2k_weights(lin: Linear, dtype) -> jax.Array:
     return (q.astype(dtype) * scale - minv).T
 
 
+def dequant_q8_0_gs_weights(lin: Linear, dtype) -> jax.Array:
+    """[out, in] for the generalized per-gs int8 layout (meta = group
+    size; wire Q8_0 is gs=32/meta None)."""
+    gs = lin.meta or 32
+    q = lin.data["q"]  # [in, out] int8, K-major
+    scale = jnp.repeat(lin.data["scale"].astype(dtype), gs, axis=0)
+    return (q.astype(dtype) * scale).T
+
+
+def requant_q6k_to_q8(lin: Linear, gs: int = 64) -> Linear:
+    """Near-lossless load-time requant of a Q6_K Linear to the int8 per-gs
+    layout served by the Q8_0 kernels (r5, VERDICT r4 #2).
+
+    Rationale: the Q6_K int8 kernel is issue-bound — 64 16-deep int8 dots
+    + a two-plane unpack per k-step hold it at ~343 GB/s vs Q4_K's 460.
+    Re-expressing w = s16*(q-32) as int8 with a per-gs absmax scale costs
+    +21% bytes (1.0625 vs 0.875 B/elem at gs=64) but serves with ZERO
+    unpack and gs-deep dots. Added quantization error: s_gs/2 where
+    s_gs ~= max|w|_gs/127, i.e. ~4x SMALLER than Q6_K's own step s16
+    (max|w|_16 ~= 32*s16 -> s_32 ~= s16/4) — measured in the distortion
+    harness (scripts/ppl_distortion.py --rq8)."""
+    K, O = lin.shape
+    w = dequant_q6k_weights(lin, jnp.float32).T  # [in, out] f32
+    wg = w.reshape(K // gs, gs, O)
+    s = jnp.maximum(jnp.max(jnp.abs(wg), axis=1), 1e-12) / 127.0  # [K/gs, O]
+    q = jnp.clip(jnp.round(wg / s[:, None, :]), -127, 127).astype(jnp.int8)
+    data = {"q": q.reshape(K, O), "scale": s.astype(jnp.float32)}
+    if "b" in lin.data:
+        data["b"] = lin.data["b"]
+    return Linear(kind="gguf_q8_0", shape=lin.shape, data=data, meta=gs)
+
+
 DEQUANT_WEIGHTS = {
     "gguf_q4k": dequant_q4k_weights,
     "gguf_q5k": dequant_q5k_weights,
     "gguf_q6k": dequant_q6k_weights,
-    "gguf_q8_0": dequant_q8_0_weights,
+    "gguf_q8_0": dequant_q8_0_gs_weights,
     "gguf_q2k": dequant_q2k_weights,
 }
 
@@ -610,4 +642,4 @@ def _q8_0_forward(lin: Linear, x: jax.Array) -> jax.Array:
         from mistralrs_tpu.ops.quant_matmul import q8_0_matmul
 
         return q8_0_matmul(lin, x)
-    return _ref_forward(lin, x)
+    return _ref_forward(_maybe_unstack(lin), x)
