@@ -804,6 +804,13 @@ def decoder_forward(
 
     kv_quant = getattr(cache, "quantized", False)
     kv_combined = getattr(cache, "combined", False)
+    # split pools (r5): one array per scan group — per-group "slices" are
+    # whole arrays, so there is no slice/splice at group boundaries at all
+    is_split = getattr(cache, "is_split", False)
+    if is_split:
+        assert tuple(cache.splits) == tuple(params.group_sizes), (
+            f"split KV pool partition {cache.splits} must match the scan "
+            f"groups {params.group_sizes} (re-partition on regroup)")
     # full-cache trees: inline groups write straight into these (per-layer
     # static-index updates on the donated buffers — the intermediate
     # stack/concat variants measured as pool-copy losses on-chip)
@@ -813,14 +820,22 @@ def decoder_forward(
         acc_k, acc_v = cache.k, None
     else:
         acc_k, acc_v = cache.k, cache.v
-    inline_mode = _inline_groups()
-    acc_mode = inline_mode or _kv_splice()
+    inline_mode = _inline_groups() and not is_split
+    acc_mode = (inline_mode or _kv_splice()) and not is_split
     new_k_parts, new_v_parts = [], []
     offset = 0
-    for gparams, size in zip(params.layer_groups, params.group_sizes):
+    for gi, (gparams, size) in enumerate(zip(params.layer_groups,
+                                             params.group_sizes)):
         sl = lambda a: jax.lax.slice_in_dim(a, offset, offset + size, axis=0)
-        ck = jax.tree.map(sl, acc_k)
-        cv = None if acc_v is None else jax.tree.map(sl, acc_v)
+        if is_split:
+            if kv_quant:
+                ck = (cache.k[gi], cache.k_scale[gi])
+                cv = (cache.v[gi], cache.v_scale[gi])
+            else:
+                ck, cv = cache.k[gi], cache.v[gi]
+        else:
+            ck = jax.tree.map(sl, acc_k)
+            cv = None if acc_v is None else jax.tree.map(sl, acc_v)
         if isinstance(gparams, (list, tuple)):
             h, nk, nv = super_scan(
                 gparams, size, ck, cv, sl(window_flags),
@@ -906,18 +921,31 @@ def decoder_forward(
     def cat(parts):
         return parts[0] if len(parts) == 1 else jax.tree.map(
             lambda *xs: jnp.concatenate(xs, axis=0), *parts)
-    if acc_mode:
+    if is_split:
+        if kv_quant:  # per-part (payload, scale) pairs -> field tuples
+            new_k = (tuple(p[0] for p in new_k_parts),
+                     tuple(p[1] for p in new_k_parts))
+            new_v = (tuple(p[0] for p in new_v_parts),
+                     tuple(p[1] for p in new_v_parts))
+        else:
+            new_k, new_v = tuple(new_k_parts), tuple(new_v_parts)
+    elif acc_mode:
         new_k, new_v = acc_k, acc_v
     else:
         new_k = cat(new_k_parts)
         new_v = cat(new_v_parts)
     h = _norm(cfg, params.final_norm, h)
     if hasattr(cache, "head_major"):  # paged pool: preserve the layout flag
+        splits = getattr(cache, "splits", None)
         if kv_quant:
             new_cache = type(cache)(k=new_k[0], v=new_v[0], k_scale=new_k[1],
-                                    v_scale=new_v[1], head_major=cache.head_major)
+                                    v_scale=new_v[1],
+                                    head_major=cache.head_major,
+                                    splits=splits)
         else:  # new_v is None for combined pools
-            new_cache = type(cache)(k=new_k, v=new_v, head_major=cache.head_major)
+            new_cache = type(cache)(k=new_k, v=new_v,
+                                    head_major=cache.head_major,
+                                    splits=splits)
     else:
         new_cache = type(cache)(k=new_k, v=new_v)
     return h, new_cache

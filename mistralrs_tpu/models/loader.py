@@ -244,6 +244,48 @@ def group_layers(layers: list[dict[str, Any]]) -> tuple[list[dict[str, Any]], tu
     return stacked, tuple(len(run) for run in runs)
 
 
+def split_oversized_groups(params, max_layers: int):
+    """Split any stacked scan group larger than `max_layers` into
+    consecutive sub-groups (pure restructuring: N scans over the same
+    layers in the same order). Used by the split KV pool (pipeline/text):
+    each group gets its own pool part, so a 32-layer homogeneous model at
+    32k context would otherwise still hold one >4 GB array. Super-groups
+    (list-typed, models/superscan.py) are left alone."""
+    import dataclasses
+
+    from mistralrs_tpu.quant.qlinear import Linear
+
+    is_lin = lambda x: isinstance(x, Linear)  # noqa: E731
+    groups, sizes, changed = [], [], False
+    for g, s in zip(params.layer_groups, params.group_sizes):
+        if s <= max_layers or isinstance(g, (list, tuple)):
+            groups.append(g)
+            sizes.append(s)
+            continue
+        n = -(-s // max_layers)
+        base, rem = s // n, s % n
+        off = 0
+        for i in range(n):
+            take = base + (1 if i < rem else 0)
+
+            def cut(x, off=off, take=take):
+                if is_lin(x):
+                    return Linear(kind=x.kind, shape=x.shape,
+                                  data={k: v[off : off + take]
+                                        for k, v in x.data.items()},
+                                  meta=x.meta)
+                return x[off : off + take]
+
+            groups.append(jax.tree.map(cut, g, is_leaf=is_lin))
+            sizes.append(take)
+            off += take
+        changed = True
+    if not changed:
+        return params
+    return dataclasses.replace(params, layer_groups=groups,
+                               group_sizes=tuple(sizes))
+
+
 def params_from_source(
     cfg: ModelConfig,
     src: TensorSource,

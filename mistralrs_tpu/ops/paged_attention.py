@@ -51,11 +51,31 @@ class PagedKVCache:
     k_scale: Any = None
     v_scale: Any = None
     head_major: bool = struct.field(pytree_node=False, default=False)
+    # split pools (r5, VERDICT r4 #6): k/v (+scales) are TUPLES of per-scan-
+    # group arrays [size_g, ...] instead of one [L, ...] array. Two wins:
+    # (1) no single array exceeds the ~4 GB size the remote compile helper
+    # tolerates, so 32k bf16 full-model KV compiles; (2) the decoder's
+    # per-group cache slices become whole arrays — no slice/splice at group
+    # boundaries (the ~1 ms/step h/KV copy-start cost in the r4 trace).
+    splits: Any = struct.field(pytree_node=False, default=None)
 
     @classmethod
     def create(cls, num_layers, num_pages, page_size, kv_heads, head_dim,
                dtype=jnp.bfloat16, head_major: bool = False,
-               quant: bool = False, combined: bool = False):
+               quant: bool = False, combined: bool = False,
+               splits: tuple | None = None):
+        if splits is not None:
+            assert not combined, "split pools unsupported for combined layout"
+            assert sum(splits) == num_layers, (splits, num_layers)
+            parts = [cls.create(s, num_pages, page_size, kv_heads, head_dim,
+                                dtype, head_major, quant) for s in splits]
+            return cls(k=tuple(p.k for p in parts),
+                       v=tuple(p.v for p in parts),
+                       k_scale=(tuple(p.k_scale for p in parts)
+                                if quant else None),
+                       v_scale=(tuple(p.v_scale for p in parts)
+                                if quant else None),
+                       head_major=head_major, splits=tuple(splits))
         if combined:
             # the ragged-paged-attention kernel's layout: ONE pool with K at
             # even and V at odd head indices (ops/ragged_attention.py);
@@ -78,6 +98,14 @@ class PagedKVCache:
                    head_major=head_major)
 
     @property
+    def is_split(self) -> bool:
+        return self.splits is not None
+
+    @property
+    def _k0(self) -> jax.Array:
+        return self.k[0] if self.is_split else self.k
+
+    @property
     def quantized(self) -> bool:
         return self.k_scale is not None
 
@@ -87,11 +115,11 @@ class PagedKVCache:
 
     @property
     def page_size(self) -> int:
-        return self.k.shape[3] if self.head_major else self.k.shape[2]
+        return self._k0.shape[3] if self.head_major else self._k0.shape[2]
 
     @property
     def num_pages(self) -> int:
-        return self.k.shape[2] if self.head_major else self.k.shape[1]
+        return self._k0.shape[2] if self.head_major else self._k0.shape[1]
 
     @property
     def page_axis(self) -> int:
@@ -481,7 +509,8 @@ def blockwise_prefill_continuation(
 def _pool_leaves(cache: PagedKVCache) -> dict[str, jax.Array]:
     """The cache's page-indexed arrays (payloads + quant scales if any);
     every leaf shares the same page axis (cache.page_axis). Combined pools
-    have a single leaf (k holds interleaved K/V)."""
+    have a single leaf (k holds interleaved K/V). Split pools: each value
+    is a TUPLE of per-group arrays (same page axis per part)."""
     leaves = {"k": cache.k}
     if not cache.combined:
         leaves["v"] = cache.v
@@ -495,7 +524,7 @@ def _rebuild(cache: PagedKVCache, leaves: dict[str, jax.Array]) -> PagedKVCache:
     return PagedKVCache(k=leaves["k"], v=leaves.get("v"),
                         k_scale=leaves.get("k_scale"),
                         v_scale=leaves.get("v_scale"),
-                        head_major=cache.head_major)
+                        head_major=cache.head_major, splits=cache.splits)
 
 
 def copy_pages(cache: PagedKVCache, src, dst) -> PagedKVCache:
@@ -503,33 +532,68 @@ def copy_pages(cache: PagedKVCache, src, dst) -> PagedKVCache:
     src = jnp.asarray(src, jnp.int32)
     dst = jnp.asarray(dst, jnp.int32)
     ax = cache.page_axis
-    out = {}
-    for name, arr in _pool_leaves(cache).items():
+
+    def cp(arr):
         if ax == 2:
-            out[name] = arr.at[:, :, dst].set(arr[:, :, src])
-        else:
-            out[name] = arr.at[:, dst].set(arr[:, src])
+            return arr.at[:, :, dst].set(arr[:, :, src])
+        return arr.at[:, dst].set(arr[:, src])
+
+    out = {name: jax.tree.map(cp, arr)
+           for name, arr in _pool_leaves(cache).items()}
     return _rebuild(cache, out)
 
 
 def dataclasses_replace_cache(cache: PagedKVCache, k, v) -> PagedKVCache:
     return PagedKVCache(k=k, v=v, k_scale=cache.k_scale,
-                        v_scale=cache.v_scale, head_major=cache.head_major)
+                        v_scale=cache.v_scale, head_major=cache.head_major,
+                        splits=cache.splits)
+
+
+def resplit_cache(cache: PagedKVCache, new_splits: tuple | None) -> PagedKVCache:
+    """Re-partition a (split or unsplit) pool's layer axis to `new_splits`
+    (None = merge back to one [L] array) — KV content preserved. Used when
+    re_isq regroups the scan structure under a split pool."""
+    if not cache.is_split and new_splits is None:
+        return cache
+
+    def redo(field):
+        if field is None:
+            return None
+        full = (jnp.concatenate(field, axis=0) if isinstance(field, tuple)
+                else field)
+        if new_splits is None:
+            return full
+        out, off = [], 0
+        for s in new_splits:
+            out.append(jax.lax.slice_in_dim(full, off, off + s, axis=0))
+            off += s
+        return tuple(out)
+
+    return PagedKVCache(k=redo(cache.k), v=redo(cache.v),
+                        k_scale=redo(cache.k_scale),
+                        v_scale=redo(cache.v_scale),
+                        head_major=cache.head_major,
+                        splits=None if new_splits is None
+                        else tuple(new_splits))
 
 
 def swap_out_pages(cache: PagedKVCache, pages: list[int]) -> tuple:
     """Copy the named pages' K/V to host memory (ref cache_engine.rs
     swap_out :191-203 / swap_blocks D2H). Returns a tuple of host arrays
     (k, v[, k_scale, v_scale]) with a leading [n_pages] axis in the pool's
-    layout order."""
+    layout order. Split pools concatenate parts back to full-[L] host
+    arrays so the swap format is layout-independent."""
     import numpy as _np
 
     idx = jnp.asarray(pages, jnp.int32)
     ax = cache.page_axis
-    out = []
-    for arr in _pool_leaves(cache).values():
-        out.append(_np.asarray(arr[:, :, idx] if ax == 2 else arr[:, idx]))
-    return tuple(out)
+
+    def grab(arr):
+        if isinstance(arr, tuple):
+            return _np.concatenate([grab(a) for a in arr], axis=0)
+        return _np.asarray(arr[:, :, idx] if ax == 2 else arr[:, idx])
+
+    return tuple(grab(arr) for arr in _pool_leaves(cache).values())
 
 
 def swap_in_pages(cache: PagedKVCache, host_kv: tuple, pages: list[int]) -> PagedKVCache:
@@ -537,11 +601,19 @@ def swap_in_pages(cache: PagedKVCache, host_kv: tuple, pages: list[int]) -> Page
     (ref cache_engine.rs swap_in :177-189 / swap_blocks H2D)."""
     idx = jnp.asarray(pages, jnp.int32)
     ax = cache.page_axis
-    out = {}
-    for (name, arr), host in zip(_pool_leaves(cache).items(), host_kv):
+
+    def put(arr, host):
+        if isinstance(arr, tuple):
+            out, off = [], 0
+            for a in arr:
+                out.append(put(a, host[off : off + a.shape[0]]))
+                off += a.shape[0]
+            return tuple(out)
         h = jnp.asarray(host, arr.dtype)
         if ax == 2:
-            out[name] = arr.at[:, :, idx].set(h)
-        else:
-            out[name] = arr.at[:, idx].set(h)
+            return arr.at[:, :, idx].set(h)
+        return arr.at[:, idx].set(h)
+
+    out = {name: put(arr, host)
+           for (name, arr), host in zip(_pool_leaves(cache).items(), host_kv)}
     return _rebuild(cache, out)

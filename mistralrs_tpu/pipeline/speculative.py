@@ -63,6 +63,23 @@ class SpeculativePipeline:
         self.max_pages_per_seq = target.max_pages_per_seq
 
     # ------------------------------------------------------------- plumbing
+    @property
+    def last_greedy_pack(self):
+        """Engine fast paths read the last step's device packs off the
+        pipeline (batched prefill emission) — forward to the target."""
+        return self.target.last_greedy_pack
+
+    @property
+    def last_topk_pack(self):
+        return self.target.last_topk_pack
+
+    @property
+    def last_logits(self):
+        return self.target.last_logits
+
+    def fetch_full_logits_row(self, i: int):
+        return self.target.fetch_full_logits_row(i)
+
     def apply_copies(self, ops: list[tuple[int, int]]) -> None:
         self.target.apply_copies(ops)
         self.draft.apply_copies(ops)

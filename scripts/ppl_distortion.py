@@ -32,8 +32,10 @@ def _markov_stream(rng, n):
     """Order-1 Markov chain, 4 likely successors per state: learnable in
     hundreds of steps; held-out PPL floor ~= e^H(p) ~ 3.1, far below the
     64 uniform ceiling — so quantization damage to the learned transition
-    structure is actually visible."""
-    nxt = rng.integers(0, VOCAB, size=(VOCAB, 4))
+    structure is actually visible. The transition TABLE is fixed (one
+    chain); `rng` only drives the sample path — train and held-out streams
+    must come from the same process."""
+    nxt = np.random.default_rng(42).integers(0, VOCAB, size=(VOCAB, 4))
     probs = np.array([0.55, 0.25, 0.15, 0.05])
     out = [1]
     for _ in range(n - 1):

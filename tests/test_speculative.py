@@ -306,6 +306,28 @@ def test_prompt_lookup_with_ragged_backend(models):
     assert got == want
 
 
+def test_prompt_lookup_concurrent_batched_prefill(models):
+    """PLD + >1 concurrent greedy requests: the engine's batched-prefill
+    emission reads last_greedy_pack off the PIPELINE (spec_ab r5 found the
+    wrapper didn't forward it to the target)."""
+    tcfg, tparams, *_ = models
+    from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
+
+    p1 = [3, 4, 5, 6, 3, 4, 5, 6, 3, 4]
+    p2 = [9, 10, 11, 9, 10, 11, 9, 10]
+    plain = _plain_engine(models)
+    w1, _ = plain.generate(p1, SamplingParams(max_len=10))
+    w2, _ = plain.generate(p2, SamplingParams(max_len=10))
+    eng = Engine(PromptLookupPipeline(_pipe(tcfg, tparams), gamma=4,
+                                      spec_rounds=4), eos_token_ids=set())
+    g1 = eng.add_request(GenerationRequest(list(p1), SamplingParams(max_len=10)))
+    g2 = eng.add_request(GenerationRequest(list(p2), SamplingParams(max_len=10)))
+    while not (g1.all_done() and g2.all_done()):
+        eng.step()
+    assert g1.seqs[0].generated_tokens == w1
+    assert g2.seqs[0].generated_tokens == w2
+
+
 def test_spec_multi_device_loop_matches_host_path(models):
     """The on-device greedy spec loop (run_spec_multi, spec_rounds>1) must
     emit the same tokens as the host-driven per-round path (spec_rounds=1)
