@@ -360,9 +360,13 @@ def _run():
     # the on-device greedy spec loop (speculative.run_spec_multi — R rounds
     # of up-to-(gamma+1) tokens per dispatch, zero per-round host syncs).
     # Acceptance is content-dependent; the measured rate rides in the JSON.
+    # gamma=3/R=16: the r5 on-chip sweep winner (scripts/spec_ab{,2}:
+    # 98.8-101.6 tok/s at the 64-token workload vs 59.3 plain, acc=1.00;
+    # g=4 measured 75-76, g=7 85-86 at B=2 — width 4 x B=2 = one 8-row
+    # MXU tile). R matches max_len/(gamma+1) so a request is one dispatch.
     spec = spec_acc = None
-    spec_gamma = int(os.environ.get("MISTRALRS_BENCH_SPEC_GAMMA", "4"))
-    spec_rounds = int(os.environ.get("MISTRALRS_BENCH_SPEC_ROUNDS", "13"))
+    spec_gamma = int(os.environ.get("MISTRALRS_BENCH_SPEC_GAMMA", "3"))
+    spec_rounds = int(os.environ.get("MISTRALRS_BENCH_SPEC_ROUNDS", "16"))
     try:
         from mistralrs_tpu.pipeline.speculative import PromptLookupPipeline
 

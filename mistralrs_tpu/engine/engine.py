@@ -471,7 +471,10 @@ class Engine:
         if self.is_speculative:
             greedy = all(self._greedy_ok(s) for s in seqs)
             R = self.spec_rounds
+            gate = getattr(self.pipeline, "spec_multi_ok", None)
             if (greedy and R > 1
+                    and hasattr(self.pipeline, "run_spec_multi")
+                    and (gate is None or gate(seqs))
                     and all(self._multi_ok(s, R * (self.pipeline.gamma + 1))
                             for s in seqs)):
                 self._decode_spec_multi(seqs)
@@ -614,8 +617,10 @@ class Engine:
 
         g = self.pipeline.gamma
         Wv = g + 1
-        pack = self.pipeline.run_spec_multi(seqs)  # [R, n, 2*Wv+2]
+        pack = self.pipeline.run_spec_multi(seqs)  # [R, n, 2*Wv+2(+1)]
         R = pack.shape[0]
+        # model-draft loops append a draft_kv column (absolute); PLD has none
+        has_dkv = pack.shape[2] > 2 * Wv + 2
         for i, seq in enumerate(seqs):
             consumed = 0
             for r in range(R):
@@ -624,6 +629,8 @@ class Engine:
                 count = int(pack[r, i, 2 * Wv])
                 seq.spec_proposed += int(pack[r, i, 2 * Wv + 1])
                 seq.spec_accepted += count - 1
+                if has_dkv:
+                    seq.draft_kv_len = int(pack[r, i, 2 * Wv + 2])
                 for t in range(count):
                     if seq.is_finished():
                         break
@@ -632,6 +639,11 @@ class Engine:
                     self._postprocess_token(seq, lp)
                     consumed += 1
             seq.kv_len += consumed
+            if has_dkv:
+                # a stop-condition truncation leaves draft_kv ahead of the
+                # tokens actually kept; clamp so the invariant dkv <= len-1
+                # holds (the seq is finished in that case anyway)
+                seq.draft_kv_len = min(seq.draft_kv_len, len(seq.tokens) - 1)
 
     def _emit_greedy(self, seqs: list[Sequence], pack: np.ndarray) -> None:
         from mistralrs_tpu.engine.sampler import Logprobs

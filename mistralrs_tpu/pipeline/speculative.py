@@ -46,7 +46,8 @@ class SpeculativePipeline:
 
     is_speculative = True
 
-    def __init__(self, target: TextPipeline, draft: TextPipeline, gamma: int = 4):
+    def __init__(self, target: TextPipeline, draft: TextPipeline, gamma: int = 4,
+                 spec_rounds: int = 1):
         tp, dp = target.pc, draft.pc
         assert tp.page_size == dp.page_size, "draft/target page size must match"
         assert tp.num_pages == dp.num_pages, "draft/target page count must match"
@@ -58,6 +59,11 @@ class SpeculativePipeline:
         self.target = target
         self.draft = draft
         self.gamma = gamma
+        # spec_rounds > 1: greedy rounds run the ON-DEVICE loop
+        # (run_spec_multi — draft steps + verify + acceptance inside one
+        # jitted scan); 1 = host-driven speculative_step only.
+        self.spec_rounds = spec_rounds
+        self._spec_multi_fn = None
         self.pc = tp
         self.cfg = target.cfg
         self.max_pages_per_seq = target.max_pages_per_seq
@@ -106,6 +112,153 @@ class SpeculativePipeline:
         if seq.sampling.max_len is not None:
             cap = min(cap, seq.sampling.max_len - seq.num_generated - 1)
         return max(0, cap)
+
+    # --------------------------------------------- on-device greedy loop
+    def spec_multi_ok(self, seqs: list[Sequence]) -> bool:
+        """Device-loop eligibility: the in-scan draft catch-up feeds a
+        static width of 2, which covers the steady-state gap (1 or 2);
+        wider gaps (fresh preemption-recompute edge cases) take the host
+        path this step and re-qualify next step."""
+        return all(s.draft_kv_len >= len(s.tokens) - 2 for s in seqs)
+
+    def _build_spec_multi_fn(self):
+        """Model-draft analogue of PromptLookupPipeline's device loop: each
+        round runs the gamma greedy draft steps (width-2 catch-up + gamma-1
+        single-token feeds on the DRAFT model/cache), the width-(gamma+1)
+        target verify, argmax-match acceptance and the counter rewinds —
+        all inside one lax.scan over `spec_rounds` rounds (zero per-round
+        host syncs; ref speculative.rs :309-617 runs this loop on the host).
+        Greedy-only; emitted tokens are identical to plain greedy decoding.
+        """
+        import jax
+        import jax.numpy as jnp
+
+        from mistralrs_tpu.models.decoder import compute_logits, decoder_forward
+        from mistralrs_tpu.ops.paged_attention import PagedAttnMeta
+
+        tp, dp = self.target, self.draft
+        ps = tp.pc.page_size
+        g = self.gamma
+        Wv = g + 1
+        R = self.spec_rounds
+        HCAP = 8  # device history: only the last <=2 tokens feed catch-up
+
+        def fwd(pipe, params, cache, ids, pos0, widths, block_tables, kvl_end,
+                active, pos_off):
+            """One forward of `widths` tokens starting at per-row pos0."""
+            W = ids.shape[1]
+            pos = pos0[:, None] + jnp.arange(W)[None]
+            page = jnp.take_along_axis(block_tables, pos // ps, axis=1)
+            slot = page * ps + pos % ps
+            meta = PagedAttnMeta(
+                positions=pos + pos_off[:, None],
+                slot_mapping=slot,
+                block_tables=block_tables,
+                kv_lens=kvl_end,
+                active=active,
+                head_major=pipe.head_major,
+            )
+            h, cache = decoder_forward(params, pipe.cfg, pipe.rope, ids,
+                                       cache, meta)
+            return compute_logits(params, pipe.cfg, h), cache
+
+        @functools.partial(jax.jit, donate_argnums=(1, 3))
+        def spec_multi(tparams, tcache, dparams, dcache, last2, kv_lens, dkv,
+                       block_tables, active, pos_off):
+            B = last2.shape[0]
+
+            def body(carry, _):
+                last2, kvl, dkv, tcache, dcache = carry
+                # last2 [B, 2]: tokens at positions L-2, L-1 (L = kvl + 1)
+                L = kvl + 1
+                gap = L - dkv  # 1 or 2
+                # ---- draft: catch-up feed (width 2) -> first proposal
+                ids0 = jnp.where((gap == 1)[:, None], last2[:, 1:2].repeat(2, 1),
+                                 last2)
+                lg, dcache = fwd(dp, dparams, dcache, ids0, dkv, 2,
+                                 block_tables, dkv + 2, active, pos_off)
+                props = [jnp.take_along_axis(
+                    jnp.argmax(lg, axis=-1).astype(jnp.int32),
+                    (gap - 1)[:, None], axis=1)[:, 0]]
+                # ---- draft: remaining gamma-1 single-token feeds
+                for k in range(1, g):
+                    lg, dcache = fwd(dp, dparams, dcache,
+                                     props[-1][:, None], L + (k - 1), 1,
+                                     block_tables, L + k, active, pos_off)
+                    props.append(jnp.argmax(lg[:, 0], axis=-1).astype(jnp.int32))
+                props = jnp.stack(props, axis=1)  # [B, g]
+                # ---- target verify (width gamma+1)
+                ids = jnp.concatenate([last2[:, 1:2], props], axis=1)
+                lt, tcache = fwd(tp, tparams, tcache, ids, kvl, Wv,
+                                 block_tables, kvl + Wv, active, pos_off)
+                toks = jnp.argmax(lt, axis=-1).astype(jnp.int32)  # [B, Wv]
+                vals = jnp.take_along_axis(lt, toks[..., None], axis=-1)[..., 0]
+                match = toks[:, :g] == props
+                acc = jnp.sum(jnp.cumprod(match.astype(jnp.int32), axis=1),
+                              axis=1)
+                count = acc + 1
+                # rewinds (ref :489-530 as counter arithmetic)
+                new_dkv = L + jnp.minimum(acc, g - 1)
+                new_kvl = kvl + count
+                # last two tokens of the new sequence
+                tprev = jnp.concatenate([last2[:, 1:2], toks], axis=1)
+                last2 = jnp.concatenate([
+                    jnp.take_along_axis(tprev, (count - 1)[:, None], axis=1),
+                    jnp.take_along_axis(toks, (count - 1)[:, None], axis=1),
+                ], axis=1)
+                return ((last2, new_kvl, new_dkv, tcache, dcache),
+                        (toks, vals, count, new_dkv))
+
+            (_, _, _, tcache, dcache), (toks, vals, counts, dkvs) = \
+                jax.lax.scan(body, (last2, kv_lens, dkv, tcache, dcache),
+                             None, length=R)
+            pack = jnp.concatenate(
+                [toks.astype(jnp.float32), vals,
+                 counts[..., None].astype(jnp.float32),
+                 jnp.broadcast_to(jnp.float32(g), counts[..., None].shape),
+                 dkvs[..., None].astype(jnp.float32)], axis=2)
+            return pack, tcache, dcache
+
+        return spec_multi
+
+    def run_spec_multi(self, seqs: list[Sequence]) -> np.ndarray:
+        """Device-loop rounds for the model draft: pack layout matches
+        PromptLookupPipeline's plus the trailing draft_kv column
+        ([R, n, 2*(gamma+1)+3]). kv_len/draft_kv_len advance on the host
+        as the engine consumes."""
+        if self._spec_multi_fn is None:
+            self._spec_multi_fn = self._build_spec_multi_fn()
+        import jax.numpy as jnp
+
+        tp = self.target
+        B = tp.pc.max_seqs
+        ps = tp.pc.page_size
+        R, g = self.spec_rounds, self.gamma
+        bases = [tp._window_base_pages(s.kv_len) for s in seqs]
+        width = tp._table_width(seqs, R * (g + 1), bases)
+        last2 = np.zeros((B, 2), np.int32)
+        kv_lens = np.zeros((B,), np.int32)
+        dkv = np.zeros((B,), np.int32)
+        pos_off = np.zeros((B,), np.int32)
+        tables = np.zeros((B, width), np.int32)
+        active = np.zeros((B,), np.float32)
+        for i, (s, base) in enumerate(zip(seqs, bases)):
+            last2[i] = (s.tokens[-2:] if len(s.tokens) >= 2
+                        else [s.tokens[-1], s.tokens[-1]])
+            kv_lens[i] = s.kv_len - base * ps
+            dkv[i] = s.draft_kv_len - base * ps
+            pos_off[i] = base * ps
+            tables[i] = tp._tables_row(s, width, base)
+            active[i] = 1.0
+        pack, tp.cache, self.draft.cache = self._spec_multi_fn(
+            tp.params, tp.cache, self.draft.params, self.draft.cache,
+            jnp.asarray(last2), jnp.asarray(kv_lens), jnp.asarray(dkv),
+            jnp.asarray(tables), jnp.asarray(active), jnp.asarray(pos_off))
+        out = np.array(np.asarray(pack, np.float32)[:, : len(seqs)])
+        # dkv came back window-relative; restore absolute per row
+        out[:, :, 2 * (g + 1) + 2] += np.asarray(
+            [b * ps for b in bases], np.float32)[None, : len(seqs)]
+        return out
 
     def speculative_step(
         self, seqs: list[Sequence], rng_for, greedy: bool
@@ -282,6 +435,9 @@ class PromptLookupPipeline(SpeculativePipeline):
 
     # the target's prefill fast paths survive intact (no draft shadowing)
     supports_batched_prefill = True
+
+    def spec_multi_ok(self, seqs: list[Sequence]) -> bool:
+        return True  # no draft cache to catch up
 
     def __init__(self, target: TextPipeline, gamma: int = 4,
                  ngram_max: int = 3, ngram_min: int = 1,

@@ -124,7 +124,11 @@ def main():
     from mistralrs_tpu.perplexity import perplexity_over_tokens
 
     ckpt = os.path.join(tempfile.gettempdir(), "ppl_distortion_ckpt")
-    held = _train_tiny(ckpt)
+    if os.path.exists(os.path.join(ckpt, "model.safetensors")):
+        held = _markov_stream(np.random.default_rng(1234), 2048)
+        print(f"(reusing trained checkpoint {ckpt})", flush=True)
+    else:
+        held = _train_tiny(ckpt)
 
     cfg, params, rope = load_hf_model(ckpt, dtype=jnp.float32)
     base = perplexity_over_tokens(cfg, params, rope, held, ctx=CTX, stride=STRIDE)
@@ -139,6 +143,20 @@ def main():
         print(f"{fmt:6s}: PPL {ppl:.4f}  d={ppl-base:+.4f} "
               f"({100*(ppl-base)/base:+.2f}%)  ({time.time()-t0:.0f}s)",
               flush=True)
+    # q6k -> rq8 requant (the r5 serving fast lane): distortion ON TOP of
+    # Q6_K must be negligible (~4x below Q6_K's own step)
+    from mistralrs_tpu.quant.fuse import requant_q6k_params
+
+    c6, p6, r6 = load_hf_model(ckpt, dtype=jnp.float32, isq="Q6_K")
+    for gs in (64, 32):
+        t0 = time.time()
+        ppl = perplexity_over_tokens(c6, requant_q6k_params(p6, gs=gs), r6,
+                                     held, ctx=CTX, stride=STRIDE)
+        rows.append((f"Q6K-rq8-{gs}", ppl))
+        print(f"Q6K-rq8-{gs}: PPL {ppl:.4f}  d={ppl-base:+.4f} "
+              f"({100*(ppl-base)/base:+.2f}%)  ({time.time()-t0:.0f}s)",
+              flush=True)
+
     t0 = time.time()
     gp = _to_gptq(params, bits=4, group=32)
     ppl = perplexity_over_tokens(cfg, gp, rope, held, ctx=CTX, stride=STRIDE)

@@ -50,14 +50,15 @@ def models():
     return tcfg, tparams, tmodel, dcfg, dparams
 
 
-def _spec_engine(models, gamma, same_draft=False):
+def _spec_engine(models, gamma, same_draft=False, **kw):
     tcfg, tparams, tmodel, dcfg, dparams = models
     target = _pipe(tcfg, tparams)
     if same_draft:
         draft = _pipe(tcfg, tparams)
     else:
         draft = _pipe(dcfg, dparams)
-    return Engine(SpeculativePipeline(target, draft, gamma=gamma), eos_token_ids=set())
+    return Engine(SpeculativePipeline(target, draft, gamma=gamma, **kw),
+                  eos_token_ids=set())
 
 
 def _plain_engine(models):
@@ -304,6 +305,38 @@ def test_prompt_lookup_with_ragged_backend(models):
                     eos_token_ids=set()).generate(
         prompt, SamplingParams(max_len=16))
     assert got == want
+
+
+@pytest.mark.parametrize("gamma", [1, 2, 4])
+def test_model_draft_device_loop_matches_plain(models, gamma):
+    """The on-device MODEL-DRAFT spec loop (SpeculativePipeline with
+    spec_rounds > 1): draft catch-up/steps + verify + rewinds inside one
+    scan must emit exactly the plain greedy stream, with an imperfect
+    draft."""
+    rng = np.random.default_rng(5)
+    prompt = rng.integers(3, 120, size=11).tolist()
+    want, _ = _plain_engine(models).generate(prompt, SamplingParams(max_len=16))
+    eng = _spec_engine(models, gamma, spec_rounds=3)
+    got, _ = eng.generate(prompt, SamplingParams(max_len=16))
+    assert got == want
+
+
+def test_model_draft_device_loop_perfect_draft_accepts_all(models):
+    """Same-weights draft through the device loop: every proposal must be
+    accepted and the draft_kv bookkeeping stays consistent over rounds."""
+    eng = _spec_engine(models, 3, same_draft=True, spec_rounds=4)
+    rng = np.random.default_rng(6)
+    prompt = rng.integers(3, 120, size=9).tolist()
+    want, _ = _plain_engine(models).generate(prompt, SamplingParams(max_len=20))
+    group = eng.add_request(
+        GenerationRequest(list(prompt), SamplingParams(max_len=20)))
+    while not group.all_done():
+        eng.step()
+    s = group.seqs[0]
+    assert s.generated_tokens == want
+    assert s.spec_proposed > 0
+    assert s.spec_accepted == s.spec_proposed
+    assert s.draft_kv_len <= len(s.tokens) - 1
 
 
 def test_prompt_lookup_concurrent_batched_prefill(models):
