@@ -463,14 +463,15 @@ def _run():
     del eng32
     pp512 = pp2048 = None
     try:
-        # buckets (512, 1024): the engine's max chunk = last bucket. 512
-        # chunks re-paid the weight dequant 4x per 2048-prompt (4081 vs
-        # 7085 tok/s, 13:11 UTC); a single 2048 chunk OOMed — the fused
-        # gateup activation [16*2048, 28672] bf16 is a 1.75 GB transient
-        # (13:33 UTC). 1024 halves the transient and pays dequant 2x.
+        # buckets (512, 2048): one chunk per 2048-prompt — the packed
+        # weights stream/dequant ONCE per prefill (r4's 1024 buckets paid
+        # it 2x: pp2048 5538 vs pp512 7074). The single-chunk OOM that
+        # forced 1024 (gateup [32768, 28672] bf16 = 1.75 GB transient,
+        # 13:33 UTC) is fixed by the row-split MLP (decoder._mlp_split_rows).
+        ppb = int(os.environ.get("MISTRALRS_BENCH_PP_BUCKET", "2048"))
         pcpp = dataclasses.replace(
             pc, max_seqs=batch, max_model_len=2176,
-            prefill_buckets=(512, 1024), num_pages=16 * (2176 // 16) + 16)
+            prefill_buckets=(512, ppb), num_pages=16 * (2176 // 16) + 16)
         engpp = Engine(TextPipeline(cfg, params, rope, pcpp),
                        eos_token_ids=set(), prefix_cache=False)
         # free the original unfused q/k/gate/up stacks (~2.9 GB) + host

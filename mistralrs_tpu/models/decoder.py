@@ -204,7 +204,36 @@ def _norm(cfg: ModelConfig, p: dict[str, jax.Array], x: jax.Array) -> jax.Array:
     return L.rms_norm(x, p["w"], cfg.norm_eps, offset=cfg.norm_offset)
 
 
+def _mlp_split_rows() -> int:
+    """Row threshold above which the MLP processes the token axis in
+    sequential slices (r5, VERDICT r4 #5): the fused gateup activation at a
+    batch-16 x 2048-token prefill chunk is a [32768, 28672] bf16 = 1.75 GB
+    transient that OOMed the 16 GB v5e (PERF.md 13:33 UTC) and forced 1024
+    chunks — which re-pay the per-chunk weight dequant. Slicing rows
+    halves/quarters the transient while XLA CSEs the weight dequant across
+    the slice calls (same Linear data), so one 2048-token chunk streams
+    packed bytes ONCE per prefill. 0 disables."""
+    import os
+
+    return int(os.environ.get("MISTRALRS_MLP_SPLIT_ROWS", "16384"))
+
+
 def _mlp(cfg: ModelConfig, p: dict[str, Any], x: jax.Array, lora_sc=None) -> jax.Array:
+    thr = _mlp_split_rows()
+    lead = x.shape[:-1]
+    n_rows = 1
+    for d in lead:
+        n_rows *= d
+    if thr and n_rows > thr and not cfg.is_moe:
+        x2 = x.reshape(n_rows, x.shape[-1])
+        n_sl = -(-n_rows // thr)
+        step = -(-n_rows // n_sl)
+        outs = [
+            _mlp(cfg, p, jax.lax.slice_in_dim(
+                x2, i * step, min((i + 1) * step, n_rows), axis=0), lora_sc)
+            for i in range(n_sl)
+        ]
+        return jnp.concatenate(outs, axis=0).reshape(*lead, -1)
     act = L.ACTIVATIONS[cfg.act]
     if "gateup" in p:  # fused gate/up projection (quant/fuse.py)
         gu = linear(p["gateup"], x, lora_sc)

@@ -71,7 +71,10 @@ def _craft_seqs(pipe, ctx):
     return seqs
 
 
-def _rate(ctx, window=None, kv_quant=False) -> float:
+def _rate(ctx, window=None, kv_quant=False, b=None) -> float:
+    global B
+    if b is not None:
+        B = b
     pipe = _mk_pipe(ctx, window, kv_quant)
     seqs = _craft_seqs(pipe, ctx)
     times = []
@@ -101,33 +104,32 @@ def main():
                       os.environ.get("MISTRALRS_CACHE_DIR",
                                      "/tmp/mistralrs_xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    for ctx in (16384, 32768):
-        arms = [
-            ("full bf16-KV ", dict()),
-            ("full int8-KV ", dict(kv_quant=True)),
-            ("win4096 bf16 ", dict(window=4096)),
-        ]
-        base = None
-        for name, kw in arms:
-            try:
-                r = _rate(ctx, **kw)
-                rel = "" if base is None else f"  [{r / base:.2f}x]"
-                base = base or r
-                print(f"ctx={ctx:6d} {name}: {r:7.1f} tok/s (B={B}){rel}",
-                      flush=True)
-            except Exception as e:
-                print(f"ctx={ctx:6d} {name}: FAIL {str(e)[:140]}", flush=True)
-        # the Pallas block-table decode kernel route at full span
-        os.environ["MISTRALRS_PAGED_DECODE"] = "1"
-        try:
-            r = _rate(ctx)
-            rel = "" if base is None else f"  [{r / base:.2f}x]"
-            print(f"ctx={ctx:6d} paged-kernel : {r:7.1f} tok/s (B={B}){rel}",
-                  flush=True)
-        except Exception as e:
-            print(f"ctx={ctx:6d} paged-kernel : FAIL {str(e)[:140]}", flush=True)
-        finally:
-            os.environ.pop("MISTRALRS_PAGED_DECODE", None)
+    # r5: paired windows — every arm runs in TWO interleaved passes and
+    # reports per-pass numbers, so window-to-window drift (the r4 16k A/B
+    # landed inside it) is visible instead of silently folded in. 32k bf16
+    # now compiles via the split KV pool (auto gate, pipeline/text.py);
+    # 65536 gives the first >=64k point on the 128k claim (bf16 at B=4 for
+    # HBM, int8 at B=8).
+    spans = [
+        (16384, [("full bf16-KV ", dict()),
+                 ("full int8-KV ", dict(kv_quant=True)),
+                 ("win4096 bf16 ", dict(window=4096))]),
+        (32768, [("full bf16-KV ", dict()),
+                 ("full int8-KV ", dict(kv_quant=True)),
+                 ("win4096 bf16 ", dict(window=4096))]),
+        (65536, [("full bf16 B=4", dict(b=4)),
+                 ("full int8 B=8", dict(kv_quant=True, b=8))]),
+    ]
+    for ctx, arms in spans:
+        for pazz in (1, 2):
+            for name, kw in arms:
+                try:
+                    r = _rate(ctx, **kw)
+                    print(f"ctx={ctx:6d} {name} pass{pazz}: {r:7.1f} tok/s",
+                          flush=True)
+                except Exception as e:
+                    print(f"ctx={ctx:6d} {name} pass{pazz}: "
+                          f"FAIL {str(e)[:140]}", flush=True)
 
 
 if __name__ == "__main__":

@@ -287,3 +287,35 @@ def test_grouped_moe_gmm_backend_matches_dense(monkeypatch):
     monkeypatch.setenv("MISTRALRS_MOE_BACKEND", "gmm")
     got = np.asarray(_moe_mlp_grouped(cfg, p, x))
     np.testing.assert_allclose(got, want, rtol=2e-5, atol=2e-5)
+
+
+def test_mlp_row_split_matches_unsplit(monkeypatch):
+    """The row-split MLP (decoder._mlp_split_rows; dequant-once prefill
+    enabler) is a pure scheduling change — outputs must match bitwise-close
+    with the same weights."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from mistralrs_tpu.models.config import ModelConfig
+    from mistralrs_tpu.models.decoder import _mlp
+    from mistralrs_tpu.quant.qlinear import make_dense
+
+    cfg = ModelConfig(arch="llama", vocab_size=64, hidden_size=32,
+                      intermediate_size=64, num_layers=1, num_heads=4,
+                      num_kv_heads=4, head_dim=8,
+                      max_position_embeddings=64)
+    rng = np.random.default_rng(0)
+    p = {
+        "gate": make_dense(jnp.asarray(rng.standard_normal((32, 64)) * 0.1,
+                                       jnp.float32)),
+        "up": make_dense(jnp.asarray(rng.standard_normal((32, 64)) * 0.1,
+                                     jnp.float32)),
+        "down": make_dense(jnp.asarray(rng.standard_normal((64, 32)) * 0.1,
+                                       jnp.float32)),
+    }
+    x = jnp.asarray(rng.standard_normal((2, 48, 32)) * 0.5, jnp.float32)
+    monkeypatch.setenv("MISTRALRS_MLP_SPLIT_ROWS", "0")
+    want = np.asarray(_mlp(cfg, p, x))
+    monkeypatch.setenv("MISTRALRS_MLP_SPLIT_ROWS", "40")  # 96 rows -> 3 slices
+    got = np.asarray(_mlp(cfg, p, x))
+    np.testing.assert_allclose(got, want, rtol=2e-6, atol=2e-6)
