@@ -354,6 +354,12 @@ def _run():
     # 18:50) is measured against; the 64-token arm above carries ~13% of
     # rep-structure + dispatch fog on this host
     steady, _ = _measure(eng1, prompt, n_requests=1, max_len=256, reps=2)
+    _PARTIAL.update({
+        "single_stream_tok_s": round(single, 2),
+        "single_stream_vs_baseline": round(single / baseline0, 3),
+        "single_stream_steady_tok_s": round(steady, 2),
+        "single_stream_steady_vs_baseline": round(steady / baseline0, 3),
+    })
 
     # speculative decoding (VERDICT r4 #1): prompt-lookup draft over the
     # SAME target pipeline + KV pool (no second model, no extra HBM), with
@@ -385,6 +391,12 @@ def _run():
                 accs += s.spec_accepted
         spec = sorted(rates)[len(rates) // 2]
         spec_acc = accs / props if props else 0.0
+        _PARTIAL.update({
+            "single_stream_spec_tok_s": round(spec, 2),
+            "single_stream_spec_vs_baseline": round(spec / baseline0, 3),
+            "spec_acceptance": round(spec_acc, 3),
+            "spec_gamma": spec_gamma,
+        })
     except Exception as e:  # noqa: BLE001 — keep the scoreboard alive
         print(f"spec-measure failed: {type(e).__name__}: {e}", file=sys.stderr)
     eng1 = engs = pld = None  # free the single-stream pool before eng32

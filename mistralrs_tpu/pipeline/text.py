@@ -158,10 +158,19 @@ class TextPipeline:
         import os as _os2
 
         # q6k -> int8-per-gs requant fast lane (quant/fuse.requant_q6k_params;
-        # VERDICT r4 #2 — Q6_K at 343 GB/s vs Q4_K's 460 is the slow lane of
-        # Q4_K_M serving). Env MISTRALRS_Q6K_RQ8: "64"/"32" = group size,
-        # "1" = 64, "0"/unset = off pending the on-chip A/B (scripts/rq8_ab).
-        _rq = _os2.environ.get("MISTRALRS_Q6K_RQ8", "0")
+        # VERDICT r4 #2 — Q6_K was the slow lane of Q4_K_M serving). The r5
+        # on-chip A/B (scripts/rq8_ab, 23:05 UTC, same-window medians):
+        # ffn-down GEMV 0.211 vs 0.259 ms (1.23x), lm_head 0.276 vs 0.311
+        # (1.13x) — the +28% packed bytes are cheaper than the two-plane
+        # unpack + 16-deep dots they replace. Quality-neutral: +0.0003 PPL
+        # on top of Q6_K (PARITY.md distortion table). Default: auto-ON for
+        # TPU at gs=32 (wire-Q8_0-compatible layout); "0" reverts, "64"
+        # selects the larger group.
+        import jax as _jax
+
+        _rq = _os2.environ.get("MISTRALRS_Q6K_RQ8", "auto")
+        if _rq == "auto":
+            _rq = "32" if _jax.default_backend() == "tpu" else "0"
         if _rq not in ("", "0"):
             from mistralrs_tpu.quant.fuse import requant_q6k_params
 
