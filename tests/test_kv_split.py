@@ -51,7 +51,7 @@ def _generate(cfg, params, split, kv_quant=False, bytes_limit=None):
 
 def test_split_engine_tokens_match():
     cfg, params = _model()
-    want, _ = _generate(cfg, params, None)
+    want, _ = _generate(cfg, params, "0")  # pinned OFF (split defaults ON)
     got, pipe = _generate(cfg, params, "1")
     assert pipe.cache.is_split
     assert tuple(pipe.cache.splits) == tuple(pipe.params.group_sizes)
@@ -60,7 +60,7 @@ def test_split_engine_tokens_match():
 
 def test_split_engine_tokens_match_int8_kv():
     cfg, params = _model()
-    want, _ = _generate(cfg, params, None, kv_quant=True)
+    want, _ = _generate(cfg, params, "0", kv_quant=True)
     got, pipe = _generate(cfg, params, "1", kv_quant=True)
     assert pipe.cache.is_split and pipe.cache.quantized
     assert got == want
@@ -70,7 +70,7 @@ def test_auto_split_subdivides_oversized_groups():
     """A tiny bytes limit forces the auto gate AND sub-group splitting of
     the largest scan groups; output must still be identical."""
     cfg, params = _model()
-    want, _ = _generate(cfg, params, None)
+    want, _ = _generate(cfg, params, "0")
     got, pipe = _generate(cfg, params, "auto", bytes_limit=1)
     assert pipe.cache.is_split
     assert max(pipe.params.group_sizes) == 1  # every group subdivided
@@ -132,3 +132,27 @@ def test_split_with_re_isq_resplits():
     prompt = np.random.default_rng(5).integers(3, 250, size=9).tolist()
     toks, _ = eng.generate(prompt, SamplingParams(max_len=6))
     assert len(toks) == 6
+
+
+def test_split_composes_with_superscan():
+    """Split pool + superscan list-groups: per-super-group parts feed
+    super_scan directly; tokens identical to the unsplit engine."""
+    cfg, params = _model()
+    want, _ = _generate(cfg, params, "0")
+    os.environ["MISTRALRS_SUPERSCAN"] = "1"
+    try:
+        got, pipe = _generate(cfg, params, "1")
+    finally:
+        os.environ.pop("MISTRALRS_SUPERSCAN", None)
+    assert pipe.cache.is_split
+    assert any(isinstance(g, list) for g in pipe.params.layer_groups)
+    assert got == want
+
+
+def test_split_default_on():
+    """r5: split is the serving default (no env) — and still token-exact."""
+    cfg, params = _model()
+    want, _ = _generate(cfg, params, "0")
+    got, pipe = _generate(cfg, params, None)
+    assert pipe.cache.is_split
+    assert got == want
