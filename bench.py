@@ -401,6 +401,70 @@ def _run():
         print(f"spec-measure failed: {type(e).__name__}: {e}", file=sys.stderr)
     eng1 = engs = pld = None  # free the single-stream pool before eng32
 
+    # model-draft speculative arm (BASELINE config 5's shape): draft = the
+    # first 8 layers of the target (per-layer arrays SHARED — no extra
+    # weight HBM; own KV pool), on-device loop (speculative.run_spec_multi).
+    # r5 on-chip: 137.4 tok/s at gamma=4 (scripts/spec_model_ab) — above
+    # the A100's 131 plain-decode baseline. Acceptance measured & reported;
+    # on this synthetic substrate the shared embed/lm_head keep it ~1.0.
+    mspec = mspec_acc = None
+    try:
+        import dataclasses as _dc
+
+        from mistralrs_tpu.pipeline.speculative import SpeculativePipeline
+        from mistralrs_tpu.quant.qlinear import Linear as _Lin
+
+        def _prefix(params_, n):
+            import jax as _jax
+
+            is_lin = lambda x: isinstance(x, _Lin)  # noqa: E731
+            gs_, sz_ = [], []
+            off = 0
+            for g, size in zip(params_.layer_groups, params_.group_sizes):
+                if off >= n:
+                    break
+                take = min(size, n - off)
+
+                def cut(x, take=take):
+                    if is_lin(x):
+                        return _Lin(kind=x.kind, shape=x.shape,
+                                    data={k: v[:take]
+                                          for k, v in x.data.items()},
+                                    meta=x.meta)
+                    return x[:take]
+
+                gs_.append(_jax.tree.map(cut, g, is_leaf=is_lin)
+                           if take < size else g)
+                sz_.append(take)
+                off += size
+            return _dc.replace(params_, layer_groups=gs_,
+                               group_sizes=tuple(sz_))
+
+        dcfg = _dc.replace(cfg, num_layers=8)
+        mpipe = SpeculativePipeline(
+            TextPipeline(cfg, params, rope, pc1),
+            TextPipeline(dcfg, _prefix(params, 8), rope, pc1),
+            gamma=4, spec_rounds=13)
+        engm = Engine(mpipe, eos_token_ids=set(), prefix_cache=False)
+        engm.generate(prompt, SamplingParams(max_len=8))  # compile
+        rates, props, accs = [], 0, 0
+        for _ in range(3):
+            gs = [engm.add_request(GenerationRequest(
+                list(prompt), SamplingParams(max_len=64)))]
+            rates.append(_decode_rate(engm, gs))
+            for s in gs[0].seqs:
+                props += s.spec_proposed
+                accs += s.spec_accepted
+        mspec = sorted(rates)[len(rates) // 2]
+        mspec_acc = accs / props if props else 0.0
+        _PARTIAL.update({
+            "single_stream_spec_mdraft_tok_s": round(mspec, 2),
+            "spec_mdraft_acceptance": round(mspec_acc, 3),
+        })
+    except Exception as e:  # noqa: BLE001
+        print(f"mdraft-spec failed: {type(e).__name__}: {e}", file=sys.stderr)
+    engm = mpipe = None
+
     # throughput-optimal batch (r4 post-single-fetch sweep: 48 = 814.9
     # tok/s vs 32 = 793.4 and 64 = 707.7, scripts/batch_sweep.py; max_len
     # 48 = 3 exact ds=16 dispatches): a second engine over the same params.
@@ -460,6 +524,10 @@ def _run():
             None if spec is None else round(spec / baseline, 3)),
         "spec_acceptance": None if spec_acc is None else round(spec_acc, 3),
         "spec_gamma": spec_gamma,
+        "single_stream_spec_mdraft_tok_s": (
+            None if mspec is None else round(mspec, 2)),
+        "spec_mdraft_acceptance": (
+            None if mspec_acc is None else round(mspec_acc, 3)),
         **sla_fields,
         "p50_ttft_ms_batch16": round(ttft_p50 * 1000, 1),
         "pp_tok_s_512_batch16": None,
@@ -552,6 +620,10 @@ def _run():
             None if spec is None else round(spec / baseline, 3)),
         "spec_acceptance": None if spec_acc is None else round(spec_acc, 3),
         "spec_gamma": spec_gamma,
+        "single_stream_spec_mdraft_tok_s": (
+            None if mspec is None else round(mspec, 2)),
+        "spec_mdraft_acceptance": (
+            None if mspec_acc is None else round(mspec_acc, 3)),
         **sla_fields,
         "p50_ttft_ms_batch16": round(ttft_p50 * 1000, 1),
         "pp_tok_s_512_batch16": None if pp512 is None else round(pp512, 1),
