@@ -42,15 +42,17 @@ def _emit_error(stage: str, detail: str) -> None:
     sys.stdout.flush()
 
 
-def _probe_tpu(timeout_s: int = 240) -> bool:
+def _probe_tpu(timeout_s: int | None = None) -> bool:
     """The axon tunnel can stall for hours (observed r1): backend init or a
     tiny matmul never returns. Probe in a SUBPROCESS with a hard timeout so
     the stall cannot take the bench process with it.
 
-    240s: a cold jax import + backend init + first compile took >90s twice
-    on this 1-core host in r3 even with the tunnel healthy (the next queue
-    section ran fine seconds later) — a too-tight probe erases the
-    scoreboard for nothing."""
+    300s (r5, was 240): cold jax init + first matmul measured 196s and
+    238s on HEALTHY windows this round — a too-tight probe erases the
+    scoreboard for nothing (one bench run died at exactly 240 on
+    2026-08-21 00:0x). MISTRALRS_PROBE_TIMEOUT overrides."""
+    if timeout_s is None:
+        timeout_s = int(os.environ.get("MISTRALRS_PROBE_TIMEOUT", "300"))
     code = (
         "import jax, numpy as np\n"
         "x = jax.numpy.ones((8, 8), jax.numpy.bfloat16)\n"
