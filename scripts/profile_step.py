@@ -36,7 +36,8 @@ def main():
     from mistralrs_tpu.models.loader import make_rope
     from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
 
-    batch = 32 if "--batch32" in sys.argv else 1
+    batch = int(os.environ.get("MISTRALRS_PROFILE_BATCH",
+                               "32" if "--batch32" in sys.argv else "1"))
     cfg, params = driver_bench._build_7b_q4km(jnp.bfloat16)
     ds = int(os.environ.get("MISTRALRS_PROFILE_DS", "16"))
     pc = PipelineConfig(page_size=16, num_pages=64 + batch * 12,
