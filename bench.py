@@ -384,7 +384,7 @@ def _run():
         engs = Engine(pld, eos_token_ids=set(), prefix_cache=False)
         engs.generate(prompt, SamplingParams(max_len=8))  # compile
         rates, props, accs = [], 0, 0
-        for _ in range(3):
+        for _ in range(2):  # 2 reps: budget (median-of-2 = min drift guard)
             gs = [engs.add_request(GenerationRequest(
                 list(prompt), SamplingParams(max_len=64)))]
             rates.append(_decode_rate(engs, gs))
@@ -450,7 +450,7 @@ def _run():
         engm = Engine(mpipe, eos_token_ids=set(), prefix_cache=False)
         engm.generate(prompt, SamplingParams(max_len=8))  # compile
         rates, props, accs = [], 0, 0
-        for _ in range(3):
+        for _ in range(2):
             gs = [engm.add_request(GenerationRequest(
                 list(prompt), SamplingParams(max_len=64)))]
             rates.append(_decode_rate(engm, gs))
