@@ -17,8 +17,12 @@ pc = PipelineConfig()
 cfg, params, rope = load_hf_model(target_dir)
 dcfg, dparams, drope, _ = load_gguf_model([draft_gguf])
 tok = TokenizerWrapper.from_hf_dir(target_dir)
+# spec_rounds > 1: greedy rounds run the ON-DEVICE loop (draft steps +
+# verify + acceptance inside one jitted scan; docs/SPECULATIVE.md) — the
+# r5 single-stream numbers (137 tok/s vs 59 plain on v5e) come from it
 pipe = SpeculativePipeline(TextPipeline(cfg, params, rope, pc),
-                           TextPipeline(dcfg, dparams, drope, pc), gamma=4)
+                           TextPipeline(dcfg, dparams, drope, pc), gamma=4,
+                           spec_rounds=13)
 eng = Engine(pipe, eos_token_ids=tok.eos_token_ids, detokenizer=tok.detokenizer())
 runner = Runner.from_engine(eng, tok)
 print(runner.send_completion_request("Once upon a time",
