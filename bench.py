@@ -264,7 +264,10 @@ def _measure(eng, prompt, *, n_requests, max_len, reps):
 
 
 def main():
-    if not _probe_tpu():
+    # MISTRALRS_SKIP_PROBE=1: an external watcher just proved the tunnel
+    # healthy — don't pay (and race) a second 5-min probe; the watchdog
+    # still bounds a mid-run stall
+    if os.environ.get("MISTRALRS_SKIP_PROBE") != "1" and not _probe_tpu():
         return
     _install_watchdog()
     try:
