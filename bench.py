@@ -76,13 +76,19 @@ def _probe_tpu(timeout_s: int | None = None) -> bool:
 _PARTIAL: dict = {}
 
 
-def _install_watchdog(budget_s: int = 540) -> None:
+def _install_watchdog(budget_s: int | None = None) -> None:
     """If the tunnel dies MID-bench, SIGALRM turns the hang into a JSON line
     (driver budget is ~10 min; probe already spent up to 90s). If the
     decode metrics were already measured (the pp section compiles fresh
     512-token prefill variants and can outlive the budget on a cold
     cache), emit THOSE instead of an error — a partial scoreboard beats
     none (r4)."""
+
+    if budget_s is None:
+        # MISTRALRS_BENCH_BUDGET: warm-up/watcher runs use a longer leash
+        # (completing every section caches every compiled variant, so the
+        # driver's 540s run then reuses them); the driver default stays 540
+        budget_s = int(os.environ.get("MISTRALRS_BENCH_BUDGET", "540"))
 
     def _on_alarm(signum, frame):
         if _PARTIAL.get("value") is not None:
