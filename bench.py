@@ -299,6 +299,18 @@ def _run():
     from mistralrs_tpu.pipeline.text import PipelineConfig, TextPipeline
 
     cfg, params = _build_7b_q4km(jnp.bfloat16)
+    # Pre-apply the weight transforms ONCE and rebind: the raw q/k/gate/up
+    # stacks (~2.2 GB) and pre-rq8 q6k arrays (~1.5 GB) then free when the
+    # memo's weakref finalizers fire — the engines' in-pipeline transforms
+    # see already-fused/requanted params and no-op. Without this, raw +
+    # fused + rq8 + superscan copies coexist and a 16 GB v5e OOMs
+    # (RESOURCE_EXHAUSTED, attempt-6 2026-08-21 01:58 UTC).
+    from mistralrs_tpu.quant.fuse import fuse_decoder_params, requant_q6k_params
+
+    params = fuse_decoder_params(params)
+    if (os.environ.get("MISTRALRS_Q6K_RQ8", "auto") == "auto"
+            and jax.default_backend() == "tpu"):
+        params = requant_q6k_params(params, gs=32)
     rope = make_rope(cfg, 2048)
     batch = 16  # reference default --max-seqs (main.rs:66-68)
     # r4 A/B knobs: decode_steps (dispatch amortization — the 3.44 ms step
