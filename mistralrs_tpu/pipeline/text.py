@@ -177,11 +177,13 @@ class TextPipeline:
             params = requant_q6k_params(params, gs=32 if _rq == "32" else 64)
 
         _ss_env = _os2.environ.get("MISTRALRS_SUPERSCAN")
-        # default "auto": ON for batched engines only — the r4 paired
-        # on-chip A/Bs (superscan_ab with stacked-kernel binding) measured
-        # +2.9% at batch 32 (729.6 vs 709.3 tok/s), +1% at batch 16, but
-        # -4% single-stream (53.5 vs 55.7); env "1"/"0" forces
-        if _ss_env == "1" or (_ss_env is None and pc.max_seqs >= 16):
+        # default OFF since r5: under the split-pool + rq8 defaults the r4
+        # auto-on-for-batched rule INVERTED — batch-48 measured 1099.3
+        # tok/s with superscan off vs 833.8 on (scripts/batch_sweep pair,
+        # 02:07-02:30 UTC; the b32 trace shows the super-group's weight xs
+        # slices at 31-42 ms/aggregate). The r4 +2.9% b32 gain predates
+        # both defaults. MISTRALRS_SUPERSCAN=1 forces ON.
+        if _ss_env == "1":
             from mistralrs_tpu.models.superscan import superscan_decoder_params
 
             params = superscan_decoder_params(params)
