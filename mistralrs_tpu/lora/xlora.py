@@ -146,6 +146,7 @@ class XLoraPipeline(TextPipeline):
 
     supports_multistep = False  # dual-pass step fn; multi-token loop n/a
     supports_topk_pack = False  # custom step fn without the top-K outputs
+    supports_spec_device_loop = False  # spec loop bypasses the dual pass
 
     def __init__(self, cfg, params, rope, pc, classifier, xcfg: XLoraConfig,
                  n_adapters: int, mesh=None):

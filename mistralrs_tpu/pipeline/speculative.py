@@ -115,11 +115,14 @@ class SpeculativePipeline:
 
     # --------------------------------------------- on-device greedy loop
     def spec_multi_ok(self, seqs: list[Sequence]) -> bool:
-        """Device-loop eligibility: the in-scan draft catch-up feeds a
-        static width of 2, which covers the steady-state gap (1 or 2);
-        wider gaps (fresh preemption-recompute edge cases) take the host
-        path this step and re-qualify next step."""
-        return all(s.draft_kv_len >= len(s.tokens) - 2 for s in seqs)
+        """Device-loop eligibility: both models must be plain-forward
+        pipelines (X-LoRA's dual pass opts out), and the in-scan draft
+        catch-up feeds a static width of 2, which covers the steady-state
+        gap (1 or 2); wider gaps (fresh preemption-recompute edge cases)
+        take the host path this step and re-qualify next step."""
+        return (getattr(self.target, "supports_spec_device_loop", False)
+                and getattr(self.draft, "supports_spec_device_loop", False)
+                and all(s.draft_kv_len >= len(s.tokens) - 2 for s in seqs))
 
     def _build_spec_multi_fn(self):
         """Model-draft analogue of PromptLookupPipeline's device loop: each
@@ -437,7 +440,8 @@ class PromptLookupPipeline(SpeculativePipeline):
     supports_batched_prefill = True
 
     def spec_multi_ok(self, seqs: list[Sequence]) -> bool:
-        return True  # no draft cache to catch up
+        # no draft cache to catch up; target must be a plain-forward pipeline
+        return getattr(self.target, "supports_spec_device_loop", False)
 
     def __init__(self, target: TextPipeline, gamma: int = 4,
                  ngram_max: int = 3, ngram_min: int = 1,

@@ -84,6 +84,10 @@ class TextPipeline:
 
     supports_multistep = True  # greedy on-device multi-token decode
     supports_topk_pack = True  # device top-K sampled-decode fast path
+    # the on-device speculative loop (pipeline/speculative.py) calls
+    # decoder_forward directly; subclasses with custom forward state
+    # (X-LoRA dual pass) must opt out so the host spec path serves them
+    supports_spec_device_loop = True
     # batched chunked prefill (run_prefill_chunks); subclasses with
     # per-sequence prefill state (vision embeds, X-LoRA dual pass) opt out
     supports_batched_prefill = True
