@@ -490,7 +490,10 @@ def _attention(
             out = out * meta.active[:, None, None, None].astype(out.dtype)
             out = linear(p["o"], out.reshape(B, T, Hq * D), lora_sc)
             return out, cache_k, cache_v
-        if not kv_quant and not kv_combined and _use_blockwise_continuation(cfg, T, meta, span):
+        if not kv_combined and _use_blockwise_continuation(cfg, T, meta, span):
+            # int8 pools ride the same blockwise path (per-block dequant);
+            # this is the only long-span route that compiles at 64k int8
+            # (the one-shot gather's bf16 transient is ~1.1 GB there)
             from mistralrs_tpu.ops.paged_attention import blockwise_prefill_continuation
 
             out = blockwise_prefill_continuation(

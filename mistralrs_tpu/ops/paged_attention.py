@@ -467,8 +467,14 @@ def blockwise_prefill_continuation(
 
     B, T, Hq, D = q.shape
     hm = getattr(meta, "head_major", False)
-    page = cache_k.shape[2] if hm else cache_k.shape[1]
-    Hkv = cache_k.shape[0] if hm else cache_k.shape[2]
+    # int8 pools arrive as (payload, scale) tuples; each block's pages are
+    # gathered AND dequantized per kv_block, so the bf16 transient is
+    # O(kv_block) not O(span) — this is what lets 64k int8-KV compile
+    # (the one-shot gather's [B,Hkv,span,D] bf16 copy is ~1.1 GB there).
+    kv_quant = isinstance(cache_k, tuple)
+    pool_k = cache_k[0] if kv_quant else cache_k
+    page = pool_k.shape[2] if hm else pool_k.shape[1]
+    Hkv = pool_k.shape[0] if hm else pool_k.shape[2]
     G = Hq // Hkv
     MP = meta.block_tables.shape[1]
     ppb = max(kv_block // page, 1)
@@ -483,7 +489,11 @@ def blockwise_prefill_continuation(
 
     def body(carry, b):
         tb = jax.lax.dynamic_slice_in_dim(tables, b * ppb, ppb, axis=1)
-        k, v = gather_paged_kv(cache_k, cache_v, tb, head_major=hm)
+        if kv_quant:
+            k, v = gather_paged_kv_q(cache_k, cache_v, tb, head_major=hm,
+                                     dtype=q.dtype)
+        else:
+            k, v = gather_paged_kv(cache_k, cache_v, tb, head_major=hm)
         if hm:  # [Hkv, B, blk, D] -> [B, blk, Hkv, D]
             k = k.transpose(1, 2, 0, 3)
             v = v.transpose(1, 2, 0, 3)

@@ -226,6 +226,55 @@ def test_blockwise_continuation_matches_reference():
                                        err_msg=f"hm={hm} win={win} cap={cap}")
 
 
+def test_blockwise_continuation_int8_pools_match_dense():
+    """blockwise_prefill_continuation over (payload, scale) int8 pools ==
+    the dense reference over the fully-dequantized pool. This is the route
+    that makes 64k int8-KV decode compile (per-block dequant bounds the
+    bf16 transient to O(kv_block); the one-shot gather's is O(span))."""
+    from mistralrs_tpu.ops.paged_attention import (
+        blockwise_prefill_continuation,
+        paged_attention_reference,
+    )
+
+    B, T, Hq, Hkv, D, page = 2, 4, 4, 2, 16, 4
+    MP = 1088  # span 4352 > 4096 engages blockwise on the real path
+    rng = np.random.default_rng(11)
+    for hm in (False, True):
+        num_pages = 64
+        pshape = ((Hkv, num_pages, page, D) if hm
+                  else (num_pages, page, Hkv, D))
+        sshape = pshape[:-1]
+        kq = rng.integers(-127, 128, size=pshape).astype(np.int8)
+        vq = rng.integers(-127, 128, size=pshape).astype(np.int8)
+        ks = (rng.random(sshape) * 0.02 + 0.001).astype(np.float32)
+        vs = (rng.random(sshape) * 0.02 + 0.001).astype(np.float32)
+        ck = (jnp.asarray(kq), jnp.asarray(ks))
+        cv = (jnp.asarray(vq), jnp.asarray(vs))
+        # dense f32 pools the reference path consumes
+        dk = jnp.asarray(kq.astype(np.float32) * ks[..., None])
+        dv = jnp.asarray(vq.astype(np.float32) * vs[..., None])
+        tables = np.stack([
+            (np.arange(MP) % (num_pages - 1)) + 1 for _ in range(B)
+        ]).astype(np.int32)
+        kv_lens = np.asarray([150, 37], np.int32)
+        q = jnp.asarray(rng.standard_normal((B, T, Hq, D)), jnp.float32)
+        meta = PagedAttnMeta(
+            positions=jnp.asarray(kv_lens[:, None] - T + np.arange(T)[None]),
+            slot_mapping=jnp.zeros((B, T), jnp.int32),
+            block_tables=jnp.asarray(tables),
+            kv_lens=jnp.asarray(kv_lens),
+            active=jnp.ones((B,), jnp.float32),
+            head_major=hm,
+        )
+        scale = D**-0.5
+        want = np.asarray(paged_attention_reference(
+            q, dk, dv, meta, scale=scale))
+        got = np.asarray(blockwise_prefill_continuation(
+            q, ck, cv, meta, scale=scale, kv_block=256))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4,
+                                   err_msg=f"hm={hm}")
+
+
 def test_swap_out_in_roundtrip_both_layouts():
     """swap_out_pages -> host -> swap_in_pages restores page contents
     exactly, token-major and head-major (ref cache_engine swap_blocks)."""
