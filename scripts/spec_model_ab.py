@@ -101,7 +101,22 @@ def _prefix_params(params, n):
                                group_sizes=tuple(sizes))
 
 
-def _arm(eps, gamma, rounds, reps=3):
+def _neg_head(params):
+    """Adversarial draft: negate the draft lm_head's scales (exact -w on the
+    packed format), so the draft proposes ~argmin of the target's logit
+    direction — measured acceptance pins the acc~0 FLOOR of the speculative
+    tok/s(acceptance) curve (the eps tail-damping sweep could not pull
+    acceptance below 1.0: shared embed/lm_head dominate the argmax)."""
+    from mistralrs_tpu.quant.qlinear import Linear
+
+    lm = params.lm_head
+    data = {k: (-v if k == "scale" else v) for k, v in lm.data.items()}
+    return dataclasses.replace(
+        params, lm_head=Linear(kind=lm.kind, shape=lm.shape, data=data,
+                               meta=lm.meta))
+
+
+def _arm(eps, gamma, rounds, reps=3, adversarial=False):
     import jax.numpy as jnp
 
     import bench as driver_bench
@@ -115,6 +130,8 @@ def _arm(eps, gamma, rounds, reps=3):
     tparams = _scale_tail(params, eps) if eps != 1.0 else params
     dcfg = dataclasses.replace(cfg, num_layers=DRAFT_LAYERS)
     dparams = _prefix_params(params, DRAFT_LAYERS)
+    if adversarial:
+        dparams = _neg_head(dparams)
     rope = make_rope(cfg, 2048)
     pc = PipelineConfig(page_size=16, num_pages=256, max_seqs=2,
                         max_model_len=2048, prefill_buckets=(64,))
@@ -144,6 +161,20 @@ def main():
                       os.environ.get("MISTRALRS_CACHE_DIR",
                                      "/tmp/mistralrs_xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    if "adversarial" in sys.argv[1:]:
+        for gamma, rounds in ((4, 13), (3, 16)):
+            t0 = time.time()
+            try:
+                r, a = _arm(1.0, gamma, rounds, adversarial=True)
+                print(f"mdraft ADV g={gamma} R={rounds}: {r:7.2f} tok/s"
+                      f"  acc={a:.2f} ({time.time()-t0:.0f}s)", flush=True)
+            except Exception as e:
+                import traceback
+
+                print(f"mdraft ADV g={gamma}: FAIL {type(e).__name__}: "
+                      f"{str(e)[:140]}", flush=True)
+                traceback.print_exc()
+        return
     for eps in (0.0, 0.3, 1.0):
         for gamma, rounds in ((4, 13), (3, 16)):
             t0 = time.time()

@@ -435,6 +435,19 @@ def _m2(models):
     return tcfg, tparams
 
 
+def test_spec_multi_across_width_buckets(models):
+    """Greedy identity holds while the block-table width grows through
+    power-of-2 page buckets mid-request (page_size=4: spans 16 -> 32 -> 64
+    tokens re-specialize the spec executable; the on-chip trace showed
+    these as 12.7 s compile spikes — correctness across the transition is
+    what this pins)."""
+    prompt = [3, 4, 5, 6, 3, 4, 5, 6, 3, 4]
+    want, _ = _plain_engine(models).generate(prompt, SamplingParams(max_len=80))
+    got, _ = _pld_engine(models, 3, spec_rounds=4).generate(
+        prompt, SamplingParams(max_len=80))
+    assert got == want
+
+
 def test_prefix_cache_composes_with_speculative(models):
     """Prefix caching is now SERVED under speculative decoding (beyond the
     reference, which disables its prefix cacher in composite pipelines):
