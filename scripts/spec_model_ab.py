@@ -162,10 +162,10 @@ def main():
                                      "/tmp/mistralrs_xla_cache"))
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if "adversarial" in sys.argv[1:]:
-        for gamma, rounds in ((4, 13), (3, 16)):
+        for gamma, rounds in ((4, 13),):
             t0 = time.time()
             try:
-                r, a = _arm(1.0, gamma, rounds, adversarial=True)
+                r, a = _arm(1.0, gamma, rounds, reps=2, adversarial=True)
                 print(f"mdraft ADV g={gamma} R={rounds}: {r:7.2f} tok/s"
                       f"  acc={a:.2f} ({time.time()-t0:.0f}s)", flush=True)
             except Exception as e:
